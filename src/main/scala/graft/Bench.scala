@@ -1,24 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+/** Per-round benchmark: every declared query against SPARK_GRAFT_SF_DIR,
+  * timed with a noop-format write so the FULL plan executes (a count() lets
+  * Catalyst prune aggregate expressions and the final sort — VERDICT r1 #2).
+  * Failures are surfaced per-query in an "errors" map instead of silently
+  * reporting a plausible timing. One JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Engine.session("graft-bench")
+    // Untimed warmup pass: JIT + whole-stage-codegen compilation costs ~6-7 s
+    // on the first query and would swamp the sub-second steady-state numbers
+    // (measured in r2: first run 7.2 s, second 0.75 s for the same plan).
+    // Recorded in BASELINE.md: r2+ numbers are steady-state.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Drop anything the warmup pass persisted (e.g. Sessionize's summary
+    // cache) so timed runs do their own full work.
+    spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,7 +35,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT ts, event_id,
         |    CASE WHEN LAG(ts) OVER (ORDER BY ts, event_id) IS NULL
-        |           OR ts - LAG(ts) OVER (ORDER BY ts, event_id) >= INTERVAL 5 SECOND
+        |           OR ts - LAG(ts) OVER (ORDER BY ts, event_id) > INTERVAL 5 SECOND
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |), g AS (
@@ -48,7 +48,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |), g AS (

@@ -24,9 +24,16 @@ object Tables {
     * Spark cannot represent natively (µs precision). Read the raw ns count
     * via the `nanosAsLong` escape hatch and truncate to µs TIMESTAMP_NTZ —
     * the same truncation DuckDB applies, so oracle comparisons line up.
+    *
+    * Both configs are set by [[graft.Engine.session]] at session build (no
+    * hidden mutation here); this asserts them because a session missing
+    * either would mis-read silently (TZ) or fail cryptically (nanos).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true — build the session via graft.Engine.session")
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events requires spark.sql.session.timeZone=UTC — build the session via graft.Engine.session")
     table(s, d, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }

@@ -32,7 +32,7 @@ def main(sf_dir, out_dir):
         spark_dir = f"{out_dir}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"[MISS] {name}: no spark output dir"); n_fail += 1; continue
-        files = glob.glob(f"{spark_dir}/*.parquet")
+        files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
         if not files:
             print(f"[MISS] {name}: no parquet files"); n_fail += 1; continue
         try:
