@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +22,27 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 windowed aggregations
     "session_count" -> (Windows.sessionCount _),
     "session_user"  -> (Windows.sessionUser _),
     "tumble_sum"    -> (Windows.tumbleSum _),
     "slide_agg"     -> (Windows.slideAgg _),
+    // §2.5 relational surface
+    "filter_scan"   -> (Relational.filterScan _),
+    "agg_basic"     -> (Relational.aggBasic _),
+    "agg_distinct"  -> (Relational.aggDistinct _),
+    "join_inner"    -> (Relational.joinInner _),
+    "join_outer"    -> (Relational.joinOuter _),
+    "join_semi"     -> (Relational.joinSemi _),
+    "join_star"     -> (Relational.joinStar _),
+    "topk"          -> (Relational.topk _),
+    "set_ops"       -> (Relational.setOps _),
+    "rollup_agg"    -> (Relational.rollupAgg _),
+    "win_rank"      -> (Relational.winRank _),
+    "dedup"         -> (Relational.dedup _),
+    // §2.5 function surface
+    "scalar_funcs"  -> (Funcs.scalarFuncs _),
+    "json_funcs"    -> (Funcs.jsonFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +91,105 @@ object SparkEntry {
         |  FROM events, (SELECT UNNEST(range(4)) AS k)
         |)
         |GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin,
+    "filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND l_quantity > 45 AND l_returnflag IN ('R', 'A')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, 'semi' AS how FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_totalprice > 200000)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'anti' AS how FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY how, c_custkey""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, n_name,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "topk" ->
+      """SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+    "set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT k, 'union' AS op FROM (SELECT k FROM f UNION SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'intersect' AS op FROM (SELECT k FROM f INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'except' AS op FROM (SELECT k FROM f EXCEPT SELECT k FROM b)
+        |ORDER BY op, k""".stripMargin,
+    "rollup_agg" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "win_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, run_spend FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "dedup" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  LOWER(o_orderpriority) AS prio_lower,
+        |  SUBSTRING(o_orderpriority, 1, 3) AS prio3,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        |  ABS(o_custkey - 750) AS key_dist,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_co
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "json_funcs" ->
+      """SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS val_sum,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
