@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.functions._
+import graft.sources.{Sinks, Sources}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +44,11 @@ object SparkEntry {
     // §2.5 function surface
     "scalar_funcs"  -> (Funcs.scalarFuncs _),
     "json_funcs"    -> (Funcs.jsonFuncs _),
+    // §2.1 sources / §2.2 sinks
+    "seq_source"    -> (Sources.seqSource _),
+    "pojo_scan"     -> (Sources.pojoScan _),
+    "json_scan"     -> (Sources.jsonScan _),
+    "file_sink"     -> (Sinks.fileSink _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,5 +197,22 @@ object SparkEntry {
         |       SUM(CAST(value AS DECIMAL(18,2))) AS val_sum,
         |       COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seq_source" ->
+      """SELECT range % 97 AS bucket, COUNT(*) AS n, SUM(range) AS id_sum,
+        |       MIN(range) AS id_min, MAX(range) AS id_max
+        |FROM range(0, 1000000) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "pojo_scan" ->
+      """SELECT COUNT(*) AS n, SUM(c_custkey) AS id_sum,
+        |       MIN(c_custkey) AS id_min, MAX(c_custkey) AS id_max
+        |FROM customer WHERE c_custkey % 7 = 0""".stripMargin,
+    "json_scan" ->
+      """SELECT my_field3, COUNT(*) AS n, SUM(my_field1) AS f1_sum, SUM(my_field2) AS f2_sum
+        |FROM read_json('/root/repo/target/fixtures/input_big.json.gz',
+        |               format='newline_delimited',
+        |               columns={my_field1: 'BIGINT', my_field2: 'INTEGER', my_field3: 'VARCHAR'})
+        |GROUP BY my_field3 ORDER BY my_field3""".stripMargin,
+    "file_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
   )
 }
