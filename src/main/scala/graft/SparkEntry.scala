@@ -49,6 +49,11 @@ object SparkEntry {
     "pojo_scan"     -> (Sources.pojoScan _),
     "json_scan"     -> (Sources.jsonScan _),
     "file_sink"     -> (Sinks.fileSink _),
+    // §2.7 LLM-pipeline operators
+    "text_stats"    -> (TextOps.textStats _),
+    "doc_dedup"     -> (TextOps.docDedup _),
+    "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
+    "sim_topk"      -> (Similarity.simTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -214,5 +219,53 @@ object SparkEntry {
     "file_sink" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_types,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_dedup" ->
+      """SELECT doc_id, fp, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                 FOR i IN range(1, len(toks) - 1) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q_id, vec_id,
+        |    list_sum([ v[i] * qv[i] FOR i IN generate_series(1, len(v)) ])
+        |      / (sqrt(list_sum([ v[i] * v[i] FOR i IN generate_series(1, len(v)) ]))
+        |         * sqrt(list_sum([ qv[i] * qv[i] FOR i IN generate_series(1, len(qv)) ]))) AS cos
+        |  FROM e, q WHERE vec_id != q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |      FROM p)
+        |SELECT q_id, rn, vec_id, ROUND(cos, 6) AS cos FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.7 E2/E4).
+  *
+  * The `embeddings` table carries a native `array<float>` column (E4 —
+  * multimodal columns are opaque arrays/binaries with typed metadata; no
+  * custom type system needed). All vector math is built-in higher-order
+  * functions (`zip_with` + `aggregate`) — codegen'd, no UDFs.
+  *
+  * Scale story:
+  *  - [[simTopk]] is brute-force top-k: query set BROADCAST against the
+  *    corpus, per-partition partial top-k via window over q_id — O(n·q)
+  *    but embarrassingly parallel, the correct baseline and the oracle
+  *    for approximate methods.
+  *  - [[annTopk]] is the scale path: random-hyperplane LSH (SimHash for
+  *    vectors) buckets the corpus; each query only scores its bucket(s).
+  *    Approximate — recall vs [[simTopk]] is asserted in SimilaritySpec,
+  *    not oracle'd.
+  */
+object Similarity {
+
+  /** Sum of elementwise products, accumulated in DOUBLE in array order —
+    * matches DuckDB's sequential list_sum over a DOUBLE[] comprehension, so
+    * oracle comparisons are bit-exact. Inputs must already be array<double>. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** E2 baseline: exact top-10 cosine neighbors for query vectors
+    * (vec_id < 5), self-matches excluded. Cosine is rounded to 6 dp in the
+    * OUTPUT only (ranking uses the raw double). */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  // ---------------------------------------------------- approximate variants
+
+  /** 64-bit SimHash of a double vector via random hyperplanes: bit i is the
+    * sign of v · r_i where r_i is a deterministic pseudo-random hyperplane
+    * derived from xxhash64(i, dim). Returns BIGINT. */
+  def simhash(v: Column, bits: Int = 16): Column = {
+    // hyperplane component r_i[d] ∈ {-1, +1} from the parity of xxhash64(i, d)
+    val bitCols = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+        lit(0d), (s, x) => s + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** E2 scale path: LSH-bucketed approximate top-k. Corpus and queries are
+    * bucketed by the top `prefixBits` of their SimHash; each query scores
+    * only vectors sharing its bucket OR any bucket at Hamming distance 1
+    * (multi-probe) — candidates ≈ n/2^prefixBits per probe instead of n.
+    */
+  def annTopk(spark: SparkSession, dir: String, k: Int = 10, prefixBits: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+      // multi-probe: own bucket + each single-bit flip
+      .withColumn("probe", explode(array(
+        (col("qb") +: (0 until prefixBits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+}

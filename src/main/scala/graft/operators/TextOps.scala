@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.7
+  * E1/E3): token statistics, quality scoring, fingerprint dedup, language ID.
+  *
+  * Everything is built-in column expressions / higher-order functions — no
+  * UDFs — so the per-document work stays codegen'd and embarrassingly
+  * parallel (narrow transforms; the only shuffles are the final keyed
+  * aggregations / dedup windows).
+  */
+object TextOps {
+
+  /** Tiny function-word list used for the stopword-ratio quality signal.
+    * The synthetic corpus vocabulary includes 'a' and 'the'. */
+  val stopwords = Seq("a", "the")
+
+  /** E3: per-document token statistics + quality signals:
+    * whitespace tokens, distinct types, type/token ratio, a BPE-ish
+    * regex token count, stopword ratio, and mean token length. All
+    * ratios are exact-int divisions so the DuckDB oracle matches bitwise.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopSql = stopwords.map(s => s"t = '$s'").mkString(" OR ")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+        (size(expr(s"filter(split(text, ' '), t -> $stopSql)")).cast("double")
+          / size(toks)).as("stop_ratio"),
+        ((length(col("text")) - size(toks) + 1).cast("double") / size(toks)).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token list.
+    * Reorderings and exact duplicates collapse to one fingerprint; md5
+    * exists in both engines so the oracle matches. At 100 TB this is the
+    * standard exact-dedup shape: narrow fingerprint → hash-shuffle on the
+    * fingerprint → keep first per group. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(c, " ")))))
+
+  /** E1 exact/normalized dedup over documents: keep the lowest doc_id per
+    * bag-of-words fingerprint. */
+  def docDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "fp", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- language ID
+
+  /** Character-trigram profiles for a few languages, built from small public
+    * function-word inventories (not trained on any corpus — a heuristic).
+    * Real pipelines plug a proper model in via the same column contract.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"))
+
+  /** Language-ID heuristic: score = fraction of tokens that are marker
+    * function words for each candidate language; argmax wins, 'und'
+    * (undetermined) when no marker hits. Pure column expressions →
+    * codegen'd, parallel. Verified on crafted multilingual text in
+    * TextOpsSpec (the synthetic corpus shares one vocabulary across its
+    * lang labels, so accuracy there is meaningless by construction).
+    */
+  def langIdScore(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        (size(filter(toks, t => t.isin(markers: _*))).cast("double") / size(toks)).as("score"),
+        lit(lang).as("lang"))
+    }
+    // greatest over (score, lang) structs = argmax with lexicographic lang
+    // tiebreak — deterministic.
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}
