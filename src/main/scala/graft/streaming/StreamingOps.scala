@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming layer (SURVEY.md §2.1 S2/S3, §2.3 W1–W5, §2.2
+  * K2–K4, §2.6 T1–T3).
+  *
+  * The reference is a *streaming* repo; this mirrors its jobs Spark-first:
+  * `readStream` sources → event-time windowed aggregations under
+  * `withWatermark` → append-mode sinks. Batch and streaming share the same
+  * transform functions (they take/return DataFrames), which is the whole
+  * point of the unified Dataset API — the batch forms in
+  * [[graft.operators.Windows]] are the SAME plans run over bounded input.
+  *
+  * Watermark notes (reference quirks documented, intent implemented):
+  *  - `StreamingFlinkSQL.java:18` declares `event_time - INTERVAL '1' SECOND`
+  *    → [[withEventWatermark]] ("1 second").
+  *  - `CassandraPojoSinkStreaming.java:64-65` codes
+  *    `Duration.ofSeconds(10001)` — a ms/s unit slip; the INTENT (cover the
+  *    source's 1–10 s lateness, `:54-56`) is 11 s, which we use.
+  *
+  * Exactly-once (reference `:84-104`: 120 s checkpoints, EXACTLY_ONCE):
+  * Spark's checkpointLocation + offset WAL + versioned state gives
+  * exactly-once STATE; end-to-end exactly-once needs an idempotent sink —
+  * [[foreachBatchParquetSink]] writes each micro-batch to a `batch=<id>`
+  * directory in overwrite mode, so a replayed batch overwrites itself
+  * rather than duplicating (verified by restart in StreamingSpec).
+  */
+object StreamingOps {
+
+  val referenceWatermark = "11 seconds" // intent of Duration.ofSeconds(10001)
+
+  /** S2 — datagen-table analog: rate source shaped to the reference's
+    * schema `f0 STRING, event_time TIMESTAMP(3)` at `rowsPerSecond`
+    * (reference: StreamingFlinkSQL.java:14-22, 100 rows/sec). */
+  def datagenSource(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        concat(lit("payload-"), col("value")).as("f0"),
+        col("timestamp").as("event_time"))
+
+  /** S3 — lateness-injecting source analog: every 10th record's event time
+    * is shifted 1–10 s into the past (reference:
+    * CassandraPojoSinkStreaming.java:54-56,129-135; deterministic shift
+    * here instead of Random). Tests use MemoryStream directly. */
+  def lateDatagenSource(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("value").as("id"),
+        when(col("value") % 10 === 0,
+          expr("timestamp - make_interval(0, 0, 0, 0, 0, 0, value % 10 + 1)"))
+          .otherwise(col("timestamp")).as("ts"))
+
+  /** W3/W4 — bounded out-of-orderness watermark. */
+  def withEventWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** W1 streaming — session windows + COUNT per key, append mode semantics
+    * (emit once the watermark passes the session end; later-than-watermark
+    * rows dropped, W5). The reference's SQL flagship is unkeyed; streaming
+    * session windows require a grouping key in Spark, so the streaming form
+    * is keyed (the batch unkeyed form lives in Windows.sessionCount). */
+  def sessionCountStream(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, delay: String): DataFrame =
+    withEventWatermark(events, tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("total"))
+      .select(col(keyCol),
+        col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("total"))
+
+  /** W2 streaming — 10 s tumbling event-time window + sum (reference:
+    * CassandraPojoSinkStreaming.java:66-68; its `windowAll` forces
+    * parallelism 1, Spark's groupBy(window) stays parallel). */
+  def tumbleSumStream(events: DataFrame, tsCol: String, valueCol: String,
+      delay: String = referenceWatermark): DataFrame =
+    withEventWatermark(events, tsCol, delay)
+      .groupBy(window(col(tsCol), "10 seconds"))
+      .agg(sum(col(valueCol)).as("id_sum"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("id_sum"))
+
+  // ------------------------------------------------------------------ sinks
+
+  /** K2 — print sink (reference: CassandraPojoSource.java:64). */
+  def consoleSink(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("console")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").start()
+
+  /** K3 — blackhole sink (reference: StreamingFlinkSQL.java:25-32). */
+  def noopSink(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("noop")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").start()
+
+  /** K4/T2 — idempotent parquet sink via foreachBatch: one `batch=<id>`
+    * directory per micro-batch, overwrite mode ⇒ replay-safe (exactly-once
+    * end-to-end given the checkpointed offset log). Standing in for the
+    * reference's Cassandra upsert sink (CassandraPojoSinkStreaming.java:70-79)
+    * in the zero-egress environment — upsert-by-key has the same
+    * idempotence property this reproduces. */
+  def foreachBatchParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY.md §2.3 W1/W2/W5, §2.2 K3/K4, §2.6 T1–T3):
+  * event-time windows under watermarks via MemoryStream, late-row drop,
+  * exactly-once restart from a checkpoint, cancellation.
+  */
+class StreamingSpec extends SparkSpec {
+
+  def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("W2/W5: streaming tumbling sum emits on watermark and drops late rows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps
+      .tumbleSumStream(in.toDF.toDF("ts", "id"), "ts", "id", delay = "2 seconds")
+      .writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L), (ts(5), 2L), (ts(9), 4L)) // window [0,10)
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (9-2=7) < window end 10
+      assert(spark.table("tumble_out").count() === 0)
+      in.addData((ts(25), 100L)) // advances watermark to 23 ⇒ [0,10) closes
+      q.processAllAvailable()
+      val closed = spark.table("tumble_out").collect()
+      assert(closed.length === 1)
+      assert(closed(0).getAs[Long]("id_sum") === 7L)
+      // W5: a row for the already-closed window, older than the watermark
+      in.addData((ts(3), 1000L))
+      q.processAllAvailable()
+      assert(spark.table("tumble_out").count() === 1, "late row must be dropped")
+      // flush [20,30) with a sentinel far in the future
+      in.addData((ts(60), 0L))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out").orderBy("window_start").collect()
+      assert(rows.length === 2)
+      assert(rows(1).getAs[Long]("id_sum") === 100L, "late row must not resurrect in later windows")
+    } finally q.stop()
+  }
+
+  test("W1: streaming keyed session window counts gap-separated sessions") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps
+      .sessionCountStream(in.toDF.toDF("ts", "k"), "ts", "k", gap = "5 seconds", delay = "2 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData((ts(0), "a"), (ts(3), "a"), (ts(6), "a")) // one session [0, 11)
+      in.addData((ts(20), "a"))                            // second session [20, 25)
+      in.addData((ts(100), "b"))                           // sentinel advances watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").orderBy("window_start").collect()
+      assert(rows.length === 2) // b's session still open
+      assert(rows(0).getAs[Long]("total") === 3)
+      assert(rows(0).getAs[Timestamp]("window_end") === ts(11))
+      assert(rows(1).getAs[Long]("total") === 1)
+    } finally q.stop()
+  }
+
+  test("T2/K4: restart from checkpoint is exactly-once with the idempotent sink") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-src")
+    val outDir = tmpDir("stream-out")
+    val ckDir  = tmpDir("stream-ck")
+    def writeFile(name: String, ids: Range): Unit = {
+      val p = java.nio.file.Paths.get(srcDir, name)
+      val lines = ids.map(i => s"""{"id": $i}""").mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(p, lines)
+    }
+    writeFile("a.json", 0 until 100)
+    val schema = "id LONG"
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      spark.readStream.schema(schema).json(srcDir).withColumn("doubled", col("id") * 2),
+      outDir, ckDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // new data while the query is DOWN, then restart from the same checkpoint
+    writeFile("b.json", 100 until 250)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 250, "no loss, no duplicates across restart")
+    assert(out.select("id").distinct().count() === 250)
+    assert(out.agg(sum("doubled")).head.getLong(0) === (0L until 250L).map(_ * 2).sum)
+  }
+
+  test("T1/T3/K3: noop sink starts and stop() cancels cleanly") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = StreamingOps.noopSink(in.toDF, tmpDir("noop-ck"))
+    in.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    assert(q.isActive)
+    q.stop()
+    assert(!q.isActive)
+    assert(q.exception.isEmpty)
+  }
+
+  test("S2/S3: rate-shaped sources produce the declared schemas") {
+    val dg = StreamingOps.datagenSource(spark)
+    assert(dg.isStreaming)
+    assert(dg.schema.fieldNames.toSeq === Seq("f0", "event_time"))
+    val late = StreamingOps.lateDatagenSource(spark)
+    assert(late.isStreaming)
+    assert(late.schema.fieldNames.toSeq === Seq("id", "ts"))
+  }
+}
