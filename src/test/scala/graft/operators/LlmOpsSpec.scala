@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators (SURVEY.md §2.7): minhash near-dup detection on
+  * crafted edits, fingerprint dedup on reorderings, SimHash locality,
+  * ANN recall vs the exact baseline, language ID on real sample text. */
+class LlmOpsSpec extends SparkSpec {
+
+  def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates and no false positives") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "EDITED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val sh = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+      .withColumn("shingles", array_distinct(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |          i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))""".stripMargin)))
+      .select("doc_id", "shingles")
+    val pairs = MinHashDedup.verified(sh, MinHashDedup.candidatePairs(sh)).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("doc_a") === 0L)
+    assert(pairs(0).getAs[Long]("doc_b") === 1L)
+    assert(pairs(0).getAs[Double]("jac") >= 0.8)
+  }
+
+  test("dedup_minhash on testdata finds the planted pairs, symmetric-free") {
+    val pairs = MinHashDedup.dedupMinhash(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "sf0.001 documents carry planted near-dups")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jac") >= MinHashDedup.threshold)
+    }
+  }
+
+  test("fingerprint collapses token reorderings and duplicates") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),      // reorder → same bag
+      (3L, "alpha beta beta gamma"), // dup token → same distinct bag
+      (4L, "alpha beta delta")))     // different bag
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val fps = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(4L))
+  }
+
+  test("simhash: near-identical vectors share a hash, opposite vectors differ") {
+    import spark.implicits._
+    val v = (1 to 64).map(i => math.sin(i.toDouble))
+    val vNear = v.updated(0, v.head + 1e-6)
+    val vOpp = v.map(-_)
+    val df = Seq((1L, v), (2L, vNear), (3L, vOpp)).toDF("id", "v")
+      .withColumn("h", Similarity.simhash(col("v"), bits = 16))
+    val h = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
+    assert(h(1L) === h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) === 16, "all hyperplane signs flip")
+  }
+
+  test("annTopk achieves high recall vs exact simTopk on sf0.001") {
+    val exact = Similarity.simTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.annTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe LSH recall $recall too low")
+  }
+
+  test("langIdScore identifies real function-word text, und for markerless") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat is on the mat and the dog"),
+      ("de", "der hund und die katze ist das tier"),
+      ("fr", "le chat est sur la table et les chiens"),
+      ("es", "el gato y la mesa es los perros"),
+      ("und", "xylophone quartz bridge")).toDF("expected", "text")
+      .withColumn("predicted", TextOps.langIdScore(col("text")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("predicted") === r.getAs[String]("expected"),
+        s"text: ${r.getAs[String]("text")}")
+    }
+  }
+
+  test("text_stats ratios are consistent") {
+    val out = TextOps.textStats(spark, sf0001)
+    assert(out.filter("ttr > 1.0 OR ttr <= 0").count() === 0)
+    assert(out.filter("stop_ratio < 0 OR stop_ratio > 1").count() === 0)
+    assert(out.filter("n_types > n_tokens").count() === 0)
+  }
+}

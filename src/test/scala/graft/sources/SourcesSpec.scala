@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Source/sink operators (SURVEY.md §2.1/§2.2): NDJSON fixture parity
+  * (990,000 records, blank lines skipped, gzip transparent), sequence
+  * source, typed POJO scan, file-sink round trip. */
+class SourcesSpec extends SparkSpec {
+
+  test("S5: big NDJSON gz fixture reads exactly 990,000 records, blanks skipped") {
+    Sources.ensureBigFixture()
+    val df = spark.read.schema(Sources.jsonSchema).json(Sources.bigFixture)
+    assert(df.count() === 990000L)
+    assert(df.filter(col("my_field1").isNull).count() === 0L)
+    assert(df.select("my_field3").distinct().count() === 30L)
+  }
+
+  test("S1: seq_source covers the full range exactly once") {
+    val out = Sources.seqSource(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 1000000L)
+    assert(out.map(_.getAs[Long]("id_min")).min === 0L)
+    assert(out.map(_.getAs[Long]("id_max")).max === 999999L)
+  }
+
+  test("S4: pojo_scan typed filter matches untyped column filter") {
+    val typed = Sources.pojoScan(spark, sf0001).collect()(0)
+    val untyped = graft.Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 7 === 0)
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("id_sum")).collect()(0)
+    assert(typed.getAs[Long]("n") === untyped.getAs[Long]("n"))
+    assert(typed.getAs[Long]("id_sum") === untyped.getAs[Long]("id_sum"))
+  }
+
+  test("K1: file_sink round trip loses nothing") {
+    val out = Sinks.fileSink(spark, sf0001)
+    val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")
+    assert(out.count() === direct.count())
+    assert(out.agg(sum("o_orderkey")).head.getLong(0) ===
+      direct.agg(sum("o_orderkey")).head.getLong(0))
+  }
+}
