@@ -37,18 +37,36 @@ object MinHashDedup {
     * DOWN in Spark). */
   def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")) // split ONCE per row
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         array_distinct(expr(
-          """transform(sequence(0, size(split(text, ' ')) - 3),
-            |          i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))""".stripMargin))
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
           .as("shingles"))
 
-  /** Steps 2–4: candidate pairs from LSH banding. */
+  /** Steps 2–4: candidate pairs from LSH banding.
+    *
+    * Minhash signatures are computed NARROWLY — `array_min(transform(
+    * shingles, s -> xxhash64(i, s)))` per permutation — one codegen'd
+    * projection per doc, NO explode and NO groupBy shuffle (the r2 first
+    * cut exploded shingles and min-aggregated: an extra full shuffle of
+    * #docs×#shingles rows that this formulation avoids entirely; 7.6 s →
+    * see BASELINE.md). The only shuffle left is the band-bucket join.
+    */
   def candidatePairs(sh: DataFrame): DataFrame = {
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val minhashAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val minh = exploded.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    // One string hash per shingle, then 64 affine permutations over 32-bit
+    // base hashes (standard universal-hash minhash): far cheaper than 64
+    // independent string hashes. Bases are the top 32 bits of xxhash64 and
+    // multipliers are 30-bit so `a*x + b < 2^63` — no overflow under ANSI
+    // mode (Spark 4 default), no try_multiply NULLs.
+    val withBase = sh.select(col("doc_id"),
+      transform(col("shingles"), s => shiftrightunsigned(xxhash64(s), 32)).as("base"))
+    val minhashCols = (0 until numHashes).map { i =>
+      val a = ((0x9E3779B9L * (2L * i + 1L)) & 0x3FFFFFFFL) | 1L // odd 30-bit
+      val b = (0xBF58476DL * (i + 1L)) & 0x3FFFFFFFL
+      array_min(transform(col("base"), x => x * lit(a) + lit(b))).as(s"h$i")
+    }
+    val minh = withBase.select(col("doc_id") +: minhashCols: _*)
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
@@ -67,7 +85,9 @@ object MinHashDedup {
   def verified(sh: DataFrame, cand: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    // candidates ≪ corpus — broadcast them through both enrich joins so the
+    // corpus is never shuffled here
+    a.join(broadcast(cand), "doc_a").join(b, "doc_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))))
