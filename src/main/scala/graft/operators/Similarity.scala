@@ -26,8 +26,17 @@ object Similarity {
 
   /** Sum of elementwise products, accumulated in DOUBLE in array order —
     * matches DuckDB's sequential list_sum over a DOUBLE[] comprehension, so
-    * oracle comparisons are bit-exact. Inputs must already be array<double>. */
-  def dot(a: Column, b: Column): Column =
+    * oracle comparisons are bit-exact. Inputs must already be array<double>.
+    *
+    * Resolves to the native codegen'd [[graft.plans.DotProductExpr]]
+    * (registered by GraftExtensions via Engine.session): a primitive loop
+    * with no per-element lambda dispatch or intermediate array — same
+    * index-order summation as the HOF fold (bit-equality asserted in
+    * VectorExprSpec), just faster. [[hofDot]] keeps the pure-built-in form. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-in higher-order-function formulation (no extensions needed). */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (s, x) => s + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

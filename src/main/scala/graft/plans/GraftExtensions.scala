@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * expressions under SQL-callable names. Installed by
+  * [[graft.Engine.session]] via `spark.sql.extensions`; after that
+  * `SELECT graft_dot(a, b)` and `functions.call_function("graft_dot", …)`
+  * resolve to [[DotProductExpr]].
+  *
+  * This is tier (c) of the custom-operator preference order (SURVEY.md §4.2):
+  * only the scalar expression needed codegen; no custom LogicalPlan/
+  * Strategy is required for the reference surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+  }
+}

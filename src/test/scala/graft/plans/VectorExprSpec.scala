@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd graft_dot (DotProductExpr) — registration via
+  * SparkSessionExtensions, SQL + call_function resolution, bit-exact
+  * equality with the HOF formulation, and null semantics. */
+class VectorExprSpec extends SparkSpec {
+
+  test("graft_dot resolves via SQL and computes the dot product") {
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("graft_dot returns NULL when either side is NULL") {
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a, " +
+        "graft_dot(array(1.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS b").head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native expression is bit-identical to the HOF fold on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val pairs = emb.crossJoin(
+      emb.select(col("vec_id").as("q_id"), col("v").as("qv")).limit(10))
+    val hof = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0d), (s, x) => s + x)
+    val diff = pairs
+      .withColumn("d_hof", hof)
+      .withColumn("d_native", call_function("graft_dot", col("v"), col("qv")))
+      .filter(col("d_hof") =!= col("d_native")) // bitwise: any ulp diff fails
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("Similarity.dot uses the native expression and stays oracle-equal") {
+    val d = Similarity.dot(col("v"), col("qv"))
+    assert(d.toString.toLowerCase.contains("graft_dot"))
+  }
+}
