@@ -25,15 +25,18 @@ object Tables {
     * via the `nanosAsLong` escape hatch and truncate to µs TIMESTAMP_NTZ —
     * the same truncation DuckDB applies, so oracle comparisons line up.
     *
-    * Both configs are set by [[graft.Engine.session]] at session build (no
-    * hidden mutation here); this asserts them because a session missing
-    * either would mis-read silently (TZ) or fail cryptically (nanos).
+    * Both configs are set by [[graft.Engine.session]] at session build; our
+    * own entry points never hit the fallback below. The driver, however,
+    * smoke-runs `SparkEntry.entry(spark)` with an EXTERNALLY built session —
+    * for that path we set the two semantics-critical confs defensively
+    * (documented session-level mutation: without nanosAsLong the read
+    * fails outright, and a non-UTC zone silently shifts event times).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events requires spark.sql.legacy.parquet.nanosAsLong=true — build the session via graft.Engine.session")
-    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-      "events requires spark.sql.session.timeZone=UTC — build the session via graft.Engine.session")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     table(s, d, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
