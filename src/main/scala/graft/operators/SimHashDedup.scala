@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection for TEXT (SURVEY.md §2.7 E1 — the
+  * third dedup family next to exact fingerprints and MinHash+LSH).
+  *
+  * SimHash summarizes a document as a 64-bit signature whose bits are the
+  * signs of the per-bit sums of its token hashes; similar token multisets
+  * produce signatures at small Hamming distance. Candidate generation uses
+  * the pigeonhole banding trick: split the signature into `hammingMax + 1`
+  * chunks — any pair within `hammingMax` bit flips shares at least one
+  * EXACT chunk, so an equi-join on (chunk_index, chunk_value) finds every
+  * such pair with zero misses, and verification just checks the true
+  * Hamming distance. All narrow expressions + one equi-join: never
+  * all-pairs, skewed chunks handled by AQE like any hash join.
+  */
+object SimHashDedup {
+
+  val bits = 64
+  val hammingMax = 3
+  val chunks: Int = hammingMax + 1 // pigeonhole: ≥1 exact chunk match
+
+  /** 64-bit SimHash over word tokens. For each bit i, sum +1/-1 over
+    * tokens according to bit i of xxhash64(token); bit set iff sum ≥ 0.
+    * Expressed as a fold over a per-token contribution array — built-ins
+    * only, ANSI-safe.
+    */
+  def simhashText(text: Column): Column = {
+    val toks = split(text, " ")
+    // per-bit balance: sum over tokens of (bit set ? 1 : -1)
+    val bitCols = (0 until bits).map { i =>
+      val contrib = aggregate(
+        transform(toks, t => when(shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        lit(0L), (s, x) => s + x)
+      when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs among `docs(doc_id, text)`: SimHash → chunk-banded
+    * candidate join → exact Hamming verify ≤ [[hammingMax]]. */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhashText(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkWidth = bits / chunks
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("sig"), c * chunkWidth)
+            .bitwiseAND(lit((1L << chunkWidth) - 1)).as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.c").as("c"), col("ch.v").as("v"))
+    banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= hammingMax)
+  }
+}

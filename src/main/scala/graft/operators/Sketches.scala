@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates for 100 TB interactive work (SURVEY.md §2.4
+  * [EXT] completion): HyperLogLog++ distinct counts and approximate
+  * quantiles. Both are Spark built-ins backed by mergeable sketches —
+  * fixed-size state per group regardless of input cardinality, so at scale
+  * the shuffle carries kilobyte sketches where exact distinct would carry
+  * the full key sets (`count(DISTINCT x)` plans an Expand + second shuffle).
+  * Not oracle-able (estimator internals differ across engines) — verified
+  * against exact results with error bounds in SketchesSpec.
+  */
+object Sketches {
+
+  /** HLL distinct suppliers/parts per return flag next to the exact
+    * counts — `rsd` is the target relative standard deviation. */
+  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_suppkey"), rsd).as("approx_supp"),
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_part"),
+        countDistinct(col("l_partkey")).as("exact_part"))
+      .orderBy("l_returnflag")
+
+  /** Approximate percentiles of order value (GK sketch via
+    * approx_percentile/percentile_approx). `accuracy` trades state size
+    * for error ≤ 1/accuracy in rank space. */
+  def approxQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), $accuracy)").as("approx_p"),
+        expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("exact_p"))
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation via salting (SURVEY.md scale notes).
+  *
+  * A hash aggregation on a heavily skewed key sends the hot key's entire
+  * input to one reduce task. Salting splits each key into `saltBuckets`
+  * synthetic sub-keys for a parallel partial aggregation, then merges the
+  * sub-aggregates in a second (tiny) aggregation — two shuffles, but the
+  * first is balanced and the second carries one row per (key, salt).
+  *
+  * AQE's skewed-shuffle handling covers JOIN skew automatically, but
+  * aggregation skew of this shape still benefits from explicit salting.
+  * Only algebraic aggregates decompose this way (sum/count/min/max —
+  * avg = salted sum / salted count); the helper takes the partial and
+  * final expression lists explicitly to keep that contract visible.
+  */
+object SkewedAgg {
+
+  /** Two-stage salted aggregation.
+    * @param partial aggregates computed per (keys, salt) — must be
+    *                algebraic (mergeable)
+    * @param merge   re-aggregation of the partial columns per keys
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*).agg(partial.head, partial.tail: _*)
+    stage1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted count+sum convenience — the common hot-key shape. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      saltBuckets: Int = 32): DataFrame =
+    saltedAgg(df, Seq(key), saltBuckets,
+      partial = Seq(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s")),
+      merge = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
+}
