@@ -54,6 +54,16 @@ object SparkEntry {
     "doc_dedup"     -> (TextOps.docDedup _),
     "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
     "sim_topk"      -> (Similarity.simTopk _),
+    // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
+    "sql_agg"       -> (SqlSurface.sqlAgg _),
+    // deterministic but not SQL-expressible in DuckDB (xxhash64/HLL
+    // internals) — no oracleSql entry => driver's rows-only check;
+    // semantics covered by ScaleOpsSpec/LlmOpsSpec
+    "dedup_simhash" -> ((s: SparkSession, d: String) =>
+      SimHashDedup.nearDupPairs(Tables.documents(s, d).select("doc_id", "text"))
+        .orderBy("doc_a", "doc_b")),
+    "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annTopk(s, d)),
+    "approx_distinct" -> (Sketches.approxDistinct(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,6 +263,14 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "sql_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

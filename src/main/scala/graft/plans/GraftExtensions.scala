@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

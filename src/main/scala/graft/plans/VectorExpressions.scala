@@ -18,14 +18,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * to DuckDB's sequential list accumulation, so swapping it in cannot
   * change oracle-checked results (asserted in VectorExprSpec).
   *
-  * Null contract: NULL if either array is NULL; array ELEMENTS must be
-  * non-null (embeddings are dense) — enforced upstream by construction.
+  * Null semantics mirror `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)`
+  * EXACTLY so [[RewriteHofDotProduct]] is a sound rewrite:
+  *  - NULL if either array is NULL;
+  *  - NULL if lengths differ (zip_with pads the shorter side with nulls →
+  *    a null product → null sum);
+  *  - NULL if any element is NULL.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  // always nullable: unequal lengths return NULL regardless of child nullability
+  override def nullable: Boolean = true
 
   // manual type check: ExpectsInputTypes' AbstractDataType is private[sql]
   // in Spark 4, so the trait can't be mixed in from an external package
@@ -40,30 +52,50 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val checkElems = elemNullable(left) || elemNullable(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (checkElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

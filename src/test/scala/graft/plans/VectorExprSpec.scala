@@ -21,19 +21,44 @@ class VectorExprSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("graft_dot null semantics match the HOF form (unequal length, null element)") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(1.0d)) AS uneq,
+        |       graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS nel,
+        |       aggregate(zip_with(array(1.0d, 2.0d), array(1.0d), (x, y) -> x * y),
+        |                 0.0d, (s, v) -> s + v) AS hof_uneq""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("native expression is bit-identical to the HOF fold on real embeddings") {
     val emb = graft.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .limit(100)
     val pairs = emb.crossJoin(
       emb.select(col("vec_id").as("q_id"), col("v").as("qv")).limit(10))
-    val hof = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0d), (s, x) => s + x)
+    // control arm uses y*x so RewriteHofDotProduct's positional guard does
+    // NOT fire — this genuinely executes the interpreted HOF fold
+    // (per-element commutativity keeps the value identical)
+    val hof = aggregate(zip_with(col("v"), col("qv"), (x, y) => y * x), lit(0d), (s, x) => s + x)
     val diff = pairs
       .withColumn("d_hof", hof)
       .withColumn("d_native", call_function("graft_dot", col("v"), col("qv")))
       .filter(col("d_hof") =!= col("d_native")) // bitwise: any ulp diff fails
       .count()
     assert(diff === 0L)
+  }
+
+  test("optimizer rule rewrites the canonical HOF idiom to graft_dot") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(10)
+    val df = emb.withColumn("d", Similarity.hofDot(col("v"), col("v")))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "aggregate(zip_with(a,b,(x,y)->x*y),0,(s,v)->s+v) must rewrite to DotProductExpr")
+    // swapped-operand variant must NOT match the rewrite
+    val ctl = emb.withColumn("d",
+      aggregate(zip_with(col("v"), col("v"), (x, y) => y * x), lit(0d), (s, x) => s + x))
+    assert(!ctl.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
   test("Similarity.dot uses the native expression and stays oracle-equal") {
