@@ -22,29 +22,37 @@ object SimHashDedup {
   val hammingMax = 3
   val chunks: Int = hammingMax + 1 // pigeonhole: ≥1 exact chunk match
 
-  /** 64-bit SimHash over word tokens. For each bit i, sum +1/-1 over
-    * tokens according to bit i of xxhash64(token); bit set iff sum ≥ 0.
-    * Expressed as a fold over a per-token contribution array — built-ins
-    * only, ANSI-safe.
+  /** 64-bit SimHash over an array of PRE-COMPUTED token hashes: for each
+    * bit i, sum +1/-1 over tokens according to bit i of the hash; bit set
+    * iff sum ≥ 0. Taking hashes (not tokens) keeps the expensive string
+    * hash to ONE evaluation per token — callers materialize the hash array
+    * in its own projection (CollapseProject won't inline a non-cheap alias
+    * referenced 64×). Built-ins only, ANSI-safe.
     */
-  def simhashText(text: Column): Column = {
-    val toks = split(text, " ")
-    // per-bit balance: sum over tokens of (bit set ? 1 : -1)
+  def simhashOfHashes(tokenHashes: Column): Column = {
     val bitCols = (0 until bits).map { i =>
       val contrib = aggregate(
-        transform(toks, t => when(shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        transform(tokenHashes,
+          h => when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
         lit(0L), (s, x) => s + x)
       when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** Convenience: SimHash directly from text (hashes each token once). */
+  def simhashText(text: Column): Column =
+    simhashOfHashes(transform(split(text, " "), t => xxhash64(t)))
+
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs among `docs(doc_id, text)`: SimHash → chunk-banded
     * candidate join → exact Hamming verify ≤ [[hammingMax]]. */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhashText(col("text")).as("sig"))
+    val sigs = docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => xxhash64(t)).as("th")) // hash once
+      .select(col("doc_id"), simhashOfHashes(col("th")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkWidth = bits / chunks
     val banded = sigs.select(col("doc_id"), col("sig"),

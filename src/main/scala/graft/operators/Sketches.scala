@@ -15,9 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HLL distinct suppliers/parts per return flag next to the exact
-    * counts — `rsd` is the target relative standard deviation. */
+  /** HLL distinct suppliers/parts per return flag — `rsd` is the target
+    * relative standard deviation. Sketches only: a single hash-agg pass,
+    * no Expand, constant state per group. */
   def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_suppkey"), rsd).as("approx_supp"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Spec-only: sketch next to exact multi-distinct (the exact form plans
+    * Expand + a second shuffle — the thing the sketch avoids at scale). */
+  def approxVsExact(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(

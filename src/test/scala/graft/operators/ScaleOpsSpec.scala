@@ -33,7 +33,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within rsd bounds of exact") {
-    val rows = Sketches.approxDistinct(spark, sf0001).collect()
+    val rows = Sketches.approxVsExact(spark, sf0001).collect()
     rows.foreach { r =>
       val (a, e) = (r.getAs[Long]("approx_supp").toDouble, r.getAs[Long]("exact_supp").toDouble)
       assert(math.abs(a - e) / e <= 0.1, s"approx $a vs exact $e")

@@ -32,6 +32,22 @@ class SourcesSpec extends SparkSpec {
     assert(typed.getAs[Long]("id_sum") === untyped.getAs[Long]("id_sum"))
   }
 
+  test("S5 quirk: zip-compressed NDJSON reads through binaryFile + inflate") {
+    val dir = tmpDir("zipjson")
+    val zipPath = s"$dir/input.json.zip"
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zipPath)))
+    zout.putNextEntry(new java.util.zip.ZipEntry("input.json"))
+    val body = (0 until 30).map(i =>
+      s"""{"my_field1" : ${100 + i}, "my_field2" : $i, "my_field3" : "test$i"}""")
+      .mkString("", "\n", "\n\n") // trailing blank line like the reference fixture
+    zout.write(body.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val df = Sources.readZippedNdjson(spark, zipPath)
+    assert(df.count() === 30)
+    assert(df.agg(sum("my_field1")).head.getLong(0) === (100L until 130L).sum)
+    assert(df.schema.fieldNames.toSeq === Seq("my_field1", "my_field2", "my_field3"))
+  }
+
   test("K1: file_sink round trip loses nothing") {
     val out = Sinks.fileSink(spark, sf0001)
     val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")
