@@ -54,24 +54,20 @@ object MinHashDedup {
     * see BASELINE.md). The only shuffle left is the band-bucket join.
     */
   def candidatePairs(sh: DataFrame): DataFrame = {
-    // One string hash per shingle, then 64 affine permutations over 32-bit
-    // base hashes (standard universal-hash minhash): far cheaper than 64
-    // independent string hashes. Bases are the top 32 bits of xxhash64 and
-    // multipliers are 30-bit so `a*x + b < 2^63` — no overflow under ANSI
-    // mode (Spark 4 default), no try_multiply NULLs.
-    val withBase = sh.select(col("doc_id"),
-      transform(col("shingles"), s => shiftrightunsigned(xxhash64(s), 32)).as("base"))
-    val minhashCols = (0 until numHashes).map { i =>
-      val a = ((0x9E3779B9L * (2L * i + 1L)) & 0x3FFFFFFFL) | 1L // odd 30-bit
-      val b = (0xBF58476DL * (i + 1L)) & 0x3FFFFFFFL
-      array_min(transform(col("base"), x => x * lit(a) + lit(b))).as(s"h$i")
-    }
-    val minh = withBase.select(col("doc_id") +: minhashCols: _*)
+    // One string hash per shingle, then the native single-pass
+    // graft_minhash64 kernel (graft.plans.MinHashSignatureExpr): all 64
+    // affine permutation minima in one codegen'd nested loop — the
+    // built-in formulation (64 × array_min(transform(...))) evaluates 64
+    // interpreted lambdas per row. Same hash family (30-bit odd multipliers
+    // over the top 32 hash bits — ANSI-safe), identical signatures.
+    val withSig = sh.select(col("doc_id"),
+      call_function("graft_minhash64",
+        transform(col("shingles"), s => xxhash64(s))).as("mh"))
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val bands = minh
+    val bands = withSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     bands.as("x").join(bands.as("y"),

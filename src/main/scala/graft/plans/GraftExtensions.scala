@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash64"),
+      (children: Seq[Expression]) => MinHashSignatureExpr(children.head)))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass MinHash signature (SURVEY.md §4.2 custom-Catalyst
+  * scorecard): from an array of 64-bit base hashes, computes K=64
+  * permutation minima `min_j(A_i * (x_j >>> 32) + B_i)` in ONE primitive
+  * loop. The built-in formulation — 64 × `array_min(transform(base, …))` —
+  * evaluates 64 interpreted lambdas and allocates 64 intermediate arrays
+  * per row; this expression is a tight nested loop in codegen.
+  *
+  * The affine family matches [[graft.operators.MinHashDedup]]: 30-bit odd
+  * multipliers over 32-bit bases keep every product under 2^63 (ANSI-safe
+  * by construction; `>>>` inside the kernel).
+  */
+case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
+
+  import MinHashSignatureExpr._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash64"
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Long](K)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j) >>> 32
+      var i = 0
+      while (i < K) {
+        val h = A(i) * x + B(i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$K];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $x = $c.getLong($j) >>> 32;
+         |  for (int $i = 0; $i < $K; $i++) {
+         |    long $h = $aRef[$i] * $x + $bRef[$i];
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpr {
+  val K = 64
+  // identical family to MinHashDedup's original column formulation
+  val A: Array[Long] = Array.tabulate(K)(i => ((0x9E3779B9L * (2L * i + 1L)) & 0x3FFFFFFFL) | 1L)
+  val B: Array[Long] = Array.tabulate(K)(i => (0xBF58476DL * (i + 1L)) & 0x3FFFFFFFL)
+}

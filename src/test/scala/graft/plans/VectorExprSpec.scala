@@ -61,6 +61,21 @@ class VectorExprSpec extends SparkSpec {
     assert(!ctl.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
+  test("graft_minhash64 equals the built-in 64x array_min(transform) formulation") {
+    import graft.plans.MinHashSignatureExpr.{A, B}
+    val docs = graft.operators.MinHashDedup.shingleDocs(spark, sf0001).limit(50)
+      .withColumn("base", transform(col("shingles"), s => shiftrightunsigned(xxhash64(s), 32)))
+    val builtinCols = (0 until 64).map(i =>
+      array_min(transform(col("base"), x => x * lit(A(i)) + lit(B(i)))))
+    val diff = docs
+      .withColumn("sig_native", call_function("graft_minhash64",
+        transform(col("shingles"), s => xxhash64(s))))
+      .withColumn("sig_builtin", array(builtinCols: _*))
+      .filter(col("sig_native") =!= col("sig_builtin"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("Similarity.dot uses the native expression and stays oracle-equal") {
     val d = Similarity.dot(col("v"), col("qv"))
     assert(d.toString.toLowerCase.contains("graft_dot"))
