@@ -51,6 +51,7 @@ object SparkEntry {
     "file_sink"     -> (Sinks.fileSink _),
     // §2.7 LLM-pipeline operators
     "text_stats"    -> (TextOps.textStats _),
+    "text_quality"  -> (TextOps.textQuality _),
     "doc_dedup"     -> (TextOps.docDedup _),
     "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
     "sim_topk"      -> (Similarity.simTopk _),
@@ -239,6 +240,22 @@ object SparkEntry {
         |    / len(string_split(text, ' ')) AS stop_ratio,
         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |    / len(string_split(text, ' ')) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, lang, n_chars,
+        |  0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |         / len(string_split(text, ' ')))
+        |  + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')))
+        |  + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |                 / len(string_split(text, ' ')), 8.0) / 8.0) AS quality,
+        |  CASE WHEN 0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |                   / len(string_split(text, ' ')))
+        |            + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                     / len(string_split(text, ' ')))
+        |            + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |                           / len(string_split(text, ' ')), 8.0) / 8.0) >= 0.35
+        |       THEN 'keep' ELSE 'drop' END AS verdict
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_dedup" ->
       """SELECT doc_id, fp, lang, n_chars FROM (

@@ -40,6 +40,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality scoring for filtering pipelines: a deterministic linear blend
+    * of stopword ratio (function-word presence), type/token ratio (lexical
+    * diversity), and capped mean token length — plus a keep/drop verdict.
+    * Every term is an exact-int division followed by the same IEEE double
+    * ops on both engines, so the oracle hash-matches without rounding.
+    * Real pipelines swap in model-based scores through the same column
+    * contract; the filter/verdict plumbing is what matters at 100 TB
+    * (narrow, codegen'd, no shuffle until any downstream agg). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+    val meanLen = (length(col("text")) - size(toks) + 1).cast("double") / size(toks)
+    val score = lit(0.4) * stop + lit(0.4) * ttr + lit(0.2) * (least(meanLen, lit(8.0)) / lit(8.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        score.as("quality"),
+        when(score >= 0.35, "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token list.
     * Reorderings and exact duplicates collapse to one fingerprint; md5
     * exists in both engines so the oracle matches. At 100 TB this is the

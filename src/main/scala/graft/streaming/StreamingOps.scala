@@ -63,9 +63,11 @@ object StreamingOps {
 
   /** W1 streaming — session windows + COUNT per key, append mode semantics
     * (emit once the watermark passes the session end; later-than-watermark
-    * rows dropped, W5). The reference's SQL flagship is unkeyed; streaming
-    * session windows require a grouping key in Spark, so the streaming form
-    * is keyed (the batch unkeyed form lives in Windows.sessionCount). */
+    * rows dropped, W5). The reference's SQL flagship is unkeyed — Spark
+    * supports that in streaming too (verified on 4.1.2), but it plans the
+    * same single-partition session merge as in batch, so the streaming
+    * form here is keyed for scale; the batch unkeyed form uses the
+    * two-phase Sessionize instead. */
   def sessionCountStream(events: DataFrame, tsCol: String, keyCol: String,
       gap: String, delay: String): DataFrame =
     withEventWatermark(events, tsCol, delay)
