@@ -78,6 +78,29 @@ object Similarity {
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** E1/E2: embedding-cosine NEAR-DUPLICATE pairs — vectors whose cosine
+    * ≥ `threshold`, found via SimHash hyperplane buckets with single-bit
+    * multi-probe (near-identical vectors agree on every hyperplane sign,
+    * so they collide with overwhelming probability; the exact cosine
+    * verify keeps precision 1). Same never-all-pairs shape as
+    * [[graft.operators.MinHashDedup]], for the embedding modality.
+    * @param emb columns (vec_id: Long, v: array<double>)
+    */
+  def embedDedup(emb: DataFrame, threshold: Double = 0.95, prefixBits: Int = 8): DataFrame = {
+    val mask = (1L << prefixBits) - 1
+    val bucketed = emb.withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
+    val probed = bucketed
+      .withColumn("probe", explode(array(
+        (col("bucket") +: (0 until prefixBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
+      .select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("probe"))
+    bucketed.join(probed,
+        col("bucket") === col("probe") && col("vec_id") < col("vec_b"))
+      .withColumn("cos", cosine(col("v"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** E2 scale path: LSH-bucketed approximate top-k. Corpus and queries are
     * bucketed by the top `prefixBits` of their SimHash; each query scores
     * only vectors sharing its bucket OR any bucket at Hamming distance 1

@@ -1,0 +1,126 @@
+package graft.sources.v2
+
+import graft.sources.Sources
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for zip-compressed NDJSON (SURVEY.md §2.1 S4's
+  * "TableProvider-style reader interface" + S5's .zip quirk, reference
+  * fixtures `input.json.zip`).
+  *
+  * `spark.read.format("graft-zipjson").load(pathOrDir)` — one input
+  * partition PER ZIP FILE (zip is not splittable; parallelism = #files,
+  * exactly how the Cassandra reference bounds parallelism by split,
+  * CassandraPojoSource.java:57). Entries stream through ZipInputStream;
+  * blank lines are skipped; fields parse with Jackson into InternalRows.
+  * Schema is the reference fixture's (FIXTURES.md §A1) — declared, never
+  * inferred.
+  *
+  * This is deliberately a minimal-but-real DSv2 implementation: Table →
+  * ScanBuilder → Scan → Batch → PartitionReaderFactory → PartitionReader.
+  * Column pruning/filter pushdown (SupportsPushDownRequiredColumns /
+  * Filters) are the natural next increments and are not needed for the
+  * 3-column fixture.
+  */
+class ZipJsonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-zipjson"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Sources.jsonSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZipJsonTable(schema, properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-zipjson requires a path")))
+}
+
+class ZipJsonTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-zipjson($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ZipJsonScan(tableSchema, path)
+    }
+}
+
+class ZipJsonScan(tableSchema: StructType, path: String) extends Scan with Batch {
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = java.nio.file.Paths.get(path)
+    val files =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala
+          .filter(_.toString.endsWith(".zip")).map(_.toString).toArray.sorted
+      else Array(path)
+    files.map(f => ZipFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipJsonReaderFactory(tableSchema)
+}
+
+case class ZipFilePartition(file: String) extends InputPartition
+
+class ZipJsonReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file, schema)
+}
+
+class ZipJsonPartitionReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val zin = new java.util.zip.ZipInputStream(
+    java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private var reader: java.io.BufferedReader = _
+  private var current: InternalRow = _
+
+  private def nextLine(): String = {
+    while (true) {
+      if (reader != null) {
+        val line = reader.readLine()
+        if (line == null) reader = null
+        else if (line.trim.nonEmpty) return line
+      } else {
+        val entry = zin.getNextEntry
+        if (entry == null) return null
+        if (!entry.isDirectory)
+          reader = new java.io.BufferedReader(new java.io.InputStreamReader(zin, "UTF-8"))
+      }
+    }
+    null // unreachable
+  }
+
+  override def next(): Boolean = {
+    val line = nextLine()
+    if (line == null) { current = null; false }
+    else {
+      val node = mapper.readTree(line)
+      val values = schema.fields.map { f =>
+        val v = node.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.asLong())
+          case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(v.asInt())
+          case _ => UTF8String.fromString(v.asText())
+        }
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = zin.close()
+}

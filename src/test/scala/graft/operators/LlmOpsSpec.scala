@@ -73,6 +73,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH recall $recall too low")
   }
 
+  test("embedDedup finds planted near-duplicate vectors, none elsewhere") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian())))
+    // plant near-dups of vectors 0..4 under ids 1000..1004 (tiny perturbation)
+    val dups = base.take(5).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + rng.nextGaussian() * 1e-4))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "v")
+    val pairs = Similarity.embedDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs === (0L until 5L).map(i => (i, i + 1000L)).toSet)
+  }
+
+  test("embedDedup on testdata embeddings finds no false near-dups") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+    // sf0.001 embeddings have no planted near-dup pairs (max pairwise cos ≈ 0.5)
+    assert(Similarity.embedDedup(emb).count() === 0L)
+  }
+
   test("langIdScore identifies real function-word text, und for markerless") {
     import spark.implicits._
     val df = Seq(

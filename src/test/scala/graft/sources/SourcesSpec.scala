@@ -48,6 +48,26 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq === Seq("my_field1", "my_field2", "my_field3"))
   }
 
+  test("DSv2: graft-zipjson reads a directory of zips, one partition per file") {
+    val dir = tmpDir("zipv2")
+    def writeZip(name: String, start: Int): Unit = {
+      val zout = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/$name")))
+      zout.putNextEntry(new java.util.zip.ZipEntry("part.json"))
+      val body = (start until start + 20).map(i =>
+        s"""{"my_field1" : $i, "my_field2" : ${i % 5}, "my_field3" : "test$i"}""")
+        .mkString("", "\n", "\n\n")
+      zout.write(body.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    }
+    writeZip("a.zip", 0); writeZip("b.zip", 1000)
+    val df = spark.read.format("graft-zipjson").load(dir)
+    assert(df.rdd.getNumPartitions === 2, "one input partition per zip file")
+    assert(df.count() === 40)
+    assert(df.agg(sum("my_field1")).head.getLong(0) ===
+      (0L until 20L).sum + (1000L until 1020L).sum)
+    assert(df.schema === Sources.jsonSchema)
+  }
+
   test("K1: file_sink round trip loses nothing") {
     val out = Sinks.fileSink(spark, sf0001)
     val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")
