@@ -28,6 +28,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * directory in overwrite mode, so a replayed batch overwrites itself
   * rather than duplicating (verified by restart in StreamingSpec).
   */
+/** Per-key running state for [[StreamingOps.statefulSessions]]. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
+case class KeyedEvent(key: String, ts: java.sql.Timestamp)
+case class SessionSummary(key: String, startMs: Long, endMs: Long, n: Long)
+
 object StreamingOps {
 
   val referenceWatermark = "11 seconds" // intent of Duration.ofSeconds(10001)
@@ -88,6 +93,54 @@ object StreamingOps {
       .agg(sum(col(valueCol)).as("id_sum"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("id_sum"))
+
+  /** Custom keyed state via flatMapGroupsWithState — hand-rolled
+    * sessionization with explicit per-key state and event-time timeout,
+    * the escape hatch for semantics `session_window` can't express
+    * (e.g. emitting BOTH a live count and a final summary, or capping
+    * session length). State is (count, first/last event time); a session
+    * closes when the watermark passes last+gap (EventTimeTimeout), at
+    * which point one summary row is emitted. This is the Spark analog of
+    * a Flink keyed ProcessFunction with timers — the layer under the
+    * reference's windowed operators. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[KeyedEvent], gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "2 seconds")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(key, s.startMs, s.lastMs + gapMs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) => // gap exceeded within the batch: close, start anew
+                  closed ::= SessionSummary(key, s.startMs, s.lastMs + gapMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   // ------------------------------------------------------------------ sinks
 

@@ -90,6 +90,50 @@ class StreamingSpec extends SparkSpec {
     assert(out.agg(sum("doubled")).head.getLong(0) === (0L until 250L).map(_ * 2).sum)
   }
 
+  test("flatMapGroupsWithState: custom stateful sessions close on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamingOps.statefulSessions(in.toDS(), gapMs = 5000L)
+      .writeStream.format("memory").queryName("fmgs_out").outputMode("append").start()
+    try {
+      // NOTE ts=1 not 0: rows at exactly the current watermark (initially 0)
+      // are dropped by the stateful operator's late filter
+      in.addData(KeyedEvent("a", ts(1)), KeyedEvent("a", ts(4)), KeyedEvent("a", ts(7)))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_out").count() === 0, "session still open under watermark")
+      in.addData(KeyedEvent("b", ts(100))) // watermark -> 98 s, far past a's timeout
+      q.processAllAvailable()
+      // timeout fires on the NEXT batch after the watermark advances
+      in.addData(KeyedEvent("b", ts(101)))
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_out").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[String]("key") === "a")
+      assert(rows(0).getAs[Long]("n") === 3)
+      assert(rows(0).getAs[Long]("startMs") === 1000L)
+      assert(rows(0).getAs[Long]("endMs") === 12000L) // last(7 s) + gap(5 s)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps one row per id") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF.toDF("ts", "id")
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), 10L), (ts(2), 10L), (ts(3), 11L))
+      q.processAllAvailable()
+      in.addData((ts(4), 10L)) // still within watermark window -> duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("id")).sorted
+      assert(ids.toSeq === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("T1/T3/K3: noop sink starts and stop() cancels cleanly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
