@@ -52,7 +52,9 @@ object SimHashDedup {
     val sigs = docs
       .select(col("doc_id"),
         transform(split(col("text"), " "), t => xxhash64(t)).as("th")) // hash once
-      .select(col("doc_id"), simhashOfHashes(col("th")).as("sig"))
+      // native single-pass kernel (graft.plans.SimHashExpr); equality with
+      // simhashOfHashes asserted in VectorExprSpec
+      .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkWidth = bits / chunks
     val banded = sigs.select(col("doc_id"), col("sig"),

@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash64"),
       (children: Seq[Expression]) => MinHashSignatureExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHashExpr(children.head)))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

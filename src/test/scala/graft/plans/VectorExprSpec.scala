@@ -76,6 +76,17 @@ class VectorExprSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("graft_simhash64 equals the built-in per-bit aggregate formulation") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+      .withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
+    val diff = docs
+      .withColumn("sig_native", call_function("graft_simhash64", col("th")))
+      .withColumn("sig_builtin", graft.operators.SimHashDedup.simhashOfHashes(col("th")))
+      .filter(col("sig_native") =!= col("sig_builtin"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("Similarity.dot uses the native expression and stays oracle-equal") {
     val d = Similarity.dot(col("v"), col("qv"))
     assert(d.toString.toLowerCase.contains("graft_dot"))
