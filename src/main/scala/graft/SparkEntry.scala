@@ -40,6 +40,7 @@ object SparkEntry {
     "set_ops"       -> (Relational.setOps _),
     "rollup_agg"    -> (Relational.rollupAgg _),
     "win_rank"      -> (Relational.winRank _),
+    "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
     // §2.5 function surface
     "scalar_funcs"  -> (Funcs.scalarFuncs _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "sim_topk"      -> (Similarity.simTopk _),
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
+    "sql_subquery"  -> (SqlSurface.sqlSubquery _),
     // deterministic but not SQL-expressible in DuckDB (xxhash64/HLL
     // internals) — no oracleSql entry => driver's rows-only check;
     // semantics covered by ScaleOpsSpec/LlmOpsSpec
@@ -188,6 +190,17 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "pivot_agg" ->
+      """SELECT YEAR(o_orderdate) AS yr,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY YEAR(o_orderdate) ORDER BY yr""".stripMargin,
+    "sql_subquery" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price,
+        |       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "dedup" ->
       """SELECT user_id, event_type, event_id, ts FROM (
         |  SELECT user_id, event_type, event_id, ts,

@@ -38,4 +38,18 @@ object SqlSurface {
     registerViews(spark, dir)
     spark.sql(aggSql)
   }
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer join + aggregate (RewriteCorrelatedScalarSubquery), which is
+    * the scale-safe plan; the SQL text runs unchanged in DuckDB. */
+  val subquerySql: String =
+    """SELECT c_custkey, c_name,
+      |       (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price,
+      |       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(subquerySql)
+  }
 }

@@ -187,6 +187,19 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** [EXT] pivot — orders count+revenue per year pivoted on order status.
+    * Spark's `pivot` with explicit values plans a single hash agg with
+    * conditional aggregates (one shuffle, no transpose step); the oracle
+    * expresses the same thing with FILTER clauses. Explicit value list
+    * matters at scale: without it Spark first runs a distinct scan to
+    * discover pivot columns. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec("o_totalprice")))
+      .orderBy("yr")
+
   /** R15 / E1-exact: deduplication — keep the EARLIEST event per
     * (user_id, event_type), expressed as row_number over a keyed window
     * (deterministic, unlike dropDuplicates which keeps an arbitrary row).
