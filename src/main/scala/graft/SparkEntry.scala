@@ -39,6 +39,7 @@ object SparkEntry {
     "topk"          -> (Relational.topk _),
     "set_ops"       -> (Relational.setOps _),
     "rollup_agg"    -> (Relational.rollupAgg _),
+    "cube_agg"      -> (Relational.cubeAgg _),
     "win_rank"      -> (Relational.winRank _),
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
@@ -179,6 +180,11 @@ object SparkEntry {
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
         |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "cube_agg" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, run_spend FROM (

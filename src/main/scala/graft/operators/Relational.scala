@@ -171,6 +171,18 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** R11 companion: cube — all 2^k grouping-set combinations (rollup's
+    * superset), same single Expand + hash agg plan shape. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("flag", "status")
+
   /** R12: analytic window functions — per-customer order ranking
     * (row_number), lag, and a running decimal sum with an explicit ROWS
     * frame; top-3 per customer kept. Shuffle key = o_custkey → parallel.
