@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the physical properties that make the
+  * declared queries scale are asserted here so a refactor can't silently
+  * lose them (pushdown, pruning, broadcast choice, top-k operator,
+  * bounded exchange counts). These are the `.explain("formatted")` audits
+  * from the round reviews, automated. */
+class PlanAuditSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("filter_scan pushes every predicate into the parquet scan") {
+    val p = plan("filter_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    // the PushedFilters list is truncated in toString — assert via the
+    // Filter node, which carries the same (pushed-and-retained) predicates
+    assert(p.contains("> 45.0)"))
+    assert(p.contains("IN (R,A)"))
+    // pruned read: 6 of 11 lineitem columns
+    assert(!p.contains("l_tax") && !p.contains("l_suppkey"))
+  }
+
+  test("join_inner broadcasts the dimension side") {
+    assert(plan("join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("join_star: all dims broadcast; only fact-side + final-agg hash exchanges") {
+    val p = plan("join_star")
+    assert(count(p, "BroadcastHashJoin") === 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      "pre-agg on l_orderkey + final group agg only")
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("session_count never single-partitions raw events") {
+    val p = plan("session_count")
+    // phase 1 exchanges on the time bucket; the only single-partition window
+    // is over boundary-session summaries read from the InMemory relation
+    assert(p.contains("Exchange hashpartitioning"))
+    val firstScan = p.indexOf("Scan parquet")
+    val singlePart = p.indexOf("Exchange SinglePartition")
+    assert(!p.substring(0, math.max(firstScan, 0)).contains("Exchange SinglePartition"))
+    if (singlePart >= 0)
+      assert(p.substring(singlePart).contains("InMemoryTableScan") ||
+        p.substring(0, singlePart).contains("InMemoryTableScan"),
+        "single-partition pass must consume cached summaries, not raw events")
+  }
+
+  test("dedup shuffles once on the dedup key") {
+    val p = plan("dedup")
+    assert(count(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("sim_topk uses the native graft_dot kernel and a broadcast query set") {
+    val p = plan("sim_topk")
+    assert(p.contains("graft_dot"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}

@@ -68,6 +68,31 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema === Sources.jsonSchema)
   }
 
+  test("S5: corrupt NDJSON records — PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("corrupt")
+    val p = java.nio.file.Paths.get(dir, "mixed.json")
+    java.nio.file.Files.writeString(p,
+      """{"my_field1" : 1, "my_field2" : 1, "my_field3" : "ok"}
+        |THIS IS NOT JSON
+        |{"my_field1" : 2, "my_field2" : 2, "my_field3" : "ok2"}
+        |""".stripMargin)
+    val withCorrupt = Sources.jsonSchema.add(StructField("_corrupt_record", StringType))
+    // Spark disallows querying only the corrupt column straight off raw
+    // files — materialize first (its own documented workaround)
+    val permissive = spark.read.schema(withCorrupt).json(dir).cache()
+    try {
+      assert(permissive.count() === 3)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+    } finally permissive.unpersist()
+    val dropped = spark.read.schema(Sources.jsonSchema)
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(Sources.jsonSchema).option("mode", "FAILFAST").json(dir).count()
+    }
+  }
+
   test("K1: file_sink round trip loses nothing") {
     val out = Sinks.fileSink(spark, sf0001)
     val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")

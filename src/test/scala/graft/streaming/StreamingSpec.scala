@@ -147,6 +147,44 @@ class StreamingSpec extends SparkSpec {
     assert(q.exception.isEmpty)
   }
 
+  test("stream-stream inner join with watermarks and a time-range condition") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clickDf = clicks.toDF.toDF("click_ts", "ad").withWatermark("click_ts", "5 seconds")
+    val impDf = imps.toDF.toDF("imp_ts", "ad2").withWatermark("imp_ts", "5 seconds")
+    val joined = impDf.join(clickDf,
+      expr("ad = ad2 AND click_ts BETWEEN imp_ts AND imp_ts + interval 10 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(1), 7L), (ts(2), 8L))
+      clicks.addData((ts(5), 7L))   // within 10 s of impression 7 → joins
+      clicks.addData((ts(40), 8L))  // 38 s after impression 8 → out of range
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("ad") === 7L)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches a stream against a dimension table") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[Long]
+    val q = in.toDF.toDF("uid").join(dim, "uid")
+      .writeStream.format("memory").queryName("ssd_out").outputMode("append").start()
+    try {
+      in.addData(1L, 2L, 3L) // 3 has no dim row → dropped by inner join
+      q.processAllAvailable()
+      val tiers = spark.table("ssd_out").collect()
+        .map(r => r.getAs[Long]("uid") -> r.getAs[String]("tier")).toMap
+      assert(tiers === Map(1L -> "gold", 2L -> "silver"))
+    } finally q.stop()
+  }
+
   test("S2/S3: rate-shaped sources produce the declared schemas") {
     val dg = StreamingOps.datagenSource(spark)
     assert(dg.isStreaming)
