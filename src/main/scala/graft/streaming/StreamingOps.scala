@@ -32,6 +32,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 case class KeyedEvent(key: String, ts: java.sql.Timestamp)
 case class SessionSummary(key: String, startMs: Long, endMs: Long, n: Long)
+case class KeyedValue(key: String, v: Long)
+case class KeyedAgg(key: String, n: Long, total: Long)
 
 object StreamingOps {
 
@@ -140,6 +142,29 @@ object StreamingOps {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Spark 4 arbitrary-state v2 (`transformWithState`): a running count +
+    * running sum per key with typed ValueState — the successor API to
+    * flatMapGroupsWithState (composable typed state variables, TTL,
+    * timers; RocksDB state store required). Emits one updated row per key
+    * per micro-batch. */
+  class RunningAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedValue, KeyedAgg] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[KeyedAgg] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[KeyedAgg]("agg",
+        org.apache.spark.sql.Encoders.product[KeyedAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyedAgg] = {
+      val prev = Option(state.get()).getOrElse(KeyedAgg(key, 0L, 0L))
+      val next = rows.foldLeft(prev)((a, r) => KeyedAgg(key, a.n + 1, a.total + r.v))
+      state.update(next)
+      Iterator.single(next)
+    }
   }
 
   // ------------------------------------------------------------------ sinks

@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     assert(q.exception.isEmpty)
   }
 
+  test("transformWithState: typed ValueState running aggregate (state API v2)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[KeyedValue]
+    val q = in.toDS()
+      .groupByKey(_.key)
+      .transformWithState(new StreamingOps.RunningAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+    try {
+      in.addData(KeyedValue("a", 5L), KeyedValue("a", 7L), KeyedValue("b", 1L))
+      q.processAllAvailable()
+      in.addData(KeyedValue("a", 8L))
+      q.processAllAvailable()
+      // update-mode memory sink keeps all emissions; latest per key wins
+      val latest = spark.table("tws_out").collect()
+        .map(r => (r.getAs[String]("key"), (r.getAs[Long]("n"), r.getAs[Long]("total"))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest("a") === ((3L, 20L)), "state carried across micro-batches")
+      assert(latest("b") === ((1L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream inner join with watermarks and a time-range condition") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
