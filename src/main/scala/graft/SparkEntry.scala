@@ -43,6 +43,7 @@ object SparkEntry {
     "win_rank"      -> (Relational.winRank _),
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
+    "asof_join"     -> (AsOfJoin.asofJoin _),
     // §2.5 function surface
     "scalar_funcs"  -> (Funcs.scalarFuncs _),
     "json_funcs"    -> (Funcs.jsonFuncs _),
@@ -213,6 +214,13 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "asof_join" ->
+      """SELECT c.user_id, c.ts, c.event_id, v.vts AS view_ts, v.vid AS view_event_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id AS vuid, ts AS vts, event_id AS vid
+        |           FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.vuid AND v.vts <= c.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  LOWER(o_orderpriority) AS prio_lower,
