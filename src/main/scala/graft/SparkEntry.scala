@@ -44,6 +44,7 @@ object SparkEntry {
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
     "asof_join"     -> (AsOfJoin.asofJoin _),
+    "range_join"    -> ((s: SparkSession, d: String) => RangeJoin.rangeJoin(s, d)),
     // §2.5 function surface
     "scalar_funcs"  -> (Funcs.scalarFuncs _),
     "json_funcs"    -> (Funcs.jsonFuncs _),
@@ -221,6 +222,14 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.vuid AND v.vts <= c.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    "range_join" ->
+      """SELECT e.user_id, e.ts AS err_ts, e.event_id AS err_id,
+        |       c.ts AS click_ts, c.event_id AS click_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND c.ts BETWEEN e.ts - INTERVAL 4 HOUR AND e.ts + INTERVAL 4 HOUR
+        |ORDER BY e.user_id, err_ts, click_ts""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  LOWER(o_orderpriority) AS prio_lower,
