@@ -48,6 +48,7 @@ object SparkEntry {
     // §2.5 function surface
     "scalar_funcs"  -> (Funcs.scalarFuncs _),
     "json_funcs"    -> (Funcs.jsonFuncs _),
+    "agg_collect"   -> (Funcs.aggCollect _),
     // §2.1 sources / §2.2 sinks
     "seq_source"    -> (Sources.seqSource _),
     "pojo_scan"     -> (Sources.pojoScan _),
@@ -244,6 +245,11 @@ object SparkEntry {
         |       ELSE 'low' END AS bucket,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_co
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |       list_sort(list(DISTINCT YEAR(l_shipdate))) AS ship_years
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "json_funcs" ->
       """SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n,
         |       SUM(CAST(value AS DECIMAL(18,2))) AS val_sum,

@@ -41,6 +41,17 @@ object Funcs {
     * then aggregate per extracted key. Parsing is per-row and codegen'd;
     * the only shuffle is the groupBy on the extracted value.
     */
+  /** [EXT] ordered collection aggregate — `sort_array(collect_set(...))`
+    * makes the nondeterministic collect order canonical, so the array is
+    * oracle-comparable (DuckDB `list_sort(list(DISTINCT ...))`). */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        sort_array(collect_set(year(col("l_shipdate")))).as("ship_years"))
+      .orderBy("l_returnflag")
+
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k_path", get_json_object(col("props"), "$.k").cast("long"))
