@@ -73,6 +73,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH recall $recall too low")
   }
 
+  test("minhash signature agreement estimates jaccard (property)") {
+    import org.apache.spark.sql.functions._
+    val sh = MinHashDedup.shingleDocs(spark, sf0001)
+    val sigs = sh.select(col("doc_id"),
+      call_function("graft_minhash64", transform(col("shingles"), s => xxhash64(s))).as("sig"),
+      col("shingles"))
+    val pairs = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double")
+        / size(array_union(col("a.shingles"), col("b.shingles"))))
+      .withColumn("agree", aggregate(
+        zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (s, x) => s + x).cast("double") / 64.0)
+    // E[agreement] = jaccard: planted near-dups agree on almost all
+    // positions, unrelated pairs on almost none
+    val planted = pairs.filter(col("jac") >= 0.8)
+    assert(planted.filter(col("agree") < 0.7).count() === 0)
+    val unrelated = pairs.filter(col("jac") < 0.05).agg(avg("agree")).head.getDouble(0)
+    assert(unrelated < 0.15, s"mean agreement on unrelated pairs was $unrelated")
+  }
+
   test("embedDedup finds planted near-duplicate vectors, none elsewhere") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
