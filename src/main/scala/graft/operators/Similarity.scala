@@ -101,6 +101,74 @@ object Similarity {
       .distinct()
   }
 
+  /** E2 scale path B — IVF (inverted-file) approximate top-k:
+    * coarse-quantize the corpus to `c` centroids with a few Lloyd
+    * iterations (deterministic seeds: the first `c` vectors by id),
+    * assign every vector to its nearest centroid (the inverted lists),
+    * then score each query only against the lists of its `nProbe`
+    * nearest centroids — candidates ≈ corpus × nProbe / c.
+    *
+    * Centroids are tiny (c × dim doubles) so they live on the driver and
+    * broadcast — standard IVF practice; the corpus itself never leaves
+    * the executors and the assignment pass is one broadcast join.
+    * Recall vs exact [[simTopk]] asserted in LlmOpsSpec.
+    */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = 10, c: Int = 8,
+      nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def nearestCid(centroids: Seq[(Int, Seq[Double])]) = {
+      // distance to each centroid via the native dot kernel on literals:
+      // ||v - c||² = ||v||² - 2<v,c> + ||c||² ; argmin over c
+      val scored = centroids.map { case (cid, cv) =>
+        val cArr = array(cv.map(lit): _*).cast("array<double>")
+        struct((dot(col("v"), col("v")) - lit(2d) * dot(col("v"), cArr)
+          + lit(cv.map(x => x * x).sum)).as("d2"), lit(cid).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }
+
+    // deterministic seeds + Lloyd refinement (centroid = element-wise mean)
+    var centroids: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(c).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to lloydIters) {
+      val means = emb.withColumn("cid", nearestCid(centroids))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      centroids = means
+    }
+
+    val assigned = emb.withColumn("cid", nearestCid(centroids))
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // nProbe nearest centroids per query, computed driver-side (tiny)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qv) =>
+      centroids.sortBy { case (_, cv) => -cos(qv, cv) }.take(nProbe)
+        .map { case (cid, _) => (qid, qv, cid) }
+    }.toSeq.toDF("q_id", "qv", "cid")
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** E2 scale path: LSH-bucketed approximate top-k. Corpus and queries are
     * bucketed by the top `prefixBits` of their SimHash; each query scores
     * only vectors sharing its bucket OR any bucket at Hamming distance 1

@@ -64,6 +64,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) === 16, "all hyperplane signs flip")
   }
 
+  test("ivfTopk achieves reasonable recall vs exact simTopk on sf0.001") {
+    val exact = Similarity.simTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF nProbe=2/c=8 recall $recall too low")
+    assert(ivf.size === exact.size, "top-k fully filled from probed lists")
+  }
+
   test("annTopk achieves high recall vs exact simTopk on sf0.001") {
     val exact = Similarity.simTopk(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

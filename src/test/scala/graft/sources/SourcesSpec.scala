@@ -93,6 +93,23 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("K1 layout: partitionBy write enables partition pruning on re-read") {
+    import org.apache.spark.sql.functions.year
+    val dir = tmpDir("partitioned")
+    graft.Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan.take(600))
+    // pruned scan must read only the one year's files
+    val expected = graft.Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expected)
+    val years = new java.io.File(dir).list().count(_.startsWith("o_year="))
+    assert(years >= 5, "hive-style partition directories written per year")
+  }
+
   test("K1: file_sink round trip loses nothing") {
     val out = Sinks.fileSink(spark, sf0001)
     val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")
