@@ -53,24 +53,34 @@ object MinHashDedup {
     * #docs×#shingles rows that this formulation avoids entirely; 7.6 s →
     * see BASELINE.md). The only shuffle left is the band-bucket join.
     */
-  def candidatePairs(sh: DataFrame): DataFrame = {
+  def candidatePairs(sh: DataFrame): DataFrame =
+    candidatePairs(sh, numBands, rowsPerBand)
+
+  /** Banding parameters are a function of corpus size and the corpus's
+    * RANDOM-pair jaccard: expected false candidates ≈ n²/2 × b × jac_rand^r,
+    * so growing n (or a small vocabulary inflating jac_rand) demands more
+    * rows per band. 16×4 suits the 5k-doc bench corpus at threshold 0.8;
+    * the 500k-doc scale experiment needs 8×8 (see BASELINE.md). */
+  def candidatePairs(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     // One string hash per shingle, then the native single-pass
     // graft_minhash64 kernel (graft.plans.MinHashSignatureExpr): all 64
-    // affine permutation minima in one codegen'd nested loop — the
-    // built-in formulation (64 × array_min(transform(...))) evaluates 64
-    // interpreted lambdas per row. Same hash family (30-bit odd multipliers
-    // over the top 32 hash bits — ANSI-safe), identical signatures.
+    // modular-affine permutation minima ((a*x + b) mod 2^31-1 — the mod is
+    // what makes them independent permutations; see the kernel's scaladoc
+    // for the monotone-affine bug the 500k scale test caught) in one
+    // codegen'd nested loop — the built-in formulation would evaluate 64
+    // interpreted lambdas per row.
     val withSig = sh.select(col("doc_id"),
       call_function("graft_minhash64",
         transform(col("shingles"), s => xxhash64(s))).as("mh"))
-    val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
+    require(bands * rows <= numHashes, s"need $bands×$rows ≤ $numHashes signature values")
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val bands = withSig
+    val banded = withSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.as("x").join(bands.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -81,9 +91,12 @@ object MinHashDedup {
   def verified(sh: DataFrame, cand: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    // candidates ≪ corpus — broadcast them through both enrich joins so the
-    // corpus is never shuffled here
-    a.join(broadcast(cand), "doc_a").join(b, "doc_b")
+    // No forced broadcast of cand: with well-tuned banding it is tiny and
+    // AQE broadcasts it from its RUNTIME size; with mistuned banding it can
+    // be huge, and a broadcast hint would collect it to the driver and blow
+    // spark.driver.maxResultSize (observed at 500k docs) — AQE degrades to
+    // a shuffle join instead of failing.
+    a.join(cand, "doc_a").join(b, "doc_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))))

@@ -8,14 +8,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Single-pass MinHash signature (SURVEY.md §4.2 custom-Catalyst
   * scorecard): from an array of 64-bit base hashes, computes K=64
-  * permutation minima `min_j(A_i * (x_j >>> 32) + B_i)` in ONE primitive
-  * loop. The built-in formulation — 64 × `array_min(transform(base, …))` —
-  * evaluates 64 interpreted lambdas and allocates 64 intermediate arrays
-  * per row; this expression is a tight nested loop in codegen.
+  * permutation minima `min_j((A_i * (x_j mod P) + B_i) mod P)` in ONE
+  * primitive loop (P = 2^31-1). The built-in formulation — 64 ×
+  * `array_min(transform(base, …))` — evaluates 64 interpreted lambdas and
+  * allocates 64 intermediate arrays per row; this expression is a tight
+  * nested loop in codegen.
   *
-  * The affine family matches [[graft.operators.MinHashDedup]]: 30-bit odd
-  * multipliers over 32-bit bases keep every product under 2^63 (ANSI-safe
-  * by construction; `>>>` inside the kernel).
+  * The `mod P` is NOT optional: `a*x + b` without it is MONOTONE in x, so
+  * every "permutation" would pick the same argmin element and the 64
+  * signatures would collapse to one hash function in disguise — every doc
+  * containing the universe's globally-minimal shingle then shares a full
+  * signature, and LSH bucket sizes explode quadratically with corpus size
+  * (caught by the 500k-doc scale experiment in r2; invisible at 5k docs).
+  * Bounds: x mod P < 2^31, A_i < 2^30 ⇒ products < 2^61 — overflow-free
+  * under ANSI semantics.
   */
 case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
 
@@ -37,10 +43,10 @@ case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
     val mins = Array.fill[Long](K)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val x = arr.getLong(j) >>> 32
+      val x = (arr.getLong(j) >>> 32) % P
       var i = 0
       while (i < K) {
-        val h = A(i) * x + B(i)
+        val h = (A(i) * x + B(i)) % P
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -64,9 +70,9 @@ case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
          |long[] $mins = new long[$K];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
-         |  long $x = $c.getLong($j) >>> 32;
+         |  long $x = ($c.getLong($j) >>> 32) % ${P}L;
          |  for (int $i = 0; $i < $K; $i++) {
-         |    long $h = $aRef[$i] * $x + $bRef[$i];
+         |    long $h = ($aRef[$i] * $x + $bRef[$i]) % ${P}L;
          |    if ($h < $mins[$i]) $mins[$i] = $h;
          |  }
          |}
@@ -81,7 +87,7 @@ case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
 
 object MinHashSignatureExpr {
   val K = 64
-  // identical family to MinHashDedup's original column formulation
+  val P = 2147483647L // Mersenne prime 2^31 - 1
   val A: Array[Long] = Array.tabulate(K)(i => ((0x9E3779B9L * (2L * i + 1L)) & 0x3FFFFFFFL) | 1L)
   val B: Array[Long] = Array.tabulate(K)(i => (0xBF58476DL * (i + 1L)) & 0x3FFFFFFFL)
 }

@@ -62,11 +62,12 @@ class VectorExprSpec extends SparkSpec {
   }
 
   test("graft_minhash64 equals the built-in 64x array_min(transform) formulation") {
-    import graft.plans.MinHashSignatureExpr.{A, B}
+    import graft.plans.MinHashSignatureExpr.{A, B, P}
     val docs = graft.operators.MinHashDedup.shingleDocs(spark, sf0001).limit(50)
-      .withColumn("base", transform(col("shingles"), s => shiftrightunsigned(xxhash64(s), 32)))
+      .withColumn("base", transform(col("shingles"),
+        s => shiftrightunsigned(xxhash64(s), 32) % lit(P)))
     val builtinCols = (0 until 64).map(i =>
-      array_min(transform(col("base"), x => x * lit(A(i)) + lit(B(i)))))
+      array_min(transform(col("base"), x => (x * lit(A(i)) + lit(B(i))) % lit(P))))
     val diff = docs
       .withColumn("sig_native", call_function("graft_minhash64",
         transform(col("shingles"), s => xxhash64(s))))
