@@ -47,8 +47,21 @@ object SimHashDedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs among `docs(doc_id, text)`: SimHash → chunk-banded
-    * candidate join → exact Hamming verify ≤ [[hammingMax]]. */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+    * candidate join → exact Hamming verify ≤ [[hammingMax]].
+    *
+    * `maxBucketSize` caps the per-(chunk, value) bucket before the
+    * self-join. SimHash banding assumes signature entropy: on a corpus
+    * with a tiny shared vocabulary the per-bit balances of ALL documents
+    * correlate (they share the same frequency mean), chunks collide en
+    * masse, and a 500k-doc run measured single buckets of 31k docs —
+    * a 10⁹-pair join from one bucket (see BASELINE.md r2). Buckets above
+    * the cap are dropped: an EXPLICIT recall tradeoff (pairs hiding in
+    * mega-buckets are missed) — on natural-entropy corpora like the
+    * testdata the cap never triggers and recall is unaffected. MinHash
+    * (jaccard-based, entropy-independent) is the robust default;
+    * SimHash's advantage is the 64-bit signature footprint.
+    */
+  def nearDupPairs(docs: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = docs
       .select(col("doc_id"),
         transform(split(col("text"), " "), t => xxhash64(t)).as("th")) // hash once
@@ -57,12 +70,15 @@ object SimHashDedup {
       .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkWidth = bits / chunks
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedAll = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("c"),
           shiftrightunsigned(col("sig"), c * chunkWidth)
             .bitwiseAND(lit((1L << chunkWidth) - 1)).as("v"))): _*)).as("ch"))
       .select(col("doc_id"), col("sig"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val smallBuckets = bandedAll.groupBy("c", "v")
+      .count().filter(col("count") <= maxBucketSize).drop("count")
+    val banded = bandedAll.join(smallBuckets, Seq("c", "v"))
     banded.as("x").join(banded.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v")
           && col("x.doc_id") < col("y.doc_id"))
