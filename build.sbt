@@ -1,4 +1,5 @@
 ThisBuild / scalaVersion := "2.13.17"
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-unchecked")
 ThisBuild / version := "0.1.0"
 name := "flinksamplesspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

@@ -39,7 +39,7 @@ object AsOfJoin {
     left.columns.filterNot(c => c == keyCol || c == tsCol).foreach { c =>
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
     // right rows (_side=0) before left rows at equal ts ⇒ <= semantics
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -99,7 +99,7 @@ class LlmOpsSpec extends SparkSpec {
     // positions, unrelated pairs on almost none
     val planted = pairs.filter(col("jac") >= 0.8)
     assert(planted.filter(col("agree") < 0.7).count() === 0)
-    val unrelated = pairs.filter(col("jac") < 0.05).agg(avg("agree")).head.getDouble(0)
+    val unrelated = pairs.filter(col("jac") < 0.05).agg(avg("agree")).head().getDouble(0)
     assert(unrelated < 0.15, s"mean agreement on unrelated pairs was $unrelated")
   }
 

@@ -43,7 +43,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("approx_percentile close to exact percentiles") {
-    val r = Sketches.approxQuantiles(spark, sf0001).head
+    val r = Sketches.approxQuantiles(spark, sf0001).head()
     val approx = r.getSeq[Double](0)
     val exact = r.getSeq[Double](1)
     approx.zip(exact).foreach { case (a, e) =>

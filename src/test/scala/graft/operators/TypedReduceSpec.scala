@@ -19,7 +19,7 @@ class TypedReduceSpec extends SparkSpec {
       .select(TypedReduce.reduceColumn(Pojo(0L))((a, b) => Pojo(a.id + b.id)))
       .head()
     val expected = graft.Tables.customer(spark, sf0001)
-      .agg(sum("c_custkey")).head.getLong(0)
+      .agg(sum("c_custkey")).head().getLong(0)
     assert(reduced.id === expected)
   }
 

@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
 class VectorExprSpec extends SparkSpec {
 
   test("graft_dot resolves via SQL and computes the dot product") {
-    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) === 11.0)
   }
 
   test("graft_dot returns NULL when either side is NULL") {
     val r = spark.sql(
       "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a, " +
-        "graft_dot(array(1.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS b").head
+        "graft_dot(array(1.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS b").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
@@ -26,7 +26,7 @@ class VectorExprSpec extends SparkSpec {
       """SELECT graft_dot(array(1.0d, 2.0d), array(1.0d)) AS uneq,
         |       graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS nel,
         |       aggregate(zip_with(array(1.0d, 2.0d), array(1.0d), (x, y) -> x * y),
-        |                 0.0d, (s, v) -> s + v) AS hof_uneq""".stripMargin).head
+        |                 0.0d, (s, v) -> s + v) AS hof_uneq""".stripMargin).head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 

@@ -44,7 +44,7 @@ class SourcesSpec extends SparkSpec {
     zout.write(body.getBytes("UTF-8")); zout.closeEntry(); zout.close()
     val df = Sources.readZippedNdjson(spark, zipPath)
     assert(df.count() === 30)
-    assert(df.agg(sum("my_field1")).head.getLong(0) === (100L until 130L).sum)
+    assert(df.agg(sum("my_field1")).head().getLong(0) === (100L until 130L).sum)
     assert(df.schema.fieldNames.toSeq === Seq("my_field1", "my_field2", "my_field3"))
   }
 
@@ -63,7 +63,7 @@ class SourcesSpec extends SparkSpec {
     val df = spark.read.format("graft-zipjson").load(dir)
     assert(df.rdd.getNumPartitions === 2, "one input partition per zip file")
     assert(df.count() === 40)
-    assert(df.agg(sum("my_field1")).head.getLong(0) ===
+    assert(df.agg(sum("my_field1")).head().getLong(0) ===
       (0L until 20L).sum + (1000L until 1020L).sum)
     assert(df.schema === Sources.jsonSchema)
   }
@@ -114,7 +114,7 @@ class SourcesSpec extends SparkSpec {
     val out = Sinks.fileSink(spark, sf0001)
     val direct = graft.Tables.orders(spark, sf0001).filter("o_orderstatus = 'F'")
     assert(out.count() === direct.count())
-    assert(out.agg(sum("o_orderkey")).head.getLong(0) ===
-      direct.agg(sum("o_orderkey")).head.getLong(0))
+    assert(out.agg(sum("o_orderkey")).head().getLong(0) ===
+      direct.agg(sum("o_orderkey")).head().getLong(0))
   }
 }

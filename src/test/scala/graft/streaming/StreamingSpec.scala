@@ -18,7 +18,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long)]
     val q = StreamingOps
-      .tumbleSumStream(in.toDF.toDF("ts", "id"), "ts", "id", delay = "2 seconds")
+      .tumbleSumStream(in.toDF().toDF("ts", "id"), "ts", "id", delay = "2 seconds")
       .writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
     try {
       in.addData((ts(1), 1L), (ts(5), 2L), (ts(9), 4L)) // window [0,10)
@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, String)]
     val q = StreamingOps
-      .sessionCountStream(in.toDF.toDF("ts", "k"), "ts", "k", gap = "5 seconds", delay = "2 seconds")
+      .sessionCountStream(in.toDF().toDF("ts", "k"), "ts", "k", gap = "5 seconds", delay = "2 seconds")
       .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
     try {
       in.addData((ts(0), "a"), (ts(3), "a"), (ts(6), "a")) // one session [0, 11)
@@ -87,7 +87,7 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(outDir)
     assert(out.count() === 250, "no loss, no duplicates across restart")
     assert(out.select("id").distinct().count() === 250)
-    assert(out.agg(sum("doubled")).head.getLong(0) === (0L until 250L).map(_ * 2).sum)
+    assert(out.agg(sum("doubled")).head().getLong(0) === (0L until 250L).map(_ * 2).sum)
   }
 
   test("flatMapGroupsWithState: custom stateful sessions close on event-time timeout") {
@@ -120,7 +120,7 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long)]
-    val q = in.toDF.toDF("ts", "id")
+    val q = in.toDF().toDF("ts", "id")
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("id")
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
@@ -138,7 +138,7 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[Long]
-    val q = StreamingOps.noopSink(in.toDF, tmpDir("noop-ck"))
+    val q = StreamingOps.noopSink(in.toDF(), tmpDir("noop-ck"))
     in.addData(1L, 2L, 3L)
     q.processAllAvailable()
     assert(q.isActive)
@@ -185,8 +185,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, Long)]
     val imps = MemoryStream[(Timestamp, Long)]
-    val clickDf = clicks.toDF.toDF("click_ts", "ad").withWatermark("click_ts", "5 seconds")
-    val impDf = imps.toDF.toDF("imp_ts", "ad2").withWatermark("imp_ts", "5 seconds")
+    val clickDf = clicks.toDF().toDF("click_ts", "ad").withWatermark("click_ts", "5 seconds")
+    val impDf = imps.toDF().toDF("imp_ts", "ad2").withWatermark("imp_ts", "5 seconds")
     val joined = impDf.join(clickDf,
       expr("ad = ad2 AND click_ts BETWEEN imp_ts AND imp_ts + interval 10 seconds"))
     val q = joined.writeStream.format("memory").queryName("ssj_out")
@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
     val in = MemoryStream[Long]
-    val q = in.toDF.toDF("uid").join(dim, "uid")
+    val q = in.toDF().toDF("uid").join(dim, "uid")
       .writeStream.format("memory").queryName("ssd_out").outputMode("append").start()
     try {
       in.addData(1L, 2L, 3L) // 3 has no dim row → dropped by inner join
