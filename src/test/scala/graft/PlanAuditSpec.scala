@@ -64,6 +64,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1)
   }
 
+  test("asof_join: one keyed exchange, no range cross-product") {
+    val p = plan("asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "as-of resolves through a per-key window, not a join")
+  }
+
+  test("range_join: banded equi-join, never a cartesian product") {
+    val p = plan("range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("sim_topk uses the native graft_dot kernel and a broadcast query set") {
     val p = plan("sim_topk")
     assert(p.contains("graft_dot"))
