@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Scale shape — the canonical 100 TB near-dedup pipeline, NEVER all-pairs:
   *
   *   1. shingle:  tokens → distinct word 3-grams          (narrow, codegen)
-  *   2. minhash:  K=64 signatures = min over shingles of
-  *                xxhash64(seed_i, shingle)               (explode + groupBy doc)
+  *   2. minhash:  one xxhash64 per shingle, then K=64 modular-affine
+  *                permutation minima via the native
+  *                graft_minhash64 kernel                  (narrow, codegen)
   *   3. band:     16 bands × 4 rows; band signature =
   *                xxhash64 of its 4 minhashes             (narrow)
   *   4. bucket-join: docs sharing any (band, signature)
@@ -23,7 +24,8 @@ import org.apache.spark.sql.functions._
   * probability for a 0.8-Jaccard pair is (1-0.8⁴)¹⁶ ≈ 3·10⁻⁵ and for the
   * planted 0.98-pairs ≈ 10⁻¹⁸ — and the exact-verify pass keeps precision
   * at 1.0. On the deterministic testdata LSH recall is exactly 1 (asserted
-  * against the brute-force DuckDB oracle at sf0.01, DedupSpec at sf0.001).
+  * against the brute-force DuckDB oracle at sf0.01, LlmOpsSpec at sf0.001);
+  * the 500k-doc scale run recovers exactly its 5000 planted pairs.
   */
 object MinHashDedup {
 

@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *    corpus, per-partition partial top-k via window over q_id — O(n·q)
   *    but embarrassingly parallel, the correct baseline and the oracle
   *    for approximate methods.
-  *  - [[annTopk]] is the scale path: random-hyperplane LSH (SimHash for
-  *    vectors) buckets the corpus; each query only scores its bucket(s).
-  *    Approximate — recall vs [[simTopk]] is asserted in SimilaritySpec,
-  *    not oracle'd.
+  *  - [[annTopk]] (random-hyperplane LSH multi-probe) and [[ivfTopk]]
+  *    (inverted-file with Lloyd-refined coarse centroids) are the
+  *    approximate scale paths; recall vs [[simTopk]] is asserted in
+  *    LlmOpsSpec, not oracle'd. Measured guidance (BASELINE.md): the
+  *    brute-force kernel handles ~100k-vector corpora in seconds, and
+  *    hyperplane LSH needs cluster structure to earn its recall — prefer
+  *    IVF for unstructured embedding spaces.
+  *  - [[embedDedup]] finds cosine near-duplicate pairs via SimHash
+  *    buckets + exact verify — the embedding member of the dedup family.
   */
 object Similarity {
 
