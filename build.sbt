@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked-run stdout RAW (no "[info] " logger prefix): the driver
+// parses graft.Bench's single JSON line from stdout, and the prefix broke
+// its parser in round 1 (BENCH_r01.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
