@@ -128,7 +128,7 @@ object SparkEntry {
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       SUM(l_quantity) / COUNT(*) AS avg_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -145,7 +145,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "join_outer" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "join_semi" ->
@@ -158,7 +158,7 @@ object SparkEntry {
         |ORDER BY how, c_custkey""".stripMargin,
     "join_star" ->
       """SELECT r_name, n_name,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -167,7 +167,7 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "topk" ->
-      """SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, COUNT(*) AS n_orders
+      """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey
         |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
     "set_ops" ->
@@ -186,7 +186,7 @@ object SparkEntry {
         |ORDER BY flag, status""".stripMargin,
     "cube_agg" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
-        |       COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |       COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "win_rank" ->
@@ -194,16 +194,16 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
         |    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "pivot_agg" ->
       """SELECT YEAR(o_orderdate) AS yr,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS "F",
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS "O",
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
         |FROM orders GROUP BY YEAR(o_orderdate) ORDER BY yr""".stripMargin,
     "sql_subquery" ->
       """SELECT c_custkey, c_name,
@@ -247,24 +247,25 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_collect" ->
       """SELECT l_returnflag,
-        |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        |       list_sort(list(DISTINCT YEAR(l_shipdate))) AS ship_years
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ' ') AS statuses,
+        |       array_to_string(list_sort(list(DISTINCT YEAR(l_shipdate))), ' ') AS ship_years
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "json_funcs" ->
       """SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS val_sum,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
         |       COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "seq_source" ->
-      """SELECT range % 97 AS bucket, COUNT(*) AS n, SUM(range) AS id_sum,
+      """SELECT range % 97 AS bucket, COUNT(*) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
         |       MIN(range) AS id_min, MAX(range) AS id_max
         |FROM range(0, 1000000) GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pojo_scan" ->
-      """SELECT COUNT(*) AS n, SUM(c_custkey) AS id_sum,
+      """SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS id_sum,
         |       MIN(c_custkey) AS id_min, MAX(c_custkey) AS id_max
         |FROM customer WHERE c_custkey % 7 = 0""".stripMargin,
     "json_scan" ->
-      """SELECT my_field3, COUNT(*) AS n, SUM(my_field1) AS f1_sum, SUM(my_field2) AS f2_sum
+      """SELECT my_field3, COUNT(*) AS n, CAST(SUM(my_field1) AS BIGINT) AS f1_sum,
+        |       CAST(SUM(my_field2) AS BIGINT) AS f2_sum
         |FROM read_json('/root/repo/target/fixtures/input_big.json.gz',
         |               format='newline_delimited',
         |               columns={my_field1: 'BIGINT', my_field2: 'INTEGER', my_field3: 'VARCHAR'})
@@ -325,7 +326,7 @@ object SparkEntry {
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       SUM(l_quantity) / COUNT(*) AS avg_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -42,25 +42,32 @@ object Funcs {
     * the only shuffle is the groupBy on the extracted value.
     */
   /** [EXT] ordered collection aggregate — `sort_array(collect_set(...))`
-    * makes the nondeterministic collect order canonical, so the array is
-    * oracle-comparable (DuckDB `list_sort(list(DISTINCT ...))`). */
+    * makes the nondeterministic collect order canonical, then the array is
+    * flattened to a space-joined string: array-typed output columns are
+    * unhashable in the driver's pandas compare (numpy.ndarray cells), so
+    * the canonical string form is what gets oracle-compared (DuckDB
+    * `array_to_string(list_sort(list(DISTINCT ...)), ' ')`). */
   def aggCollect(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-        sort_array(collect_set(year(col("l_shipdate")))).as("ship_years"))
+        concat_ws(" ", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        concat_ws(" ",
+          sort_array(collect_set(year(col("l_shipdate")))).cast("array<string>")).as("ship_years"))
       .orderBy("l_returnflag")
 
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k_path", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("k_struct", from_json(col("props"), "k LONG", Map.empty[String, String]).getField("k"))
-      .filter(col("k_path") === col("k_struct")) // both parsers agree by construction
+      // null-safe <=> so rows whose props lack 'k' (both parsers NULL) are
+      // KEPT and aggregate into the NULL group, matching the oracle's
+      // GROUP BY semantics; plain === would silently drop them.
+      .filter(col("k_path") <=> col("k_struct"))
       .groupBy(col("k_path").as("k"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("val_sum"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("k")
 }

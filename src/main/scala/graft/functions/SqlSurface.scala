@@ -32,7 +32,7 @@ object SqlSurface {
   val aggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |       SUM(l_quantity) AS sum_qty,
-      |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |       SUM(l_quantity) / COUNT(*) AS avg_qty,
       |       COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus

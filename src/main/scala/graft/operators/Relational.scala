@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * Determinism conventions (oracle hash-compare):
   *  - every computed column is aliased identically in DSL and oracle SQL;
   *  - money sums go through DECIMAL(18,2) so Spark and DuckDB aggregate
-  *    exactly (double summation order would differ);
+  *    exactly (double summation order would differ), but the FINAL column is
+  *    cast to double: decimal output columns surface as decimal.Decimal
+  *    objects on one side of the driver's pandas compare and float64 on the
+  *    other, which hash-mismatches even when values are identical. The
+  *    unscaled sums stay far below 2^53, so the one decimal→double cast is
+  *    exact and bit-identical across engines;
   *  - every query ends in an ORDER BY on a unique key (harness requirement,
   *    not part of the operator semantics).
   *
@@ -49,7 +54,7 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_price"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
         (sum("l_quantity") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -84,7 +89,8 @@ object Relational {
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"), "left_outer")
       .groupBy("c_custkey", "c_name")
-      .agg(count(col("o_orderkey")).as("n_orders"), sum(dec("o_totalprice")).as("spend"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("spend"))
       .orderBy("c_custkey")
 
   /** R5: semi + anti join — customers having a finished high-value order
@@ -125,7 +131,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum(col("o_rev")).as("revenue"), sum(col("o_items")).as("n_items"))
+      .agg(sum(col("o_rev")).cast("double").as("revenue"), sum(col("o_items")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
@@ -136,7 +142,7 @@ object Relational {
   def topk(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_custkey")
-      .agg(sum(dec("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(10)
 
@@ -184,7 +190,7 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("_n"), sum(dec("l_extendedprice")).as("_sp"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(col("_n")).as("n"), sum(col("_sp")).as("sum_price"))
+      .agg(sum(col("_n")).as("n"), sum(col("_sp")).cast("double").as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -198,10 +204,10 @@ object Relational {
   def winRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("prev_price", lag("o_totalprice", 1).over(w))
       .withColumn("run_spend", sum(dec("o_totalprice"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey", "o_totalprice", "prev_price", "run_spend")
       .orderBy("o_custkey", "rn")
@@ -215,9 +221,13 @@ object Relational {
     * discover pivot columns. */
   def pivotAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .groupBy(year(col("o_orderdate")).as("yr"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(sum(dec("o_totalprice")))
+      .select(col("yr"),
+        col("F").cast("double").as("F"),
+        col("O").cast("double").as("O"),
+        col("P").cast("double").as("P"))
       .orderBy("yr")
 
   /** R15 / E1-exact: deduplication — keep the EARLIEST event per

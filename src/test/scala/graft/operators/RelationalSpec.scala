@@ -56,7 +56,7 @@ class RelationalSpec extends SparkSpec {
   test("topk is ordered descending and bounded") {
     val rows = Relational.topk(spark, sf0001).collect()
     assert(rows.length === 10)
-    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
