@@ -40,14 +40,24 @@ object AsOfJoin {
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
-    // right rows (_side=0) before left rows at equal ts ⇒ <= semantics
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+    // right rows (_side=0) before left rows at equal ts ⇒ <= semantics;
+    // _r_val as the final key makes the pick among right rows that share
+    // (key, ts) deterministic (largest value wins) instead of
+    // partition-order-dependent.
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"), col("_r_val"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One last() over a struct that is NULL for left rows and non-null for
+    // every right row (even when the value column itself is NULL), so
+    // asof_ts and asof_val always come from the SAME matched right row —
+    // two independent last(ignoreNulls) calls would skip different rows
+    // when the right value column contains NULLs.
+    val rightRow = when(col("_side") === 0, struct(col("_r_ts"), col("_r_val")))
     unioned
-      .withColumn("asof_ts", last(col("_r_ts"), ignoreNulls = true).over(w))
-      .withColumn("asof_val", last(col("_r_val"), ignoreNulls = true).over(w))
+      .withColumn("_match", last(rightRow, ignoreNulls = true).over(w))
+      .withColumn("asof_ts", col("_match").getField("_r_ts"))
+      .withColumn("asof_val", col("_match").getField("_r_val"))
       .filter(col("_side") === 1)
-      .drop("_side", "_r_ts", "_r_val")
+      .drop("_side", "_r_ts", "_r_val", "_match")
   }
 
   /** Declared query: each click joined to the user's most recent view at

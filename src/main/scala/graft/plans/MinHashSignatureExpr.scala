@@ -31,10 +31,13 @@ case class MinHashSignatureExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_minhash64"
   override def nullable: Boolean = child.nullable
 
+  // containsNull arrays are rejected outright: eval/codegen read primitive
+  // slots without isNullAt, and a null element would silently read an
+  // undefined value (0 in UnsafeArrayData) instead of null-propagating.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+      s"$prettyName requires ARRAY<BIGINT> with non-null elements, got ${t.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

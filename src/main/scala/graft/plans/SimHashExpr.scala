@@ -20,10 +20,12 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
   override def nullable: Boolean = child.nullable
 
+  // containsNull arrays rejected: eval/codegen use primitive getLong
+  // without isNullAt, so a null element would read an undefined slot.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+      s"$prettyName requires ARRAY<BIGINT> with non-null elements, got ${t.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {

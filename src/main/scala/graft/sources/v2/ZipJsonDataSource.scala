@@ -26,6 +26,12 @@ import scala.jdk.CollectionConverters._
   * Schema is the reference fixture's (FIXTURES.md §A1) — declared, never
   * inferred.
   *
+  * Path contract: `pathOrDir` is resolved with java.nio on the node that
+  * executes each stage (driver for planning, executors for reads) — i.e.
+  * LOCAL/shared-filesystem paths only, no Hadoop FileSystem resolution.
+  * Fine for single-node and NFS-backed clusters; an HDFS/S3 variant would
+  * swap the nio calls for the Hadoop FS API.
+  *
   * This is deliberately a minimal-but-real DSv2 implementation: Table →
   * ScanBuilder → Scan → Batch → PartitionReaderFactory → PartitionReader.
   * Column pruning/filter pushdown (SupportsPushDownRequiredColumns /
@@ -59,10 +65,14 @@ class ZipJsonScan(tableSchema: StructType, path: String) extends Scan with Batch
   override def planInputPartitions(): Array[InputPartition] = {
     val p = java.nio.file.Paths.get(path)
     val files =
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala
+      if (java.nio.file.Files.isDirectory(p)) {
+        // Files.list holds an open directory handle until closed — leaks a
+        // driver fd per scan if not released once the listing materializes.
+        val stream = java.nio.file.Files.list(p)
+        try stream.iterator().asScala
           .filter(_.toString.endsWith(".zip")).map(_.toString).toArray.sorted
-      else Array(path)
+        finally stream.close()
+      } else Array(path)
     files.map(f => ZipFilePartition(f): InputPartition)
   }
 
