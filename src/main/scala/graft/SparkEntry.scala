@@ -59,6 +59,7 @@ object SparkEntry {
     "text_quality"  -> (TextOps.textQuality _),
     "doc_dedup"     -> (TextOps.docDedup _),
     "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
+    "ngram_jaccard" -> (NgramJaccard.ngramJaccard _),
     "sim_topk"      -> (Similarity.simTopk _),
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
@@ -72,6 +73,25 @@ object SparkEntry {
     "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annTopk(s, d)),
     "approx_distinct" -> (Sketches.approxDistinct(_, _)),
   )
+
+  /** Brute-force exact trigram-Jaccard ≥ 0.8 pairs — the shared oracle for
+    * `dedup_minhash` (probabilistic LSH, recall 1.0 at this SF) and
+    * `ngram_jaccard` (exact PPJoin prefix filter): identical output contract.
+    */
+  private val exactJaccardPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                 FOR i IN range(1, len(toks) - 1) ]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -309,20 +329,10 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                                 FOR i IN range(1, len(toks) - 1) ]) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE len(toks) >= 3
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" -> exactJaccardPairsSql,
+    // NgramJaccard computes the SAME output contract exactly (PPJoin prefix
+    // filter + exact verify), so it shares the brute-force oracle.
+    "ngram_jaccard" -> exactJaccardPairsSql,
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

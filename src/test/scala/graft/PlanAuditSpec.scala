@@ -76,6 +76,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("ngram_jaccard: candidates via prefix equi-join, never a cartesian product") {
+    val p = plan("ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // prefix filter present: the rank-vs-size cutoff before the self-join
+    assert(p.contains("CEIL") || p.contains("ceil"), "prefix cutoff |d| - ceil(t|d|) + 1")
+    assert(p.contains("row_number"))
+  }
+
   test("sim_topk uses the native graft_dot kernel and a broadcast query set") {
     val p = plan("sim_topk")
     assert(p.contains("graft_dot"))

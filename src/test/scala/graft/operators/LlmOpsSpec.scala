@@ -39,6 +39,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram_jaccard finds planted near-duplicates exactly, no false positives") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "EDITED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val pairs = NgramJaccard.pairs(
+      docsDf(Seq((0L, base), (1L, nearDup), (2L, unrelated)))).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("doc_a") === 0L)
+    assert(pairs(0).getAs[Long]("doc_b") === 1L)
+    // exact: 58 trigrams each, 55 shared → jac = 55/61
+    assert(math.abs(pairs(0).getAs[Double]("jac") - 55.0 / 61.0) < 1e-12)
+  }
+
+  test("ngram_jaccard matches dedup_minhash's exact pairs on sf0.001") {
+    val exact = NgramJaccard.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = MinHashDedup.dedupMinhash(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty)
+    assert(exact === lsh, "LSH recall is 1.0 at this SF; both are verified-exact")
+  }
+
   test("fingerprint collapses token reorderings and duplicates") {
     val df = docsDf(Seq(
       (1L, "alpha beta gamma"),
