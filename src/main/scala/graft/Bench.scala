@@ -20,25 +20,29 @@ object Bench {
     // Drop anything the warmup pass persisted (e.g. Sessionize's summary
     // cache) so timed runs do their own full work.
     spark.catalog.clearCache()
-    // min of two timed runs per query: absorbs GC/scheduler jitter (±10%
-    // run-to-run on this box) without changing what is measured
+    // MEDIAN of three timed runs per query (plus the min for reference):
+    // two-run min let a single noisy scheduler window fake a 4× per-query
+    // swing in the r2/r3 driver benches (VERDICT r3 — box interference,
+    // re-run clean at 1.02× baseline); the median of three absorbs one
+    // outlier run entirely without changing what is measured
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => err = Some(e.toString.takeWhile(_ != '\n').take(160)) }
         (System.nanoTime() - t0) / 1e9
-      }
-      (name, times.min, err)
+      }.sorted
+      (name, times(1), times.head, err) // (median-of-3, min)
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
+    val qs = results.map { case (k, med, _, _) => s"${jq(k)}:$med" }.mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn, _) => s"${jq(k)}:$mn" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

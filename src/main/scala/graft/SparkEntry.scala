@@ -53,7 +53,12 @@ object SparkEntry {
     "seq_source"    -> (Sources.seqSource _),
     "pojo_scan"     -> (Sources.pojoScan _),
     "json_scan"     -> (Sources.jsonScan _),
+    "zip_scan"      -> (Sources.zipScan _),
     "file_sink"     -> (Sinks.fileSink _),
+    // §2.4 [EXT] scale helpers — bounded-heap top-k per key (win_rank
+    // semantics, O(#keys × k) shuffle instead of a per-key sort)
+    "topk_perkey"   -> ((s: SparkSession, d: String) =>
+      TopKPerKey.topOrdersPerCustomer(s, d)),
     // §2.7 LLM-pipeline operators
     "text_stats"    -> (TextOps.textStats _),
     "text_quality"  -> (TextOps.textQuality _),
@@ -61,17 +66,23 @@ object SparkEntry {
     "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
     "ngram_jaccard" -> (NgramJaccard.ngramJaccard _),
     "sim_topk"      -> (Similarity.simTopk _),
+    // §2.7 E2/E4 — IVF ANN reported as recall vs the exact baseline, and
+    // the multimodal fixture queries: all hard oracle rows
+    "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "media_stats"   -> (Multimodal.mediaStatsQuery _),
+    "payload_dedup" -> (Multimodal.payloadDedupQuery _),
+    // §2.4 [EXT] HLL sketch, verified against exact distincts in-query
+    "approx_distinct" -> ((s: SparkSession, d: String) =>
+      Sketches.approxDistinctChecked(s, d)),
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
     "sql_subquery"  -> (SqlSurface.sqlSubquery _),
-    // deterministic but not SQL-expressible in DuckDB (xxhash64/HLL
-    // internals) — no oracleSql entry => driver's rows-only check;
-    // semantics covered by ScaleOpsSpec/LlmOpsSpec
+    // deterministic but not SQL-expressible in DuckDB (the banding is keyed
+    // on xxhash64 bit patterns) — no oracleSql entry => driver's rows-only
+    // check; semantics covered by ScaleOpsSpec/LlmOpsSpec
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       SimHashDedup.nearDupPairs(Tables.documents(s, d).select("doc_id", "text"))
         .orderBy("doc_a", "doc_b")),
-    "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annTopk(s, d)),
-    "approx_distinct" -> (Sketches.approxDistinct(_, _)),
   )
 
   /** Brute-force exact trigram-Jaccard ≥ 0.8 pairs — the shared oracle for
@@ -290,9 +301,47 @@ object SparkEntry {
         |               format='newline_delimited',
         |               columns={my_field1: 'BIGINT', my_field2: 'INTEGER', my_field3: 'VARCHAR'})
         |GROUP BY my_field3 ORDER BY my_field3""".stripMargin,
+    "zip_scan" ->
+      """SELECT my_field3, COUNT(*) AS n, CAST(SUM(my_field1) AS BIGINT) AS f1_sum,
+        |       CAST(SUM(my_field2) AS BIGINT) AS f2_sum
+        |FROM read_json('/root/repo/target/fixtures/input_zip.json',
+        |               format='newline_delimited',
+        |               columns={my_field1: 'BIGINT', my_field2: 'INTEGER', my_field3: 'VARCHAR'})
+        |GROUP BY my_field3 ORDER BY my_field3""".stripMargin,
     "file_sink" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "topk_perkey" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // sketch/ANN verdict rows: the oracle computes what IS SQL-expressible
+    // (exact distinct counts / exact top-k size) and literal TRUE for the
+    // accuracy verdicts the Spark side computes against its own exact
+    // baselines — a regression in the estimator/index turns the row red
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS exact_supp,
+        |       COUNT(DISTINCT l_partkey) AS exact_part,
+        |       COUNT(*) AS n, TRUE AS supp_ok, TRUE AS part_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "ann_topk" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    "media_stats" ->
+      """SELECT meta.modality AS modality, COUNT(*) AS n,
+        |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms
+        |FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "payload_dedup" ->
+      """SELECT media_id, modality, n_bytes FROM (
+        |  SELECT media_id, meta.modality AS modality,
+        |         CAST(octet_length(payload) AS INT) AS n_bytes,
+        |         ROW_NUMBER() OVER (PARTITION BY payload ORDER BY media_id) AS rn
+        |  FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet'))
+        |WHERE rn = 1 ORDER BY media_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens,

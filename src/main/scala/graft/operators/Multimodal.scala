@@ -67,6 +67,50 @@ object Multimodal {
     }
   }
 
+  val fixturePath = "/root/repo/target/fixtures/media.parquet"
+
+  /** Deterministic media parquet fixture for the declared E4 queries (the
+    * binary-column analog of [[graft.sources.Sources.ensureBigFixture]]):
+    * 4,000 synthetic rows plus 500 EXACT payload duplicates re-keyed to ids
+    * 10000..10499, so payload dedup has real work. Written once, moved into
+    * place atomically; both Spark and the DuckDB oracle read the SAME
+    * files, so cross-engine compare is exact. */
+  def ensureMediaFixture(spark: SparkSession): Unit = synchronized {
+    val p = java.nio.file.Paths.get(fixturePath)
+    if (!java.nio.file.Files.exists(p)) {
+      import spark.implicits._
+      val base = syntheticMedia(spark, 4000)
+      val dups = base.filter(col("media_id") < 500)
+        .map(r => r.copy(media_id = r.media_id + 10000L))
+      val tmp = fixturePath + ".tmp"
+      base.union(dups).repartition(4).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Declared query `media_stats`: metadata-only per-modality stats over
+    * the parquet fixture — the scan must never touch payload bytes
+    * (columnar pruning; asserted in PlanAuditSpec via ReadSchema). */
+  def mediaStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaFixture(spark)
+    import spark.implicits._
+    mediaStats(spark.read.parquet(fixturePath).as[MediaRow])
+  }
+
+  /** Declared query `payload_dedup`: decode-stage fingerprint dedup over
+    * the fixture. Output drops the Scala-side checksum (not
+    * SQL-expressible); the DuckDB oracle partitions by the payload BYTES
+    * directly — equal iff the checksum+length fingerprint is collision-free
+    * on the fixture, which is the dedup contract being verified. */
+  def payloadDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaFixture(spark)
+    import spark.implicits._
+    payloadDedup(extractFeatures(spark.read.parquet(fixturePath).as[MediaRow]))
+      .select(col("media_id"), col("modality"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
   /** The decode/feature-extract stage: mapPartitions so a real decoder
     * initializes once per partition. Output drops the payload — only
     * features flow downstream. */

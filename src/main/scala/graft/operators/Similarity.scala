@@ -70,8 +70,22 @@ object Similarity {
 
   /** 64-bit SimHash of a double vector via random hyperplanes: bit i is the
     * sign of v · r_i where r_i is a deterministic pseudo-random hyperplane
-    * derived from xxhash64(i, dim). Returns BIGINT. */
-  def simhash(v: Column, bits: Int = 16): Column = {
+    * derived from xxhash64(i, dim). Returns BIGINT.
+    *
+    * Resolves to the native codegen'd [[graft.plans.VecSimHashExpr]]
+    * (registered by GraftExtensions): one primitive loop hashing each index
+    * once and updating all `bits` projections — where [[hofSimhash]] runs
+    * `bits` separate interpreted `aggregate(zip_with(...))` folds, each
+    * re-walking the vector and re-hashing every index (16× redundant work
+    * at bits=16, all of it outside whole-stage codegen). Bit-equality with
+    * the HOF form asserted in VectorExprSpec. */
+  def simhash(v: Column, bits: Int = 16): Column =
+    call_function("graft_vec_simhash", v, lit(bits))
+
+  /** Built-in higher-order-function formulation of [[simhash]] (no
+    * extensions needed) — kept as the independent control arm for the
+    * kernel's bit-equality spec. */
+  def hofSimhash(v: Column, bits: Int = 16): Column = {
     // hyperplane component r_i[d] ∈ {-1, +1} from the parity of xxhash64(i, d)
     val bitCols = (0 until bits).map { i =>
       val proj = aggregate(
@@ -92,18 +106,28 @@ object Similarity {
     * @param emb columns (vec_id: Long, v: array<double>)
     */
   def embedDedup(emb: DataFrame, threshold: Double = 0.95, prefixBits: Int = 8): DataFrame = {
-    val mask = (1L << prefixBits) - 1
-    val bucketed = emb.withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
-    val probed = bucketed
+    // bucket table is (vec_id, bucket) ONLY — the multi-probe explode fans
+    // each row out ×(prefixBits+1), so carrying the vector through it would
+    // shuffle every embedding 9 times at prefixBits=8. Vectors re-join at
+    // the verify stage on the deduplicated candidate ids instead (the same
+    // ids-first-arrays-at-verify shape as MinHashDedup).
+    val sigs = emb
+      .withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
+      .select(col("vec_id"), col("bucket"))
+    val probed = sigs
       .withColumn("probe", explode(array(
         (col("bucket") +: (0 until prefixBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
-      .select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("probe"))
-    bucketed.join(probed,
+      .select(col("vec_id").as("vec_b"), col("probe"))
+    val cand = sigs.join(probed,
         col("bucket") === col("probe") && col("vec_id") < col("vec_b"))
-      .withColumn("cos", cosine(col("v"), col("v_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_id").as("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
       .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("v_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("v_b")), "vec_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** E2 scale path B — IVF (inverted-file) approximate top-k:
@@ -179,6 +203,36 @@ object Similarity {
     * only vectors sharing its bucket OR any bucket at Hamming distance 1
     * (multi-probe) — candidates ≈ n/2^prefixBits per probe instead of n.
     */
+  /** Declared ANN key (`ann_topk`): IVF approximate top-k REPORTED AS
+    * per-query recall against the exact brute-force [[simTopk]] baseline,
+    * so the sketch gets a HARD oracle row instead of a rows-only check.
+    * Output is `(q_id, n_exact, recall_ok)`: `n_exact` is the size of the
+    * exact top-k (DuckDB-computable), `recall_ok` certifies
+    * |ivf ∩ exact| / n_exact ≥ `minRecall` — the oracle emits literal TRUE,
+    * so a recall regression in the IVF path turns the row red. The bound
+    * carries deliberate slack under the measured recall (LlmOpsSpec pins
+    * ≥ 0.4 at 500 vectors): Lloyd's centroid means aggregate doubles, whose
+    * summation order is not bit-deterministic across runs, so borderline
+    * assignments may flip — the verdict must not.
+    *
+    * IVF (not hyperplane LSH) is the declared method: on unstructured
+    * embedding spaces the measured hyperplane recall collapses (0.18 at
+    * 100k random vectors, BASELINE.md) while IVF holds, because its cells
+    * adapt to the data instead of being data-oblivious hyperplanes. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10,
+      minRecall: Double = 0.3): DataFrame = {
+    val exact = simTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val approx = ivfTopk(spark, dir, k)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("hits"))
+      .select(col("q_id"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact") >= minRecall).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
   def annTopk(spark: SparkSession, dir: String, k: Int = 10, prefixBits: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

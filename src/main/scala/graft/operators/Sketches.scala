@@ -27,6 +27,32 @@ object Sketches {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Declared `approx_distinct` form — oracle-able: emits the EXACT
+    * distinct counts (DuckDB `COUNT(DISTINCT …)`) alongside booleans
+    * certifying the HLL estimate landed within 3·rsd of exact. The oracle
+    * emits literal TRUE, so an estimator regression turns the row red —
+    * a hard correctness row for a sketch whose internals are legitimately
+    * not SQL-expressible. The exact distincts make THIS query plan an
+    * Expand + second shuffle; that is the verification harness, not the
+    * scale path — production code uses [[approxDistinct]] (sketch only,
+    * single hash-agg pass). */
+  def approxDistinctChecked(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        countDistinct(col("l_partkey")).as("exact_part"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("approx_supp"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_part"))
+      .select(col("l_returnflag"),
+        col("exact_supp"), col("exact_part"), col("n"),
+        (abs(col("approx_supp") - col("exact_supp")).cast("double")
+          / col("exact_supp") <= 3 * rsd).as("supp_ok"),
+        (abs(col("approx_part") - col("exact_part")).cast("double")
+          / col("exact_part") <= 3 * rsd).as("part_ok"))
+      .orderBy("l_returnflag")
+
   /** Spec-only: sketch next to exact multi-distinct (the exact form plans
     * Expand + a second shuffle — the thing the sketch avoids at scale). */
   def approxVsExact(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =

@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_simhash"),
+      new ExpressionInfo(classOf[VecSimHashExpr].getName, "graft_vec_simhash"),
+      (children: Seq[Expression]) => VecSimHashExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -110,6 +110,68 @@ object Sources {
       .orderBy("my_field3")
   }
 
+  // ---------------------------------------------------------------- zip_scan
+
+  val zipFixtureDir = s"$fixtureDir/zipdir"
+  val zipPlainTwin = s"$fixtureDir/input_zip.json"
+
+  /** Deterministic .zip fixture family (the reference ships
+    * `input.json.zip` next to the gz form): THREE zip archives × two NDJSON
+    * entries × 15,000 records (90,000 total, blank lines interleaved like
+    * the reference fixture), plus a plain-text twin with the identical
+    * records for the DuckDB oracle (DuckDB reads no zip). Three archives so
+    * the DSv2 scan genuinely plans one partition per file.
+    */
+  def ensureZipFixture(): Unit = synchronized {
+    val twin = Paths.get(zipPlainTwin)
+    // the twin is moved into place LAST, so its existence implies the zips
+    // are complete
+    if (!Files.exists(twin)) {
+      Files.createDirectories(Paths.get(zipFixtureDir))
+      def record(i: Long): String =
+        s"""{"my_field1" : ${7000000L + i}, "my_field2" : ${i % 500}, "my_field3" : "zip${i % 23}"}"""
+      val twinTmp = Paths.get(zipPlainTwin + ".tmp")
+      val tw = new BufferedWriter(new OutputStreamWriter(
+        Files.newOutputStream(twinTmp), "UTF-8"), 1 << 20)
+      try {
+        var i = 0L
+        for (f <- 0 until 3) {
+          val zout = new java.util.zip.ZipOutputStream(
+            Files.newOutputStream(Paths.get(s"$zipFixtureDir/part-$f.zip")))
+          val zw = new BufferedWriter(new OutputStreamWriter(zout, "UTF-8"), 1 << 20)
+          for (e <- 0 until 2) {
+            zout.putNextEntry(new java.util.zip.ZipEntry(s"entry-$e.json"))
+            var j = 0
+            while (j < 15000) {
+              val line = record(i)
+              zw.write(line); zw.write("\n")
+              tw.write(line); tw.write("\n")
+              if (j % 1000 == 999) zw.write("\n") // blank lines, skipped by the reader
+              i += 1; j += 1
+            }
+            zw.flush()
+            zout.closeEntry()
+          }
+          zw.close()
+        }
+      } finally tw.close()
+      Files.move(twinTmp, twin, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** S5/S4: declared query through the `graft-zipjson` DataSource V2
+    * connector (TableProvider → Scan → PartitionReader) — one input
+    * partition per archive, blank lines skipped by the reader, declared
+    * schema. The DuckDB oracle reads the uncompressed twin. */
+  def zipScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureZipFixture()
+    spark.read.format("graft-zipjson").load(zipFixtureDir)
+      .groupBy("my_field3")
+      .agg(count(lit(1)).as("n"), sum("my_field1").as("f1_sum"),
+        sum("my_field2").as("f2_sum"))
+      .orderBy("my_field3")
+  }
+
   /** S5 quirk: the reference also ships `.zip` fixtures
     * (`input.json.zip`), which Spark's text/json sources do not decode.
     * Covered with `binaryFile` + per-file inflate in flatMap — each zip is

@@ -89,4 +89,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("topk_perkey aggregates with partial bounded heaps — no Window, no per-key sort") {
+    val p = plan("topk_perkey")
+    assert(!p.contains("Window"), "the whole point is avoiding the per-key sort window")
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      "map-side partial aggregation must shrink each partition to ≤ k rows per key pre-shuffle")
+  }
+
+  test("media_stats prunes the payload column from the parquet scan") {
+    val p = plan("media_stats")
+    assert(!p.contains("payload"),
+      "metadata-only query must never read payload bytes (columnar pruning)")
+  }
+
+  test("zip_scan reads through the graft-zipjson DSv2 connector") {
+    val p = plan("zip_scan")
+    assert(p.contains("graft-zipjson"))
+  }
+
+  test("ann_topk (recall form) uses the native kernels, no cartesian product") {
+    val p = plan("ann_topk")
+    assert(p.contains("graft_dot"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedDedup probe side carries ids only — no vectors through the explode") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)((i % 7).toDouble + 0.1)))
+      .toDF("vec_id", "v")
+    val p = graft.operators.Similarity.embedDedup(emb)
+      .queryExecution.executedPlan.toString
+    val genLines = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(genLines.nonEmpty, "multi-probe explode present")
+    genLines.foreach { l =>
+      assert(!l.contains("v#") && !l.contains("v_b"),
+        s"explode must fan out (vec_id, probe) only, not the vector: $l")
+    }
+  }
 }

@@ -96,6 +96,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivf.size === exact.size, "top-k fully filled from probed lists")
   }
 
+  test("ann_topk recall verdict (declared IVF form) holds with slack on sf0.001") {
+    val rows = Similarity.annRecall(spark, sf0001).collect()
+    assert(rows.length === 5, "one verdict row per query vector")
+    assert(rows.forall(_.getAs[Long]("n_exact") === 10L))
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")),
+      "IVF recall must clear the declared bound (0.3, measured ≥ 0.4)")
+  }
+
   test("annTopk achieves high recall vs exact simTopk on sf0.001") {
     val exact = Similarity.simTopk(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
