@@ -71,10 +71,12 @@ object StreamingOps {
   /** W1 streaming — session windows + COUNT per key, append mode semantics
     * (emit once the watermark passes the session end; later-than-watermark
     * rows dropped, W5). The reference's SQL flagship is unkeyed — Spark
-    * supports that in streaming too (verified on 4.1.2), but it plans the
-    * same single-partition session merge as in batch, so the streaming
-    * form here is keyed for scale; the batch unkeyed form uses the
-    * two-phase Sessionize instead. */
+    * streaming REJECTS a global session window outright ("Global
+    * aggregation with session window in streaming query is not supported",
+    * verified on 4.1.2), so the unkeyed flagship streams through a CONSTANT
+    * key (same semantics, single-key state; parity with the batch
+    * two-phase Sessionize asserted in StreamingSpec). The keyed form here
+    * is the scale path; the batch unkeyed form uses Sessionize. */
   def sessionCountStream(events: DataFrame, tsCol: String, keyCol: String,
       gap: String, delay: String): DataFrame =
     withEventWatermark(events, tsCol, delay)

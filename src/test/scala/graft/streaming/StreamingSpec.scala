@@ -218,6 +218,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W1 parity: unkeyed STREAMING session count equals the batch two-phase Sessionize") {
+    // The flagship query is UNKEYED. Spark streaming REJECTS a global
+    // session_window ("Global aggregation with session window in streaming
+    // query is not supported" — verified on 4.1.2; a foldable constant key
+    // is rejected identically), so the streaming form of the unkeyed
+    // flagship routes every row to ONE data key through the declared keyed
+    // operator: identical semantics, all state on a single key (acceptable
+    // in streaming where each micro-batch is small; real keys are the
+    // scale path). Batch uses the two-phase Sessionize. This spec replays
+    // the same events through both and asserts identical session sets.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    var t = 1L
+    val times = (1 to 300).map { _ => t += 1 + rnd.nextInt(9); t } // gaps 2..10 s vs gap=5 s
+    val sentinel = times.last + 1000
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps
+      .sessionCountStream(in.toDF().toDF("ts", "k"), "ts", "k",
+        gap = "5 seconds", delay = "2 seconds")
+      .select(col("window_start").as("ws"), col("window_end").as("we"), col("total"))
+      .writeStream.format("memory").queryName("unkeyed_sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(times.map(s => (ts(s), "all")): _*)
+      in.addData((ts(sentinel), "all")) // watermark past every real session's close
+      q.processAllAvailable()
+      val streaming = spark.table("unkeyed_sess_out")
+        .filter(col("ws") < ts(sentinel)) // sentinel's own session stays open
+        .collect()
+        .map(r => (r.getAs[Timestamp]("ws").getTime, r.getAs[Timestamp]("we").getTime,
+          r.getAs[Long]("total")))
+        .sortBy(_._1)
+      val batch = graft.operators.Sessionize
+        .globalSessions(times.map(s => Tuple1(ts(s))).toDF("ts"), "ts",
+          gapUs = 5000000L, bucketUs = 60000000L)
+        .collect()
+        .map(r => (r.getAs[Long]("s_start_us") / 1000L,
+          r.getAs[Long]("s_last_us") / 1000L + 5000L, // window_end = last + gap
+          r.getAs[Long]("total")))
+        .sortBy(_._1)
+      assert(streaming.length > 50, "fixture must produce many sessions")
+      assert(streaming.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("S2/S3: rate-shaped sources produce the declared schemas") {
     val dg = StreamingOps.datagenSource(spark)
     assert(dg.isStreaming)
