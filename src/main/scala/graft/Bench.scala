@@ -43,6 +43,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    // The per-query line above grows with the key count and can exceed a
+    // tail-capture window (BENCH_r04 recorded "parsed": null); a second,
+    // SHORT summary line keeps the headline number parseable no matter how
+    // many queries the long line carries.
+    val nErrs = results.count(_._4.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

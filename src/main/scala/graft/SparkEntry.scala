@@ -40,6 +40,8 @@ object SparkEntry {
     "set_ops"       -> (Relational.setOps _),
     "rollup_agg"    -> (Relational.rollupAgg _),
     "cube_agg"      -> (Relational.cubeAgg _),
+    "grouping_sets" -> (Relational.groupingSetsAgg _),
+    "part_supplier" -> (Relational.partSupplier _),
     "win_rank"      -> (Relational.winRank _),
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
@@ -56,9 +58,11 @@ object SparkEntry {
     "zip_scan"      -> (Sources.zipScan _),
     "file_sink"     -> (Sinks.fileSink _),
     // §2.4 [EXT] scale helpers — bounded-heap top-k per key (win_rank
-    // semantics, O(#keys × k) shuffle instead of a per-key sort)
+    // semantics, O(#keys × k) shuffle instead of a per-key sort) and the
+    // salted hot-key aggregation (≡ plain GROUP BY by construction)
     "topk_perkey"   -> ((s: SparkSession, d: String) =>
       TopKPerKey.topOrdersPerCustomer(s, d)),
+    "skew_agg"      -> (SkewedAgg.skewAgg _),
     // §2.7 LLM-pipeline operators
     "text_stats"    -> (TextOps.textStats _),
     "text_quality"  -> (TextOps.textQuality _),
@@ -77,12 +81,14 @@ object SparkEntry {
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
     "sql_subquery"  -> (SqlSurface.sqlSubquery _),
-    // deterministic but not SQL-expressible in DuckDB (the banding is keyed
-    // on xxhash64 bit patterns) — no oracleSql entry => driver's rows-only
-    // check; semantics covered by ScaleOpsSpec/LlmOpsSpec
+    // SimHash banding reported as per-document recall vs the in-query
+    // brute-force Hamming baseline (the ann_topk verdict pattern): pair
+    // identities aren't DuckDB-expressible (xxhash64 bit patterns), but the
+    // document frame is — the oracle emits doc_id + TRUE, so a banding
+    // recall regression turns the row red. Raw pair mining stays the
+    // library API (SimHashDedup.nearDupPairs, covered by LlmOpsSpec).
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
-      SimHashDedup.nearDupPairs(Tables.documents(s, d).select("doc_id", "text"))
-        .orderBy("doc_a", "doc_b")),
+      SimHashDedup.bandingRecallCheck(Tables.documents(s, d).select("doc_id", "text"))),
   )
 
   /** Brute-force exact trigram-Jaccard ≥ 0.8 pairs — the shared oracle for
@@ -220,6 +226,24 @@ object SparkEntry {
         |       COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
+    "part_supplier" ->
+      """SELECT p_brand, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_size <= 25
+        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
+    "skew_agg" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, run_spend FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -330,6 +354,11 @@ object SparkEntry {
     "ann_topk" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // pair identities are xxhash64-derived (not DuckDB-expressible); the
+    // per-document verdict frame is — literal TRUE = "banding missed no
+    // brute-force Hamming pair touching this doc"
+    "dedup_simhash" ->
+      """SELECT doc_id, TRUE AS recall_ok FROM documents ORDER BY doc_id""",
     "media_stats" ->
       """SELECT meta.modality AS modality, COUNT(*) AS n,
         |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms

@@ -177,6 +177,45 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** R11 completion: explicit GROUPING SETS — the general form rollup/cube
+    * specialize. Per-flag and per-status subtotals in ONE pass: Catalyst
+    * plans the sets as a single Expand (one row copy per set) + hash agg,
+    * exactly like rollup, so the shuffle still carries only the expanded
+    * group keys. NULLs from non-member columns folded to 'ALL' as in
+    * [[rollupAgg]] to dodge engine NULL-ordering differences.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** R6 companion: part/supplier analytics — revenue per part brand ×
+    * supplier nation (TPC-H Q2/Q5 family), the first join family a TPC-H
+    * user reaches for. The p_size predicate pushes to the part scan;
+    * nation is genuinely constant-size → explicit broadcast; part and
+    * supplier SCALE WITH SF, so their join strategy is left to AQE
+    * (broadcast at bench scale, shuffle join at 100 TB) rather than
+    * hardcoded — same policy as [[joinInner]].
+    */
+  def partSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand", "n_name")
+  }
+
   /** R11 companion: cube — all 2^k grouping-set combinations (rollup's
     * superset). ADDITIVE aggregates (count/sum) distribute over grouping
     * sets, so the cube runs over a per-(flag,status) PRE-AGGREGATE —

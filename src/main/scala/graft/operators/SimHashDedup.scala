@@ -46,6 +46,15 @@ object SimHashDedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 64-bit SimHash signature per document: `(doc_id, sig)`. One narrow
+    * projection — tokens hashed once, then the native single-pass kernel
+    * (graft.plans.SimHashExpr; equality with [[simhashOfHashes]] asserted
+    * in VectorExprSpec). */
+  def signatures(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      transform(split(col("text"), " "), t => xxhash64(t)).as("th")) // hash once
+    .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("sig"))
+
   /** Near-dup pairs among `docs(doc_id, text)`: SimHash → chunk-banded
     * candidate join → exact Hamming verify ≤ [[hammingMax]].
     *
@@ -62,13 +71,15 @@ object SimHashDedup {
     * SimHash's advantage is the 64-bit signature footprint.
     */
   def nearDupPairs(docs: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), t => xxhash64(t)).as("th")) // hash once
-      // native single-pass kernel (graft.plans.SimHashExpr); equality with
-      // simhashOfHashes asserted in VectorExprSpec
-      .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("sig"))
+    val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromSigs(sigs, maxBucketSize)
+  }
+
+  /** Banded pair mining over a precomputed `(doc_id, sig)` frame — split
+    * out so [[bandingRecallCheck]] can run banding and its brute-force
+    * baseline over the SAME signature snapshot. */
+  def pairsFromSigs(sigs: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
     val chunkWidth = bits / chunks
     val bandedAll = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until chunks).map(c =>
@@ -86,5 +97,41 @@ object SimHashDedup {
         hamming(col("x.sig"), col("y.sig")).as("dist"))
       .distinct()
       .filter(col("dist") <= hammingMax)
+  }
+
+  /** Declared key (`dedup_simhash`): banding RECALL self-check — the same
+    * verdict pattern that gave `ann_topk` a hard oracle row. The banded
+    * pair set is verified in-query against the ground truth it must
+    * reproduce: ALL Hamming-≤[[hammingMax]] signature pairs, computed
+    * brute-force over the same signature snapshot (broadcast
+    * nested-loop over the tiny (doc_id, sig) frame — the verification
+    * harness, not the serving path; production pair mining is
+    * [[nearDupPairs]] alone). Output is one row per DOCUMENT:
+    * `(doc_id, recall_ok)` where recall_ok ⇔ banding found every
+    * brute-force pair touching that document (vacuously TRUE for docs in
+    * no pair). Pair IDENTITIES depend on xxhash64 bit patterns DuckDB
+    * cannot compute, but the DOCUMENT frame is deterministic — so the
+    * oracle emits every doc_id + literal TRUE, and any banding recall
+    * loss (e.g. a mis-sized chunk or an over-eager bucket cap) flips
+    * rows to FALSE and turns the gate red.
+    */
+  def bandingRecallCheck(docs: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(hamming(col("x.sig"), col("y.sig")) <= hammingMax)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val banded = pairsFromSigs(sigs, maxBucketSize)
+      .select(col("doc_a").as("b_a"), col("doc_b").as("b_b"))
+    // banded ⊆ bf by construction (both verify exact Hamming on the same
+    // sigs), so recall is the ONLY degree of freedom — precision can't drift
+    val perDoc = bf
+      .join(banded, col("doc_a") === col("b_a") && col("doc_b") === col("b_b"), "left")
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("b_a").isNull.as("missed"))
+      .groupBy("doc_id").agg(max(col("missed")).as("any_missed"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(!col("any_missed"), lit(true)).as("recall_ok"))
+      .orderBy("doc_id")
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-resistant aggregation via salting (SURVEY.md scale notes).
@@ -37,4 +38,17 @@ object SkewedAgg {
     saltedAgg(df, Seq(key), saltBuckets,
       partial = Seq(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s")),
       merge = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
+
+  /** Declared key (`skew_agg`): salted count+sum per event_type — the
+    * hot-key defense with a HARD oracle row. The salted two-stage plan is
+    * EQUAL to the plain GROUP BY by construction (count/sum are algebraic),
+    * so the oracle is the plain aggregate; the salted plan shape (two
+    * exchanges, the first keyed on (event_type, __salt)) is pinned by
+    * PlanAuditSpec. event_type is the canonical skewed key: a handful of
+    * distinct values over the whole events table, which an unsalted agg
+    * would reduce on ≤ #types tasks.
+    */
+  def skewAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedCountSum(Tables.events(spark, dir), "event_type", "event_id")
+      .orderBy("event_type")
 }
