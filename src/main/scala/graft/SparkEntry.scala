@@ -351,9 +351,12 @@ object SparkEntry {
         |       COUNT(DISTINCT l_partkey) AS exact_part,
         |       COUNT(*) AS n, TRUE AS supp_ok, TRUE AS part_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // k and the query-vector predicate interpolate from Similarity's
+    // constants — the single source of truth the Spark side uses, so the
+    // oracle cannot drift from what the queries compute
     "ann_topk" ->
-      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+      s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
     // pair identities are xxhash64-derived (not DuckDB-expressible); the
     // per-document verdict frame is — literal TRUE = "banding missed no
     // brute-force Hamming pair touching this doc"
@@ -420,8 +423,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sim_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < ${Similarity.NumQueryVecs}),
         |p AS (
         |  SELECT q_id, vec_id,
         |    list_sum([ v[i] * qv[i] FOR i IN generate_series(1, len(v)) ])
@@ -431,7 +434,7 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
         |      FROM p)
-        |SELECT q_id, rn, vec_id, ROUND(cos, 6) AS cos FROM r WHERE rn <= 10
+        |SELECT q_id, rn, vec_id, ROUND(cos, 6) AS cos FROM r WHERE rn <= ${Similarity.DefaultK}
         |ORDER BY q_id, rn""".stripMargin,
   )
 }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Query-set predicate and top-k depth shared by the Spark queries AND
+    * the `ann_topk`/`sim_topk` oracle SQL (SparkEntry interpolates these —
+    * single source of truth, so changing either cannot silently drift the
+    * oracle away from what Spark computes). */
+  val NumQueryVecs = 5
+  val DefaultK = 10
+
   /** Sum of elementwise products, accumulated in DOUBLE in array order —
     * matches DuckDB's sequential list_sum over a DOUBLE[] comprehension, so
     * oracle comparisons are bit-exact. Inputs must already be array<double>.
@@ -54,14 +61,14 @@ object Similarity {
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val queries = emb.filter(col("vec_id") < 5)
+    val queries = emb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("v"), col("qv")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+      .filter(col("rn") <= DefaultK)
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rn")
   }
@@ -105,6 +112,15 @@ object Similarity {
     * [[graft.operators.MinHashDedup]], for the embedding modality.
     * @param emb columns (vec_id: Long, v: array<double>)
     */
+  /** [[simhash]] resolves through the SQL function registry, so it needs
+    * GraftExtensions on the session; this picks the native kernel when
+    * registered and degrades to the bit-equal [[hofSimhash]] built-in form
+    * otherwise — [[embedDedup]]/[[annTopk]] then work on ANY session (the
+    * HOF fallback is slower, not different). */
+  private def simhashFor(df: DataFrame, v: Column, bits: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_vec_simhash")) simhash(v, bits)
+    else hofSimhash(v, bits)
+
   def embedDedup(emb: DataFrame, threshold: Double = 0.95, prefixBits: Int = 8): DataFrame = {
     // bucket table is (vec_id, bucket) ONLY — the multi-probe explode fans
     // each row out ×(prefixBits+1), so carrying the vector through it would
@@ -112,7 +128,7 @@ object Similarity {
     // the verify stage on the deduplicated candidate ids instead (the same
     // ids-first-arrays-at-verify shape as MinHashDedup).
     val sigs = emb
-      .withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
+      .withColumn("bucket", pmod(simhashFor(emb, col("v"), prefixBits), lit(1L << prefixBits)))
       .select(col("vec_id"), col("bucket"))
     val probed = sigs
       .withColumn("probe", explode(array(
@@ -142,39 +158,65 @@ object Similarity {
     * the executors and the assignment pass is one broadcast join.
     * Recall vs exact [[simTopk]] asserted in LlmOpsSpec.
     */
-  def ivfTopk(spark: SparkSession, dir: String, k: Int = 10, c: Int = 8,
-      nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Nearest-centroid assignment `(vec_id, cid)` in scale form: centroids
+    * as a BROADCAST DataFrame (c rows), a broadcast nested-loop fan-out of
+    * ×c per vector computing ||v−c||² = ||v||² − 2⟨v,c⟩ + ||c||² with the
+    * native dot kernel, then a hash-agg `min(struct(d2, cid))` argmin whose
+    * partial (map-side) phase collapses the fan-out BEFORE the shuffle —
+    * the exchange carries one narrow (vec_id, d2, cid) row per vector,
+    * never the vectors. Replaces the previous literal-expression-tree
+    * argmin, which embedded c × dim literals in one projection and would
+    * choke codegen at the c ≈ √n a large corpus wants (generated-code
+    * size grows with c; measured fine at c=8, unsustainable at c≈10³).
+    * This form's plan is INDEPENDENT of c: larger c only widens the tiny
+    * broadcast. Tie-break on smaller cid, identical to the old `least`.
+    */
+  def assignCids(spark: SparkSession, emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    val cdf = centroids.toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+    emb.select(col("vec_id"), col("v")).crossJoin(broadcast(cdf))
+      .select(col("vec_id"), struct(
+        (dot(col("v"), col("v")) - lit(2d) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d2"), col("cid").as("cid")).as("sc"))
+      .groupBy("vec_id").agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
 
-    def nearestCid(centroids: Seq[(Int, Seq[Double])]) = {
-      // distance to each centroid via the native dot kernel on literals:
-      // ||v - c||² = ||v||² - 2<v,c> + ||c||² ; argmin over c
-      val scored = centroids.map { case (cid, cv) =>
-        val cArr = array(cv.map(lit): _*).cast("array<double>")
-        struct((dot(col("v"), col("v")) - lit(2d) * dot(col("v"), cArr)
-          + lit(cv.map(x => x * x).sum)).as("d2"), lit(cid).as("cid"))
-      }
-      least(scored: _*).getField("cid")
-    }
-
-    // deterministic seeds + Lloyd refinement (centroid = element-wise mean)
+  /** Deterministic k-means: seeds = first `c` vectors by id, then
+    * `lloydIters` rounds of assign + element-wise mean. Centroids are tiny
+    * (c × dim doubles) and live on the driver between rounds — standard
+    * IVF practice; each round is one distributed assign + one aggregation.
+    */
+  def trainCentroids(spark: SparkSession, emb: DataFrame, c: Int,
+      lloydIters: Int): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(c).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 1 to lloydIters) {
-      val means = emb.withColumn("cid", nearestCid(centroids))
+      centroids = emb.join(assignCids(spark, emb, centroids), "vec_id")
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      centroids = means
     }
+    centroids
+  }
 
-    val assigned = emb.withColumn("cid", nearestCid(centroids))
-    val queries = assigned.filter(col("vec_id") < 5)
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = DefaultK, c: Int = 8,
+      nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(spark, emb, c, lloydIters)
+    // Index build: one equi-join attaches each vector to its list id. The
+    // vectors shuffle ONCE here (the inverted-file materialization — at
+    // cluster scale this is the write of the cid-bucketed index, amortized
+    // over every query batch served from it).
+    val assigned = emb.join(assignCids(spark, emb, centroids), "vec_id")
+    val queries = assigned.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     // nProbe nearest centroids per query, computed driver-side (tiny)
@@ -219,7 +261,7 @@ object Similarity {
     * embedding spaces the measured hyperplane recall collapses (0.18 at
     * 100k random vectors, BASELINE.md) while IVF holds, because its cells
     * adapt to the data instead of being data-oblivious hyperplanes. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 10,
+  def annRecall(spark: SparkSession, dir: String, k: Int = DefaultK,
       minRecall: Double = 0.3): DataFrame = {
     val exact = simTopk(spark, dir).select(col("q_id"), col("vec_id"))
     val approx = ivfTopk(spark, dir, k)
@@ -233,11 +275,12 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  def annTopk(spark: SparkSession, dir: String, k: Int = 10, prefixBits: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def annTopk(spark: SparkSession, dir: String, k: Int = DefaultK, prefixBits: Int = 4): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", pmod(simhash(col("v"), prefixBits), lit(1L << prefixBits)))
-    val probes = emb.filter(col("vec_id") < 5)
+    val emb = base
+      .withColumn("bucket", pmod(simhashFor(base, col("v"), prefixBits), lit(1L << prefixBits)))
+    val probes = emb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
       // multi-probe: own bucket + each single-bit flip
       .withColumn("probe", explode(array(

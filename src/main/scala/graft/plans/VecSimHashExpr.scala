@@ -39,13 +39,29 @@ case class VecSimHashExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   // manual type check: ExpectsInputTypes' AbstractDataType is private[sql]
-  // in Spark 4, so the trait can't be mixed in from an external package
+  // in Spark 4, so the trait can't be mixed in from an external package.
+  // bits outside 1..64 would silently wrap 1L<<i (colliding bit positions)
+  // or blow up array allocation — reject foldable out-of-range values at
+  // analysis; non-foldable values are guarded at runtime in eval/codegen.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        if (right.foldable) {
+          val b = right.eval(null)
+          if (b != null && (b.asInstanceOf[Int] < 1 || b.asInstanceOf[Int] > 64))
+            return TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires bits in 1..64, got $b")
+        }
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (ARRAY<DOUBLE>, INT), got ${l.simpleString} and ${r.simpleString}")
     }
+
+  /** Runtime guard for the non-foldable-bits path (also kept in codegen). */
+  private def checkBits(bits: Int): Unit =
+    if (bits < 1 || bits > 64)
+      throw new IllegalArgumentException(
+        s"$prettyName requires bits in 1..64, got $bits")
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val l = left.eval(input)
@@ -54,6 +70,7 @@ case class VecSimHashExpr(left: Expression, right: Expression)
     if (r == null) return null
     val arr = l.asInstanceOf[ArrayData]
     val bits = r.asInstanceOf[Int]
+    checkBits(bits)
     val n = arr.numElements()
     val proj = new Array[Double](bits)
     val seeds = new Array[Long](bits)
@@ -96,6 +113,10 @@ case class VecSimHashExpr(left: Expression, right: Expression)
       val sig = ctx.freshName("sig")
       val elemGuard = nullCheck.replace("ARR", a).replace("D", d)
       s"""
+         |if ($b < 1 || $b > 64) {
+         |  throw new IllegalArgumentException(
+         |    "graft_vec_simhash requires bits in 1..64, got " + $b);
+         |}
          |int $n = $a.numElements();
          |double[] $proj = new double[$b];
          |long[] $seeds = new long[$b];

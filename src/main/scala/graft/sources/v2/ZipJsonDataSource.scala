@@ -34,9 +34,12 @@ import scala.jdk.CollectionConverters._
   *
   * This is deliberately a minimal-but-real DSv2 implementation: Table →
   * ScanBuilder → Scan → Batch → PartitionReaderFactory → PartitionReader.
-  * Column pruning/filter pushdown (SupportsPushDownRequiredColumns /
-  * Filters) are the natural next increments and are not needed for the
-  * 3-column fixture.
+  * The ScanBuilder implements SupportsPushDownRequiredColumns: a pruned
+  * projection reaches the reader, which then Jackson-extracts ONLY the
+  * requested fields per line (the parse of the line itself is unavoidable —
+  * NDJSON has no columnar layout — but field materialization, type
+  * conversion and row width all shrink to the projection). PlanAuditSpec
+  * asserts the pruned ReadSchema through the connector.
   */
 class ZipJsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-zipjson"
@@ -53,8 +56,13 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ZipJsonScan(tableSchema, path)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Catalyst hands us the projection before build(); the pruned schema
+      // flows into the Scan and from there to every PartitionReader.
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ZipJsonScan(required, path)
     }
 }
 

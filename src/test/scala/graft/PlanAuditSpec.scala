@@ -97,6 +97,15 @@ class PlanAuditSpec extends SparkSpec {
       "map-side partial aggregation must shrink each partition to ≤ k rows per key pre-shuffle")
   }
 
+  test("skew_agg: two-stage salted plan — first exchange keyed on (event_type, __salt)") {
+    val p = plan("skew_agg")
+    assert(count(p, "Exchange hashpartitioning") === 2,
+      "balanced partial agg + tiny merge agg, nothing more")
+    val first = p.lastIndexOf("Exchange hashpartitioning") // plan prints top-down; the FIRST executed exchange is the LAST printed
+    assert(p.substring(first, math.min(p.length, first + 200)).contains("__salt"),
+      "the wide (partial) exchange must be keyed on (event_type, __salt)")
+  }
+
   test("media_stats prunes the payload column from the parquet scan") {
     val p = plan("media_stats")
     assert(!p.contains("payload"),

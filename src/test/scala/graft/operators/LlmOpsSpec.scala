@@ -86,6 +86,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) === 16, "all hyperplane signs flip")
   }
 
+  test("assignCids (broadcast + min_by form) matches the driver-side argmin") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 8 + d).abs).toSeq))
+    val emb = vecs.toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val centroids: Seq[(Int, Seq[Double])] = (0 until 5).map(c =>
+      (c, (0 until 8).map(d => math.cos(c * 8 + d).abs).toSeq))
+    val got = Similarity.assignCids(spark, emb, centroids).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    def d2(v: Seq[Double], c: Seq[Double]): Double =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (id, v) =>
+      val want = centroids.minBy { case (cid, cv) => (d2(v, cv), cid) }._1
+      assert(got(id) === want, s"vec $id assigned ${got(id)}, expected $want")
+    }
+  }
+
   test("ivfTopk achieves reasonable recall vs exact simTopk on sf0.001") {
     val exact = Similarity.simTopk(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

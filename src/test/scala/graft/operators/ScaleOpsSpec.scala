@@ -32,6 +32,21 @@ class ScaleOpsSpec extends SparkSpec {
       s"simhash found ${sim.size} pairs, overlap ${sim.intersect(minhash).size}/${minhash.size}")
   }
 
+  test("banding recall self-check: all TRUE on testdata, FALSE when banding is sabotaged") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val ok = SimHashDedup.bandingRecallCheck(docs)
+    assert(ok.count() === docs.count(), "one verdict row per document")
+    assert(ok.filter(!col("recall_ok")).count() === 0,
+      "pigeonhole banding must find every brute-force hamming pair")
+    // negative control: cap every bucket away → banding finds nothing, so
+    // every doc in a brute-force pair must flip to FALSE (the declared key
+    // would go red). Guards the check itself against vacuous truth.
+    val pairedDocs = SimHashDedup.bandingRecallCheck(docs, maxBucketSize = 0)
+      .filter(!col("recall_ok")).count()
+    assert(pairedDocs > 0, "sabotaged banding must produce FALSE verdicts")
+    spark.catalog.clearCache()
+  }
+
   test("approx_count_distinct within rsd bounds of exact") {
     val rows = Sketches.approxVsExact(spark, sf0001).collect()
     rows.foreach { r =>

@@ -109,6 +109,20 @@ class VectorExprSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("graft_vec_simhash rejects bits outside 1..64 at analysis") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0)).toDF("v")
+    for (bad <- Seq(0, -1, 65, 1000)) {
+      val e = intercept[Exception] {
+        df.select(call_function("graft_vec_simhash", col("v"), lit(bad))).collect()
+      }
+      assert(e.getMessage.contains("1..64"), s"bits=$bad must fail with a clear range error")
+    }
+    // boundary values stay valid
+    df.select(call_function("graft_vec_simhash", col("v"), lit(1))).collect()
+    df.select(call_function("graft_vec_simhash", col("v"), lit(64))).collect()
+  }
+
   test("graft_vec_simhash interpreted eval matches codegen") {
     // eval path: force interpreted evaluation via an expression on literals
     // evaluated through a non-codegen context (head() on a local relation

@@ -23,6 +23,26 @@ class SourcesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id_max")).max === 999999L)
   }
 
+  test("DSv2: graft-zipjson prunes the read schema to the projection") {
+    val dir = tmpDir("zipprune")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/p.zip")))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p.json"))
+    zout.write((0 until 10).map(i =>
+      s"""{"my_field1":$i,"my_field2":${i * 2},"my_field3":"t$i"}""").mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val pruned = spark.read.format("graft-zipjson").load(dir).select("my_field3")
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.nonEmpty, "projection must still read through the DSv2 scan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("my_field3"),
+      "SupportsPushDownRequiredColumns must narrow the scan to the projected field")
+    // and the pruned read returns the same values as the full read
+    assert(pruned.collect().map(_.getString(0)).sorted ===
+      (0 until 10).map(i => s"t$i").sorted.toArray)
+  }
+
   test("S4: pojo_scan typed filter matches untyped column filter") {
     val typed = Sources.pojoScan(spark, sf0001).collect()(0)
     val untyped = graft.Tables.customer(spark, sf0001)
