@@ -75,9 +75,12 @@ object SparkEntry {
     "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
     "payload_dedup" -> (Multimodal.payloadDedupQuery _),
-    // §2.4 [EXT] HLL sketch, verified against exact distincts in-query
+    "lang_id"       -> (TextOps.langId _),
+    // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
+    "approx_quantile" -> ((s: SparkSession, d: String) =>
+      Sketches.approxQuantileChecked(s, d)),
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
     "sql_subquery"  -> (SqlSurface.sqlSubquery _),
@@ -362,6 +365,43 @@ object SparkEntry {
     // brute-force Hamming pair touching this doc"
     "dedup_simhash" ->
       """SELECT doc_id, TRUE AS recall_ok FROM documents ORDER BY doc_id""",
+    // the language-ID heuristic is deterministic column arithmetic, so the
+    // oracle RECOMPUTES it: marker-token fraction per language, argmax with
+    // the same lexicographically-largest-lang tie-break Spark's
+    // greatest(struct(score, lang)) applies ('fr' > 'es' > 'en' > 'de')
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'ist' OR t = 'das')) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) AS s_de,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t = 'the' OR t = 'and' OR t = 'of' OR t = 'to' OR t = 'is')) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) AS s_en,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t = 'el' OR t = 'la' OR t = 'y' OR t = 'es' OR t = 'los')) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) AS s_es,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est' OR t = 'les')) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // quantile-sketch verdict row: portable columns (count/min/max raw) +
+    // literal TRUE for the within-1%-of-exact booleans Spark computes
+    // against its own exact percentile; probe points interpolate from
+    // Sketches.QuantilePs (single source of truth)
+    "approx_quantile" ->
+      s"""SELECT p, n, lo, hi, TRUE AS q_ok
+         |FROM (SELECT UNNEST([${Sketches.QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString(", ")}]) AS p),
+         |     (SELECT COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+         |ORDER BY p""".stripMargin,
     "media_stats" ->
       """SELECT meta.modality AS modality, COUNT(*) AS n,
         |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms

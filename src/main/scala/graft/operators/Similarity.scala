@@ -215,7 +215,11 @@ object Similarity {
     // vectors shuffle ONCE here (the inverted-file materialization — at
     // cluster scale this is the write of the cid-bucketed index, amortized
     // over every query batch served from it).
+    // persisted: the assignment feeds two actions (query-vector pull below
+    // and the probe join) — without the cache the whole argmin pass runs
+    // twice. Narrow (vec_id, v, cid) rows, O(corpus) like `emb` itself.
     val assigned = emb.join(assignCids(spark, emb, centroids), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))

@@ -73,4 +73,36 @@ object Sketches {
       .agg(
         expr(s"approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), $accuracy)").as("approx_p"),
         expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("exact_p"))
+
+  /** Quantile probe points for the declared key — shared with the oracle
+    * SQL via interpolation in SparkEntry (single source of truth). */
+  val QuantilePs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+
+  /** Declared key (`approx_quantile`) — the same verdict pattern as
+    * `approx_distinct`: one row per probe point carrying what IS
+    * engine-portable (count, min, max — raw values, no arithmetic) plus a
+    * boolean certifying the GK estimate sits within 1% relative error of
+    * the EXACT interpolated percentile computed Spark-side in the same
+    * query. The oracle emits the portable columns + literal TRUE, so a
+    * sketch regression turns the row red. Exact `percentile` is the
+    * verification harness (full sort state per group); the production
+    * sketch path is [[approxQuantiles]] — mergeable fixed-size state, the
+    * thing that matters when the shuffle would otherwise carry every value.
+    */
+  def approxQuantileChecked(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val psSql = QuantilePs.mkString(", ")
+    Tables.orders(spark, dir)
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array($psSql), $accuracy)").as("ap"),
+        expr(s"percentile(o_totalprice, array($psSql))").as("ep"),
+        count(lit(1)).as("n"), min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .select(col("n"), col("lo"), col("hi"),
+        posexplode(arrays_zip(col("ap"), col("ep"))))
+      .select(
+        element_at(array(QuantilePs.map(lit): _*), col("pos") + 1).as("p"),
+        col("n"), col("lo"), col("hi"),
+        (abs(col("col.ap") - col("col.ep")) / col("col.ep") <= 0.01).as("q_ok"))
+      .orderBy("p")
+  }
 }

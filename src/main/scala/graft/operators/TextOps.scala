@@ -112,4 +112,18 @@ object TextOps {
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Declared key (`lang_id`): language-ID over every document. The
+    * heuristic is deterministic column arithmetic (marker-token fractions
+    * → argmax), so unlike a trained model it IS SQL-expressible — the
+    * DuckDB oracle recomputes the same scores and tie-break, making this a
+    * hard row for the language-ID plumbing itself. The corpus `lang` label
+    * rides along for context only (the synthetic corpus shares one
+    * vocabulary across labels, so label ACCURACY is meaningless here —
+    * documented above; crafted-text accuracy is covered in LlmOpsSpec).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langIdScore(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,19 +56,74 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
-      // Catalyst hands us the projection before build(); the pruned schema
-      // flows into the Scan and from there to every PartitionReader.
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      // Catalyst hands us projection + predicates before build(); both flow
+      // into the Scan and from there to every PartitionReader.
       private var required: StructType = tableSchema
+      private var accepted: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new ZipJsonScan(required, path)
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // comparisons/null-tests on top-level fields are evaluated on the
+        // parsed JSON node BEFORE row materialization (the reader applies
+        // them completely, so they are NOT returned as residual — Spark
+        // plans no post-scan Filter for them); anything else stays with
+        // Spark. Filter-only columns work even when pruned out of the
+        // projection: evaluation reads the JSON node, not the output row.
+        val (ok, rest) = filters.partition(ZipJsonFilterEval.supported(_, tableSchema))
+        accepted = ok
+        rest
+      }
+      override def pushedFilters(): Array[Filter] = accepted
+      override def build(): Scan = new ZipJsonScan(required, path, accepted)
     }
 }
 
-class ZipJsonScan(tableSchema: StructType, path: String) extends Scan with Batch {
+/** Evaluates the pushable `Filter` subset against a parsed Jackson node —
+  * SQL semantics: a comparison against a missing/null field is NOT satisfied
+  * (only IsNull accepts it). */
+private[v2] object ZipJsonFilterEval {
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  private def cmp(node: com.fasterxml.jackson.databind.JsonNode,
+      attr: String, value: Any)(op: Int => Boolean): Boolean = {
+    val v = node.get(attr)
+    if (v == null || v.isNull) return false
+    value match {
+      case n: Number => v.isNumber && op(java.lang.Double.compare(v.asDouble(), n.doubleValue()))
+      case s: String => op(v.asText().compareTo(s))
+      case other => op(v.asText().compareTo(other.toString))
+    }
+  }
+
+  def eval(f: Filter, node: com.fasterxml.jackson.databind.JsonNode): Boolean = f match {
+    case EqualTo(a, v) => cmp(node, a, v)(_ == 0)
+    case GreaterThan(a, v) => cmp(node, a, v)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(node, a, v)(_ >= 0)
+    case LessThan(a, v) => cmp(node, a, v)(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(node, a, v)(_ <= 0)
+    case IsNotNull(a) => { val v = node.get(a); v != null && !v.isNull }
+    case IsNull(a) => { val v = node.get(a); v == null || v.isNull }
+    case _ => false
+  }
+}
+
+class ZipJsonScan(tableSchema: StructType, path: String,
+    filters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-zipjson PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${tableSchema.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = java.nio.file.Paths.get(path)
@@ -85,17 +140,19 @@ class ZipJsonScan(tableSchema: StructType, path: String) extends Scan with Batch
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipJsonReaderFactory(tableSchema)
+    new ZipJsonReaderFactory(tableSchema, filters)
 }
 
 case class ZipFilePartition(file: String) extends InputPartition
 
-class ZipJsonReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class ZipJsonReaderFactory(schema: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file, schema)
+    new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file, schema, filters)
 }
 
-class ZipJsonPartitionReader(file: String, schema: StructType)
+class ZipJsonPartitionReader(file: String, schema: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val zin = new java.util.zip.ZipInputStream(
@@ -120,12 +177,24 @@ class ZipJsonPartitionReader(file: String, schema: StructType)
     null // unreachable
   }
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  final override def next(): Boolean = {
     val line = nextLine()
     if (line == null) { current = null; false }
     else {
       val node = mapper.readTree(line)
-      val values = schema.fields.map { f =>
+      // pushed predicates run on the parsed node BEFORE row materialization
+      // (and before type conversion of pruned-out filter columns)
+      if (!filters.forall(ZipJsonFilterEval.eval(_, node))) next()
+      else {
+        current = buildRow(node)
+        true
+      }
+    }
+  }
+
+  private def buildRow(node: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
+    val values = schema.fields.map { f =>
         val v = node.get(f.name)
         if (v == null || v.isNull) null
         else f.dataType match {
@@ -134,9 +203,7 @@ class ZipJsonPartitionReader(file: String, schema: StructType)
           case _ => UTF8String.fromString(v.asText())
         }
       }
-      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-      true
-    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
 
   override def get(): InternalRow = current

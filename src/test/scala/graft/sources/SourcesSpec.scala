@@ -43,6 +43,30 @@ class SourcesSpec extends SparkSpec {
       (0 until 10).map(i => s"t$i").sorted.toArray)
   }
 
+  test("DSv2: graft-zipjson pushes comparison filters into the reader") {
+    val dir = tmpDir("zipfilter")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/p.zip")))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p.json"))
+    zout.write((0 until 20).map(i =>
+      s"""{"my_field1":$i,"my_field2":${i * 2},"my_field3":"t${i % 3}"}""").mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    // filter column (my_field1) pruned OUT of the projection — the reader
+    // must evaluate it on the JSON node, not the output row
+    val df = spark.read.format("graft-zipjson").load(dir)
+      .filter(col("my_field1") > 12 && col("my_field3") === "t0")
+      .select("my_field2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(my_field1)") ||
+      plan.contains("GreaterThan(my_field1,12)"),
+      s"pushed filters must reach the scan description: ${plan.take(600)}")
+    assert(!plan.contains("(2) Filter") && !df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]),
+      "fully-pushed predicates must plan NO post-scan Filter node")
+    // rows 15, 18 have field1 > 12 and field3 = t0
+    assert(df.collect().map(_.getInt(0)).sorted === Array(30, 36))
+  }
+
   test("S4: pojo_scan typed filter matches untyped column filter") {
     val typed = Sources.pojoScan(spark, sf0001).collect()(0)
     val untyped = graft.Tables.customer(spark, sf0001)
