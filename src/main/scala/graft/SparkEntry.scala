@@ -73,6 +73,8 @@ object SparkEntry {
     // §2.7 E2/E4 — IVF ANN reported as recall vs the exact baseline, and
     // the multimodal fixture queries: all hard oracle rows
     "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "embed_dedup"   -> ((s: SparkSession, d: String) =>
+      Similarity.embedDedupRecallCheck(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
     "payload_dedup" -> (Multimodal.payloadDedupQuery _),
     "lang_id"       -> (TextOps.langId _),
@@ -365,6 +367,15 @@ object SparkEntry {
     // brute-force Hamming pair touching this doc"
     "dedup_simhash" ->
       """SELECT doc_id, TRUE AS recall_ok FROM documents ORDER BY doc_id""",
+    // id frame = originals + the deterministically planted copies (first 50
+    // vectors re-entering at vec_id + 10^6); TRUE = LSH found every
+    // brute-force cosine pair touching this vector
+    "embed_dedup" ->
+      """SELECT vec_id, TRUE AS recall_ok FROM (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id""".stripMargin,
     // the language-ID heuristic is deterministic column arithmetic, so the
     // oracle RECOMPUTES it: marker-token fraction per language, argmax with
     // the same lexicographically-largest-lang tie-break Spark's

@@ -146,6 +146,51 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Declared key (`embed_dedup`): the embedding member of the dedup family
+    * with a HARD oracle row — the recall-verdict pattern of `dedup_simhash`/
+    * `ann_topk`. The raw testdata has NO cosine-≥0.95 pairs (max pairwise
+    * cosine ≈ 0.51), so a bare self-check would be vacuously green; instead
+    * the query PLANTS near-duplicates deterministically: the first
+    * `plantCount` vectors re-enter as (vec_id + 10⁶, 1.001·v). Scaling
+    * preserves direction EXACTLY — cosine(v, 1.001·v) = 1 and every
+    * hyperplane projection keeps its sign — so each planted pair is both a
+    * guaranteed brute-force pair and a guaranteed same-bucket LSH hit:
+    * recall 1.0 by construction, not by luck. Output is one row per vector
+    * (originals + planted): `(vec_id, recall_ok)` where recall_ok ⇔
+    * [[embedDedup]] found every brute-force cosine-≥threshold pair touching
+    * it. The oracle emits the deterministic id frame + literal TRUE; any
+    * LSH recall loss (bucketing bug, probe regression, verify drift) flips
+    * rows red. Precision cannot drift: embedDedup exact-verifies cosine, so
+    * found ⊆ brute-force by construction. The brute-force pass (broadcast
+    * nested-loop with pre-computed norms, native dot kernel) is the
+    * verification harness; production pair mining is [[embedDedup]] alone.
+    */
+  def embedDedupRecallCheck(spark: SparkSession, dir: String,
+      threshold: Double = 0.95, prefixBits: Int = 8, plantCount: Int = 50): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < plantCount)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(1.001d)).as("v"))
+    val emb = base.unionByName(planted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm = emb.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val bf = nrm.as("x").join(nrm.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val found = embedDedup(emb, threshold, prefixBits)
+      .select(col("vec_a").as("f_a"), col("vec_b").as("f_b"))
+    val perVec = bf
+      .join(found, col("vec_a") === col("f_a") && col("vec_b") === col("f_b"), "left")
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"),
+        col("f_a").isNull.as("missed"))
+      .groupBy("vec_id").agg(max(col("missed")).as("any_missed"))
+    emb.select("vec_id").join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(!col("any_missed"), lit(true)).as("recall_ok"))
+      .orderBy("vec_id")
+  }
+
   /** E2 scale path B — IVF (inverted-file) approximate top-k:
     * coarse-quantize the corpus to `c` centroids with a few Lloyd
     * iterations (deterministic seeds: the first `c` vectors by id),

@@ -164,6 +164,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === (0L until 5L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("embed_dedup recall check: planted rows all green, verdict frame covers corpus + plants") {
+    val out = Similarity.embedDedupRecallCheck(spark, sf0001, plantCount = 20).collect()
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(out.length === n + 20, "one verdict row per original + planted vector")
+    assert(out.forall(_.getAs[Boolean]("recall_ok")),
+      "scaled copies must be found by LSH — recall 1.0 by construction")
+    // the planted ids are present and individually certified
+    val planted = out.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    assert(planted.length === 20)
+    spark.catalog.clearCache()
+  }
+
   test("embedDedup on testdata embeddings finds no false near-dups") {
     val emb = graft.Tables.embeddings(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),
