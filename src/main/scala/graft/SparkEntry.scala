@@ -367,15 +367,16 @@ object SparkEntry {
     // brute-force Hamming pair touching this doc"
     "dedup_simhash" ->
       """SELECT doc_id, TRUE AS recall_ok FROM documents ORDER BY doc_id""",
-    // id frame = originals + the deterministically planted copies (first 50
-    // vectors re-entering at vec_id + 10^6); TRUE = LSH found every
-    // brute-force cosine pair touching this vector
+    // id frame = originals + the deterministically planted copies (plant
+    // constants interpolate from Similarity — single source of truth);
+    // TRUE = LSH found every brute-force cosine pair touching this vector
     "embed_dedup" ->
-      """SELECT vec_id, TRUE AS recall_ok FROM (
-        |  SELECT vec_id FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 50)
-        |ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, TRUE AS recall_ok FROM (
+         |  SELECT vec_id FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${Similarity.PlantIdOffset} FROM embeddings
+         |  WHERE vec_id < ${Similarity.PlantCount})
+         |ORDER BY vec_id""".stripMargin,
     // the language-ID heuristic is deterministic column arithmetic, so the
     // oracle RECOMPUTES it: marker-token fraction per language, argmax with
     // the same lexicographically-largest-lang tie-break Spark's

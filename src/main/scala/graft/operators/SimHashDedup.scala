@@ -121,17 +121,9 @@ object SimHashDedup {
     val bf = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .filter(hamming(col("x.sig"), col("y.sig")) <= hammingMax)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val banded = pairsFromSigs(sigs, maxBucketSize)
-      .select(col("doc_a").as("b_a"), col("doc_b").as("b_b"))
     // banded ⊆ bf by construction (both verify exact Hamming on the same
     // sigs), so recall is the ONLY degree of freedom — precision can't drift
-    val perDoc = bf
-      .join(banded, col("doc_a") === col("b_a") && col("doc_b") === col("b_b"), "left")
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
-        col("b_a").isNull.as("missed"))
-      .groupBy("doc_id").agg(max(col("missed")).as("any_missed"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(!col("any_missed"), lit(true)).as("recall_ok"))
-      .orderBy("doc_id")
+    val banded = pairsFromSigs(sigs, maxBucketSize).select("doc_a", "doc_b")
+    RecallVerdict.perEntity(bf, banded, docs, "doc_a", "doc_b", "doc_id")
   }
 }

@@ -36,6 +36,11 @@ object Similarity {
   val NumQueryVecs = 5
   val DefaultK = 10
 
+  /** `embed_dedup` planted-duplicate parameters — shared with the oracle's
+    * id frame via interpolation in SparkEntry (single source of truth). */
+  val PlantCount = 50
+  val PlantIdOffset = 1000000L
+
   /** Sum of elementwise products, accumulated in DOUBLE in array order —
     * matches DuckDB's sequential list_sum over a DOUBLE[] comprehension, so
     * oracle comparisons are bit-exact. Inputs must already be array<double>.
@@ -166,11 +171,12 @@ object Similarity {
     * verification harness; production pair mining is [[embedDedup]] alone.
     */
   def embedDedupRecallCheck(spark: SparkSession, dir: String,
-      threshold: Double = 0.95, prefixBits: Int = 8, plantCount: Int = 50): DataFrame = {
+      threshold: Double = 0.95, prefixBits: Int = 8,
+      plantCount: Int = PlantCount): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val planted = base.filter(col("vec_id") < plantCount)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(PlantIdOffset)).as("vec_id"),
         transform(col("v"), x => x * lit(1.001d)).as("v"))
     val emb = base.unionByName(planted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -179,16 +185,8 @@ object Similarity {
       .withColumn("cos", dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-    val found = embedDedup(emb, threshold, prefixBits)
-      .select(col("vec_a").as("f_a"), col("vec_b").as("f_b"))
-    val perVec = bf
-      .join(found, col("vec_a") === col("f_a") && col("vec_b") === col("f_b"), "left")
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"),
-        col("f_a").isNull.as("missed"))
-      .groupBy("vec_id").agg(max(col("missed")).as("any_missed"))
-    emb.select("vec_id").join(perVec, Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(!col("any_missed"), lit(true)).as("recall_ok"))
-      .orderBy("vec_id")
+    val found = embedDedup(emb, threshold, prefixBits).select("vec_a", "vec_b")
+    RecallVerdict.perEntity(bf, found, emb, "vec_a", "vec_b", "vec_id")
   }
 
   /** E2 scale path B — IVF (inverted-file) approximate top-k:

@@ -101,7 +101,10 @@ object TextOps {
     * lang labels, so accuracy there is meaningless by construction).
     */
   def langIdScore(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
+    // single-space split, NOT \s+: the same tokenizer as textStats/
+    // textQuality and the lang_id oracle's string_split(text, ' ') — a
+    // regex split would diverge from the oracle on consecutive whitespace
+    val toks = split(lower(text), " ")
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         (size(filter(toks, t => t.isin(markers: _*))).cast("double") / size(toks)).as("score"),

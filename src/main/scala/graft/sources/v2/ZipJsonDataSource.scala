@@ -79,10 +79,24 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
     }
 }
 
-/** Evaluates the pushable `Filter` subset against a parsed Jackson node —
-  * SQL semantics: a comparison against a missing/null field is NOT satisfied
-  * (only IsNull accepts it). */
+/** Evaluates the pushable `Filter` subset against a parsed Jackson node.
+  *
+  * Because accepted filters are NOT returned as residual, this evaluation
+  * must EXACTLY match what Spark would compute on the materialized row:
+  *  - comparisons read the node with the SAME coercion `buildRow` uses for
+  *    the field's declared type (`asLong`/`asInt`/`asText` — so a number
+  *    encoded as a JSON string filters identically pushed or not);
+  *  - long comparisons stay in long space (a double round-trip would
+  *    collide values beyond 2^53);
+  *  - string comparisons use UTF8String's binary order, Spark's own
+  *    collation, not Java's UTF-16 compareTo (they diverge on
+  *    supplementary characters).
+  * SQL semantics: a comparison against a missing/null field is NOT
+  * satisfied (only IsNull accepts it).
+  */
 private[v2] object ZipJsonFilterEval {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
   def supported(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(a, _) => schema.fieldNames.contains(a)
     case GreaterThan(a, _) => schema.fieldNames.contains(a)
@@ -94,23 +108,28 @@ private[v2] object ZipJsonFilterEval {
     case _ => false
   }
 
-  private def cmp(node: com.fasterxml.jackson.databind.JsonNode,
+  private def cmp(node: com.fasterxml.jackson.databind.JsonNode, schema: StructType,
       attr: String, value: Any)(op: Int => Boolean): Boolean = {
     val v = node.get(attr)
     if (v == null || v.isNull) return false
-    value match {
-      case n: Number => v.isNumber && op(java.lang.Double.compare(v.asDouble(), n.doubleValue()))
-      case s: String => op(v.asText().compareTo(s))
-      case other => op(v.asText().compareTo(other.toString))
+    schema(attr).dataType match {
+      case LongType =>
+        op(java.lang.Long.compare(v.asLong(), value.asInstanceOf[Number].longValue()))
+      case IntegerType =>
+        op(java.lang.Integer.compare(v.asInt(), value.asInstanceOf[Number].intValue()))
+      case _ =>
+        op(UTF8String.fromString(v.asText())
+          .compareTo(UTF8String.fromString(String.valueOf(value))))
     }
   }
 
-  def eval(f: Filter, node: com.fasterxml.jackson.databind.JsonNode): Boolean = f match {
-    case EqualTo(a, v) => cmp(node, a, v)(_ == 0)
-    case GreaterThan(a, v) => cmp(node, a, v)(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(node, a, v)(_ >= 0)
-    case LessThan(a, v) => cmp(node, a, v)(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(node, a, v)(_ <= 0)
+  def eval(f: Filter, schema: StructType,
+      node: com.fasterxml.jackson.databind.JsonNode): Boolean = f match {
+    case EqualTo(a, v) => cmp(node, schema, a, v)(_ == 0)
+    case GreaterThan(a, v) => cmp(node, schema, a, v)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(node, schema, a, v)(_ >= 0)
+    case LessThan(a, v) => cmp(node, schema, a, v)(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(node, schema, a, v)(_ <= 0)
     case IsNotNull(a) => { val v = node.get(a); v != null && !v.isNull }
     case IsNull(a) => { val v = node.get(a); v == null || v.isNull }
     case _ => false
@@ -183,9 +202,10 @@ class ZipJsonPartitionReader(file: String, schema: StructType,
     if (line == null) { current = null; false }
     else {
       val node = mapper.readTree(line)
-      // pushed predicates run on the parsed node BEFORE row materialization
-      // (and before type conversion of pruned-out filter columns)
-      if (!filters.forall(ZipJsonFilterEval.eval(_, node))) next()
+      // pushed predicates run on the parsed node BEFORE row materialization;
+      // they resolve types against the FULL table schema (a filter column
+      // may be pruned out of the read schema entirely)
+      if (!filters.forall(ZipJsonFilterEval.eval(_, Sources.jsonSchema, node))) next()
       else {
         current = buildRow(node)
         true

@@ -171,7 +171,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("recall_ok")),
       "scaled copies must be found by LSH — recall 1.0 by construction")
     // the planted ids are present and individually certified
-    val planted = out.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    val planted = out.filter(_.getAs[Long]("vec_id") >= Similarity.PlantIdOffset)
     assert(planted.length === 20)
     spark.catalog.clearCache()
   }
