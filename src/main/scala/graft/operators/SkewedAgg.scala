@@ -6,17 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Skew-resistant aggregation via salting (SURVEY.md scale notes).
   *
-  * A hash aggregation on a heavily skewed key sends the hot key's entire
-  * input to one reduce task. Salting splits each key into `saltBuckets`
-  * synthetic sub-keys for a parallel partial aggregation, then merges the
-  * sub-aggregates in a second (tiny) aggregation — two shuffles, but the
-  * first is balanced and the second carries one row per (key, salt).
+  * Salting splits each key into `saltBuckets` synthetic sub-keys for a
+  * parallel partial aggregation, then merges the sub-aggregates in a
+  * second (tiny) aggregation — two shuffles, the first balanced, the
+  * second carrying one row per (key, salt).
   *
-  * AQE's skewed-shuffle handling covers JOIN skew automatically, but
-  * aggregation skew of this shape still benefits from explicit salting.
-  * Only algebraic aggregates decompose this way (sum/count/min/max —
-  * avg = salted sum / salted count); the helper takes the partial and
-  * final expression lists explicitly to keep that contract visible.
+  * MEASURED honesty note (BASELINE.md r5 probe — 10M rows, 90% on one hot
+  * key): for ALGEBRAIC aggregates Spark's hash aggregation is already
+  * skew-proof — the map-side partial collapses the hot key to one row per
+  * map task before the shuffle, so plain groupBy (0.37 s) matches salted
+  * (0.43 s; the delta is the extra tiny shuffle). Salting earns its keep
+  * where mergeable partial state is NOT available: per-row reduce-side
+  * processing (window functions over a hot key — see
+  * [[TopKPerKey]]'s bounded-heap partial for that family), engines/paths
+  * without map-side combine, and pre-AQE join skew. Only algebraic
+  * aggregates decompose this way (sum/count/min/max — avg = salted sum /
+  * salted count); the helper takes the partial and final expression lists
+  * explicitly to keep that contract visible, and the declared key's
+  * equivalence to the plain aggregate is oracle-verified.
   */
 object SkewedAgg {
 

@@ -100,11 +100,12 @@ object TextOps {
     * TextOpsSpec (the synthetic corpus shares one vocabulary across its
     * lang labels, so accuracy there is meaningless by construction).
     */
-  def langIdScore(text: Column): Column = {
-    // single-space split, NOT \s+: the same tokenizer as textStats/
-    // textQuality and the lang_id oracle's string_split(text, ' ') — a
-    // regex split would diverge from the oracle on consecutive whitespace
-    val toks = split(lower(text), " ")
+  /** [[langIdScore]] over an ALREADY-TOKENIZED column — callers that can
+    * materialize the token array in its own projection should (the score
+    * references it 2×#langs times, and Catalyst neither CSEs a repeated
+    * split() nor collapses a non-cheap alias into that many call sites,
+    * so inlining would re-split per language). */
+  def langIdScoreOfToks(toks: Column): Column = {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         (size(filter(toks, t => t.isin(markers: _*))).cast("double") / size(toks)).as("score"),
@@ -115,6 +116,12 @@ object TextOps {
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  // single-space split, NOT \s+: the same tokenizer as textStats/
+  // textQuality and the lang_id oracle's string_split(text, ' ') — a
+  // regex split would diverge from the oracle on consecutive whitespace
+  def langIdScore(text: Column): Column =
+    langIdScoreOfToks(split(lower(text), " "))
 
   /** Declared key (`lang_id`): language-ID over every document. The
     * heuristic is deterministic column arithmetic (marker-token fractions
@@ -127,6 +134,7 @@ object TextOps {
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), langIdScore(col("text")).as("pred_lang"))
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), langIdScoreOfToks(col("toks")).as("pred_lang"))
       .orderBy("doc_id")
 }

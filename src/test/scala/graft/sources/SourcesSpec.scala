@@ -67,6 +67,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).sorted === Array(30, 36))
   }
 
+  test("DSv2: pushed filters match row-materialization semantics on edge cases") {
+    val dir = tmpDir("zipedge")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/p.zip")))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p.json"))
+    // line 1/2: adjacent longs beyond 2^53 (collide if compared as doubles);
+    // line 3: number encoded as a JSON string (Jackson coerces at
+    // materialization, so the pushed filter must too); line 4: null field
+    zout.write(Seq(
+      s"""{"my_field1":${(1L << 53) + 1},"my_field2":1,"my_field3":"a"}""",
+      s"""{"my_field1":${1L << 53},"my_field2":2,"my_field3":"b"}""",
+      """{"my_field1":"15","my_field2":3,"my_field3":"c"}""",
+      """{"my_field1":null,"my_field2":4,"my_field3":"d"}""").mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    def scan = spark.read.format("graft-zipjson").load(dir)
+    // long comparison must not round through double: only the +1 row passes
+    assert(scan.filter(col("my_field1") > (1L << 53)).collect().map(_.getInt(1)) === Array(1))
+    // equality on the string-encoded number matches the coerced row value
+    assert(scan.filter(col("my_field1") === 15L).collect().map(_.getInt(1)) === Array(3))
+    // null field: comparison never satisfied, IsNull semantics intact
+    assert(scan.filter(col("my_field1") <= Long.MaxValue).count() === 3)
+    assert(scan.filter(col("my_field1").isNull).collect().map(_.getInt(1)) === Array(4))
+  }
+
   test("S4: pojo_scan typed filter matches untyped column filter") {
     val typed = Sources.pojoScan(spark, sf0001).collect()(0)
     val untyped = graft.Tables.customer(spark, sf0001)
