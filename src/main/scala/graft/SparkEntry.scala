@@ -399,7 +399,10 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, lang,
-        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |  -- NULL text => NULL scores: Spark's when(null > 0).otherwise
+        |  -- yields 'und', so the NULL branch must precede the ELSE 'de'
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL THEN 'und'
+        |       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'

@@ -117,14 +117,20 @@ object Similarity {
     * [[graft.operators.MinHashDedup]], for the embedding modality.
     * @param emb columns (vec_id: Long, v: array<double>)
     */
-  /** [[simhash]] resolves through the SQL function registry, so it needs
-    * GraftExtensions on the session; this picks the native kernel when
-    * registered and degrades to the bit-equal [[hofSimhash]] built-in form
-    * otherwise — [[embedDedup]]/[[annTopk]] then work on ANY session (the
-    * HOF fallback is slower, not different). */
+  /** [[simhash]]/[[dot]] resolve through the SQL function registry, so they
+    * need GraftExtensions on the session; these pick the native kernels when
+    * registered and degrade to the bit-equal built-in HOF forms otherwise —
+    * [[embedDedup]]/[[annTopk]] then work on ANY session (the HOF fallback
+    * is slower, not different; bit-equality asserted in VectorExprSpec). */
   private def simhashFor(df: DataFrame, v: Column, bits: Int): Column =
     if (df.sparkSession.catalog.functionExists("graft_vec_simhash")) simhash(v, bits)
     else hofSimhash(v, bits)
+
+  private def dotFor(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot")) dot(a, b) else hofDot(a, b)
+
+  private def cosineFor(df: DataFrame, a: Column, b: Column): Column =
+    dotFor(df, a, b) / (sqrt(dotFor(df, a, a)) * sqrt(dotFor(df, b, b)))
 
   def embedDedup(emb: DataFrame, threshold: Double = 0.95, prefixBits: Int = 8): DataFrame = {
     // bucket table is (vec_id, bucket) ONLY — the multi-probe explode fans
@@ -146,7 +152,7 @@ object Similarity {
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("v").as("v_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("v").as("v_b")), "vec_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", cosineFor(emb, col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
@@ -156,11 +162,15 @@ object Similarity {
     * `ann_topk`. The raw testdata has NO cosine-≥0.95 pairs (max pairwise
     * cosine ≈ 0.51), so a bare self-check would be vacuously green; instead
     * the query PLANTS near-duplicates deterministically: the first
-    * `plantCount` vectors re-enter as (vec_id + 10⁶, 1.001·v). Scaling
-    * preserves direction EXACTLY — cosine(v, 1.001·v) = 1 and every
-    * hyperplane projection keeps its sign — so each planted pair is both a
-    * guaranteed brute-force pair and a guaranteed same-bucket LSH hit:
-    * recall 1.0 by construction, not by luck. Output is one row per vector
+    * `plantCount` vectors re-enter BIT-IDENTICAL under vec_id + 10⁶.
+    * Identical arrays make the guarantee exact in FLOATING POINT, not just
+    * in math: the SimHash projections are the same accumulation → the same
+    * bucket, and the verify cosine is s/(√s·√s) ≈ 1 ≫ threshold — so each
+    * planted pair is both a guaranteed brute-force pair and a guaranteed
+    * same-bucket LSH hit. (A scaled copy 1.001·v has the same DIRECTION but
+    * each product rounds before accumulating, so a borderline projection
+    * could flip sign and in principle flake the gate — bit-identity removes
+    * that risk by construction.) Output is one row per vector
     * (originals + planted): `(vec_id, recall_ok)` where recall_ok ⇔
     * [[embedDedup]] found every brute-force cosine-≥threshold pair touching
     * it. The oracle emits the deterministic id frame + literal TRUE; any
@@ -176,8 +186,7 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val planted = base.filter(col("vec_id") < plantCount)
-      .select((col("vec_id") + lit(PlantIdOffset)).as("vec_id"),
-        transform(col("v"), x => x * lit(1.001d)).as("v"))
+      .select((col("vec_id") + lit(PlantIdOffset)).as("vec_id"), col("v"))
     val emb = base.unionByName(planted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nrm = emb.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
@@ -334,7 +343,7 @@ object Similarity {
         (col("qb") +: (0 until prefixBits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(probes), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", cosineFor(base, col("v"), col("qv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))

@@ -75,7 +75,8 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
         rest
       }
       override def pushedFilters(): Array[Filter] = accepted
-      override def build(): Scan = new ZipJsonScan(required, path, accepted)
+      override def build(): Scan =
+        new ZipJsonScan(required, path, accepted, tableSchema)
     }
 }
 
@@ -136,13 +137,14 @@ private[v2] object ZipJsonFilterEval {
   }
 }
 
-class ZipJsonScan(tableSchema: StructType, path: String,
-    filters: Array[Filter] = Array.empty) extends Scan with Batch {
-  override def readSchema(): StructType = tableSchema
+class ZipJsonScan(readOutSchema: StructType, path: String,
+    filters: Array[Filter] = Array.empty,
+    fullSchema: StructType = Sources.jsonSchema) extends Scan with Batch {
+  override def readSchema(): StructType = readOutSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-zipjson PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${tableSchema.simpleString}"
+      s"ReadSchema: ${readOutSchema.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = java.nio.file.Paths.get(path)
@@ -159,19 +161,21 @@ class ZipJsonScan(tableSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipJsonReaderFactory(tableSchema, filters)
+    new ZipJsonReaderFactory(readOutSchema, filters, fullSchema)
 }
 
 case class ZipFilePartition(file: String) extends InputPartition
 
-class ZipJsonReaderFactory(schema: StructType, filters: Array[Filter])
-    extends PartitionReaderFactory {
+class ZipJsonReaderFactory(schema: StructType, filters: Array[Filter],
+    fullSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file, schema, filters)
+    new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file,
+      schema, filters, fullSchema)
 }
 
 class ZipJsonPartitionReader(file: String, schema: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    fullSchema: StructType = Sources.jsonSchema)
     extends PartitionReader[InternalRow] {
 
   private val zin = new java.util.zip.ZipInputStream(
@@ -203,9 +207,9 @@ class ZipJsonPartitionReader(file: String, schema: StructType,
     else {
       val node = mapper.readTree(line)
       // pushed predicates run on the parsed node BEFORE row materialization;
-      // they resolve types against the FULL table schema (a filter column
-      // may be pruned out of the read schema entirely)
-      if (!filters.forall(ZipJsonFilterEval.eval(_, Sources.jsonSchema, node))) next()
+      // they resolve types against the FULL table schema they were validated
+      // against (a filter column may be pruned out of the read schema)
+      if (!filters.forall(ZipJsonFilterEval.eval(_, fullSchema, node))) next()
       else {
         current = buildRow(node)
         true

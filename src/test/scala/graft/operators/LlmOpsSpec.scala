@@ -169,7 +169,7 @@ class LlmOpsSpec extends SparkSpec {
     val n = graft.Tables.embeddings(spark, sf0001).count()
     assert(out.length === n + 20, "one verdict row per original + planted vector")
     assert(out.forall(_.getAs[Boolean]("recall_ok")),
-      "scaled copies must be found by LSH — recall 1.0 by construction")
+      "bit-identical planted copies must be found by LSH — recall 1.0 by construction")
     // the planted ids are present and individually certified
     val planted = out.filter(_.getAs[Long]("vec_id") >= Similarity.PlantIdOffset)
     assert(planted.length === 20)
