@@ -32,6 +32,12 @@ import scala.jdk.CollectionConverters._
   * Fine for single-node and NFS-backed clusters; an HDFS/S3 variant would
   * swap the nio calls for the Hadoop FS API.
   *
+  * Read option `mode` (mirroring Spark's JSON source): `FAILFAST`
+  * (default) throws on the first malformed line with the archive named;
+  * `DROPMALFORMED` skips malformed lines in the reader — the realistic
+  * posture for a large file-dropped feed where one bad line must not kill
+  * a partition.
+  *
   * This is deliberately a minimal-but-real DSv2 implementation: Table →
   * ScanBuilder → Scan → Batch → PartitionReaderFactory → PartitionReader.
   * The ScanBuilder implements SupportsPushDownRequiredColumns: a pruned
@@ -59,6 +65,8 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // Catalyst hands us projection + predicates before build(); both flow
       // into the Scan and from there to every PartitionReader.
+      private val dropMalformed =
+        options.getOrDefault("mode", "FAILFAST").equalsIgnoreCase("DROPMALFORMED")
       private var required: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -76,7 +84,7 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
       }
       override def pushedFilters(): Array[Filter] = accepted
       override def build(): Scan =
-        new ZipJsonScan(required, path, accepted, tableSchema)
+        new ZipJsonScan(required, path, accepted, tableSchema, dropMalformed)
     }
 }
 
@@ -139,7 +147,8 @@ private[v2] object ZipJsonFilterEval {
 
 class ZipJsonScan(readOutSchema: StructType, path: String,
     filters: Array[Filter] = Array.empty,
-    fullSchema: StructType = Sources.jsonSchema) extends Scan with Batch {
+    fullSchema: StructType = Sources.jsonSchema,
+    dropMalformed: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = readOutSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -161,21 +170,22 @@ class ZipJsonScan(readOutSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipJsonReaderFactory(readOutSchema, filters, fullSchema)
+    new ZipJsonReaderFactory(readOutSchema, filters, fullSchema, dropMalformed)
 }
 
 case class ZipFilePartition(file: String) extends InputPartition
 
 class ZipJsonReaderFactory(schema: StructType, filters: Array[Filter],
-    fullSchema: StructType) extends PartitionReaderFactory {
+    fullSchema: StructType, dropMalformed: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZipJsonPartitionReader(partition.asInstanceOf[ZipFilePartition].file,
-      schema, filters, fullSchema)
+      schema, filters, fullSchema, dropMalformed)
 }
 
 class ZipJsonPartitionReader(file: String, schema: StructType,
     filters: Array[Filter] = Array.empty,
-    fullSchema: StructType = Sources.jsonSchema)
+    fullSchema: StructType = Sources.jsonSchema,
+    dropMalformed: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val zin = new java.util.zip.ZipInputStream(
@@ -205,11 +215,19 @@ class ZipJsonPartitionReader(file: String, schema: StructType,
     val line = nextLine()
     if (line == null) { current = null; false }
     else {
-      val node = mapper.readTree(line)
+      val node =
+        try mapper.readTree(line)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            if (dropMalformed) null
+            else throw new java.io.IOException(
+              s"Malformed JSON line in $file (mode=FAILFAST; " +
+                s"use mode=DROPMALFORMED to skip): ${e.getMessage}", e)
+        }
       // pushed predicates run on the parsed node BEFORE row materialization;
       // they resolve types against the FULL table schema they were validated
       // against (a filter column may be pruned out of the read schema)
-      if (!filters.forall(ZipJsonFilterEval.eval(_, fullSchema, node))) next()
+      if (node == null || !filters.forall(ZipJsonFilterEval.eval(_, fullSchema, node))) next()
       else {
         current = buildRow(node)
         true

@@ -91,6 +91,27 @@ class SourcesSpec extends SparkSpec {
     assert(scan.filter(col("my_field1").isNull).collect().map(_.getInt(1)) === Array(4))
   }
 
+  test("DSv2: mode=DROPMALFORMED skips bad lines; FAILFAST names the archive") {
+    val dir = tmpDir("zipmalformed")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/p.zip")))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p.json"))
+    zout.write(Seq(
+      """{"my_field1":1,"my_field2":1,"my_field3":"a"}""",
+      """{"my_field1":2,"my_field2":2,""",
+      """{"my_field1":3,"my_field2":3,"my_field3":"c"}""").mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val dropped = spark.read.format("graft-zipjson").option("mode", "DROPMALFORMED").load(dir)
+    assert(dropped.collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-zipjson").load(dir).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("Malformed JSON") && msgs.contains("p.zip"),
+      s"FAILFAST must name the malformed archive: $msgs")
+  }
+
   test("S4: pojo_scan typed filter matches untyped column filter") {
     val typed = Sources.pojoScan(spark, sf0001).collect()(0)
     val untyped = graft.Tables.customer(spark, sf0001)
