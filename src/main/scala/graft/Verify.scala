@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several queries persist intermediates they cannot unpersist (lazy
+      // results — see NgramJaccard's cache contract); release them so 48
+      // queries in one session don't accumulate cached partitions
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
