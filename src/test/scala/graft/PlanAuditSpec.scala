@@ -97,6 +97,21 @@ class PlanAuditSpec extends SparkSpec {
       "map-side partial aggregation must shrink each partition to ≤ k rows per key pre-shuffle")
   }
 
+  test("part_supplier: p_size pushed to the part scan, all dims broadcast, ≤1 agg exchange") {
+    val p = plan("part_supplier")
+    assert(p.contains("LessThanOrEqual(p_size,25)"), "p_size predicate must reach the part scan")
+    assert(count(p, "BroadcastHashJoin") === 3 && !p.contains("SortMergeJoin"),
+      "part/supplier/nation all broadcast at this scale")
+    assert(count(p, "Exchange hashpartitioning") <= 1, "only the final aggregation shuffles")
+  }
+
+  test("grouping_sets plans one Expand + two-phase hash agg, like rollup") {
+    val p = plan("grouping_sets")
+    assert(count(p, "Expand") >= 1)
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "grouping sets must not add exchanges beyond the one keyed agg shuffle")
+  }
+
   test("skew_agg: two-stage salted plan — first exchange keyed on (event_type, __salt)") {
     val p = plan("skew_agg")
     assert(count(p, "Exchange hashpartitioning") === 2,
