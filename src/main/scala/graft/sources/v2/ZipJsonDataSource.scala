@@ -65,8 +65,15 @@ class ZipJsonTable(tableSchema: StructType, path: String) extends Table with Sup
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // Catalyst hands us projection + predicates before build(); both flow
       // into the Scan and from there to every PartitionReader.
-      private val dropMalformed =
-        options.getOrDefault("mode", "FAILFAST").equalsIgnoreCase("DROPMALFORMED")
+      private val dropMalformed = {
+        val mode = options.getOrDefault("mode", "FAILFAST").toUpperCase
+        // reject unknown modes at plan time: a typo (DROP_MALFORMED) or
+        // Spark-JSON's PERMISSIVE silently flipping to FAILFAST would put
+        // the user in the opposite tolerance posture
+        require(mode == "FAILFAST" || mode == "DROPMALFORMED",
+          s"graft-zipjson mode must be FAILFAST or DROPMALFORMED, got $mode")
+        mode == "DROPMALFORMED"
+      }
       private var required: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -215,9 +222,16 @@ class ZipJsonPartitionReader(file: String, schema: StructType,
     val line = nextLine()
     if (line == null) { current = null; false }
     else {
+      // a non-object root (`null`, `42`, `[1,2]`) parses without exception
+      // but has no fields — it is malformed for a record source, like
+      // Spark's JSON reader treats it, not a silent all-null row
       val node =
-        try mapper.readTree(line)
-        catch {
+        try {
+          val n = mapper.readTree(line)
+          if (!n.isObject) throw new com.fasterxml.jackson.core.JsonParseException(
+            s"NDJSON record root must be an object, got: ${n.getNodeType}")
+          n
+        } catch {
           case e: com.fasterxml.jackson.core.JacksonException =>
             if (dropMalformed) null
             else throw new java.io.IOException(

@@ -112,6 +112,28 @@ class SourcesSpec extends SparkSpec {
       s"FAILFAST must name the malformed archive: $msgs")
   }
 
+  test("DSv2: non-object JSON roots are malformed, unknown modes rejected at plan time") {
+    val dir = tmpDir("zipnonobj")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/p.zip")))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p.json"))
+    // `null` and `[1,2]` parse as valid JSON but are not records — they
+    // must count as malformed, never as silent all-null rows
+    zout.write(Seq("null", "[1,2]",
+      """{"my_field1":7,"my_field2":7,"my_field3":"x"}""").mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val dropped = spark.read.format("graft-zipjson").option("mode", "DROPMALFORMED").load(dir)
+    assert(dropped.collect().map(_.getLong(0)) === Array(7L))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-zipjson").load(dir).collect()
+    }
+    val bad = intercept[Exception] {
+      spark.read.format("graft-zipjson").option("mode", "PERMISSIVE").load(dir).collect()
+    }
+    assert(bad.getMessage.contains("FAILFAST or DROPMALFORMED"),
+      s"unknown mode must fail loudly, got: ${bad.getMessage}")
+  }
+
   test("S4: pojo_scan typed filter matches untyped column filter") {
     val typed = Sources.pojoScan(spark, sf0001).collect()(0)
     val untyped = graft.Tables.customer(spark, sf0001)
