@@ -78,6 +78,8 @@ object SparkEntry {
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
     "payload_dedup" -> (Multimodal.payloadDedupQuery _),
     "lang_id"       -> (TextOps.langId _),
+    "token_count"   -> (TextOps.tokenCount _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -114,6 +116,17 @@ object SparkEntry {
       |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The winnowing k-gram hash chain, unrolled for DuckDB: identical
+    * arithmetic to graft.plans.WinnowExpr.winnow (mod after every step;
+    * the CAST makes DuckDB promote to BIGINT before `*257` can overflow
+    * INT32). Base/modulus/k interpolate from the single source of truth. */
+  private val winnowHashSql: String =
+    (1 until TextOps.WinnowK).foldLeft("CAST(ascii(text[i:i]) AS BIGINT)") {
+      (acc, j) =>
+        s"(($acc) * ${graft.plans.WinnowExpr.Base} + ascii(text[i+$j:i+$j]))" +
+          s" % ${graft.plans.WinnowExpr.Mod}"
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -465,6 +478,44 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // token classes partition non-space chars, so the same pattern means
+    // the same tokens under Java regex (Spark) and RE2 (DuckDB); patterns
+    // interpolate from TextOps so the two sides cannot drift
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_ws,
+         |  len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS n_bpe,
+         |  len(regexp_extract_all(text, '${TextOps.BpeWord}')) AS n_word,
+         |  len(regexp_extract_all(text, '${TextOps.BpeNum}')) AS n_num,
+         |  len(regexp_extract_all(text, '${TextOps.BpePunct}')) AS n_punct,
+         |  length(text) AS n_chars,
+         |  CASE WHEN len(regexp_extract_all(text, '${TextOps.BpePattern}')) > 0
+         |       THEN CAST(length(text) AS DOUBLE)
+         |            / len(regexp_extract_all(text, '${TextOps.BpePattern}'))
+         |       ELSE NULL END AS chars_per_tok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle RECOMPUTES the winnowing pipeline: the unrolled k-term
+    // hash chain per position, w-wide window minima (list slices clamp at
+    // the end exactly like the kernel's min(i+w, nh) bound), distinct+sort,
+    // and the same space-joined md5 digest — a hash-chain, selection, or
+    // ordering regression in the kernel turns the row red
+    "doc_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    [ $winnowHashSql
+         |      FOR i IN range(1, length(text) - ${TextOps.WinnowK - 2}) ] AS hs
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(
+         |      [ list_min(hs[i:i+${TextOps.WinnowW - 1}])
+         |        FOR i IN range(1, greatest(2, len(hs) - ${TextOps.WinnowW - 2})) ])) AS fps
+         |  FROM h
+         |)
+         |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
+         |       list_max(fps) AS fp_max,
+         |       md5(array_to_string(fps, ' ')) AS fp_digest
+         |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> exactJaccardPairsSql,
     // NgramJaccard computes the SAME output contract exactly (PPJoin prefix
     // filter + exact verify), so it shares the brute-force oracle.

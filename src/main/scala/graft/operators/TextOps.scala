@@ -81,6 +81,104 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- token counting
+
+  /** BPE-ish pre-tokenizer classes (the GPT-2 pre-split shape reduced to
+    * the Java-regex ∩ RE2 common subset so the DuckDB oracle runs the SAME
+    * pattern): letter runs, digit runs, and non-alphanumeric non-space
+    * runs each form one token. The classes partition non-space characters,
+    * so alternation order is immaterial in either engine. */
+  val BpeWord    = "[a-zA-Z]+"
+  val BpeNum     = "[0-9]+"
+  val BpePunct   = "[^a-zA-Z0-9\\s]+"
+  val BpePattern = s"$BpeWord|$BpeNum|$BpePunct"
+
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Declared key (`token_count`): per-document token counting the way an
+    * LLM-data pipeline budgets corpora — whitespace tokens next to a
+    * BPE-ish regex pre-tokenization with per-class counts and a
+    * chars-per-token ratio (the cheap proxy for "how many model tokens is
+    * this corpus"). Pure codegen'd regex column expressions: narrow, no
+    * shuffle, embarrassingly parallel — the per-row cost IS the regex
+    * scan, identical at sf0.01 and 100 TB. On this corpus (lowercase
+    * ASCII words) the digit/punct classes are legitimately zero; crafted
+    * mixed text exercises them in LlmOpsSpec. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        nMatches(col("text"), BpePattern).as("n_bpe"),
+        nMatches(col("text"), BpeWord).as("n_word"),
+        nMatches(col("text"), BpeNum).as("n_num"),
+        nMatches(col("text"), BpePunct).as("n_punct"),
+        length(col("text")).as("n_chars"))
+      .withColumn("chars_per_tok",
+        when(col("n_bpe") > 0, col("n_chars").cast("double") / col("n_bpe")))
+      .orderBy("doc_id")
+
+  // --------------------------------------- winnowing rolling-hash fingerprints
+
+  /** Winnowing parameters for the declared key — any substring match of
+    * length ≥ WinnowK + WinnowW − 1 = 10 code points is guaranteed to
+    * share a fingerprint (the winnowing theorem). The oracle SQL unrolls
+    * the k-term hash chain, so it interpolates these constants. */
+  val WinnowK = 7
+  val WinnowW = 4
+
+  /** Built-in-function formulation of [[graft.plans.WinnowExpr]]: the same
+    * polynomial rolling hash (base 257 mod 2³¹−1), window minima,
+    * distinct+sort — via `transform`/`aggregate`/`slice`. Interpreted
+    * lambdas re-substring the text per (position × offset): correct
+    * everywhere (no extension registration needed), ~k× the work of the
+    * kernel. Bit-equality with the kernel is asserted in VectorExprSpec. */
+  def hofWinnow(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
+    val hs = transform(
+      sequence(lit(0), length(text) - k),
+      i => aggregate(sequence(lit(1), lit(k)), lit(0L),
+        (h, j) => (h * lit(graft.plans.WinnowExpr.Base)
+          + ascii(substr(text, i + j, lit(1)))) % lit(graft.plans.WinnowExpr.Mod)))
+    val mins = transform(
+      sequence(lit(0), greatest(lit(0), size(hs) - w)),
+      i => array_min(slice(hs, i + lit(1), lit(w))))
+    when(length(text) >= k, array_sort(array_distinct(mins)))
+      .otherwise(typedLit(Array.empty[Long]))
+  }
+
+  /** Kernel when the session has GraftExtensions, HOF form otherwise
+    * (same catalog-fallback contract as Similarity.simhashFor). */
+  private def winnowFor(df: DataFrame, text: Column, k: Int, w: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_winnow"))
+      call_function("graft_winnow", text, lit(k), lit(w))
+    else hofWinnow(text, k, w)
+
+  /** Declared key (`doc_fingerprint`): winnowing fingerprints per document
+    * — the rolling-hash member of the dedup family (exact bag-of-words
+    * [[fingerprint]] catches reorderings, MinHash catches high-Jaccard
+    * pairs probabilistically; winnowing deterministically catches LONG
+    * SHARED SUBSTRINGS — plagiarism/quotation/boilerplate — which neither
+    * of the others guarantees). Emitted as count + min/max + an md5 digest
+    * of the sorted fingerprint list: the digest pins the full set in the
+    * oracle compare without shipping arrays through the hash gate. Narrow
+    * codegen'd projection, no shuffle; at 100 TB the downstream join on
+    * exploded (fingerprint → doc) postings is the standard
+    * inverted-index shape (same discipline as MinHash banding). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .select(col("doc_id"),
+        winnowFor(docs, col("text"), WinnowK, WinnowW).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        md5(concat_ws(" ", transform(col("fps"), _.cast("string")))).as("fp_digest"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- language ID
 
   /** Character-trigram profiles for a few languages, built from small public

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_vec_simhash"),
       new ExpressionInfo(classOf[VecSimHashExpr].getName, "graft_vec_simhash"),
       (children: Seq[Expression]) => VecSimHashExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
