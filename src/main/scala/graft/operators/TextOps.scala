@@ -93,7 +93,7 @@ object TextOps {
   val BpePunct   = "[^a-zA-Z0-9\\s]+"
   val BpePattern = s"$BpeWord|$BpeNum|$BpePunct"
 
-  private def nMatches(c: Column, pattern: String): Column =
+  def nMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
   /** Declared key (`token_count`): per-document token counting the way an

@@ -205,4 +205,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter("stop_ratio < 0 OR stop_ratio > 1").count() === 0)
     assert(out.filter("n_types > n_tokens").count() === 0)
   }
+
+  test("BPE-ish token classes split crafted mixed text correctly") {
+    import spark.implicits._
+    // "hello world42 foo-bar!! x3" → words {hello, world, foo, bar, x},
+    // nums {42, 3}, punct runs {-, !!}; bpe = 5 + 2 + 2
+    val r = Seq("hello world42 foo-bar!! x3").toDF("text")
+      .select(
+        TextOps.nMatches(col("text"), TextOps.BpePattern).as("n_bpe"),
+        TextOps.nMatches(col("text"), TextOps.BpeWord).as("n_word"),
+        TextOps.nMatches(col("text"), TextOps.BpeNum).as("n_num"),
+        TextOps.nMatches(col("text"), TextOps.BpePunct).as("n_punct"))
+      .head()
+    assert(r.getInt(0) === 9)
+    assert(r.getInt(1) === 5)
+    assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 2)
+  }
+
+  test("token_count classes partition every non-space char on real docs") {
+    val out = TextOps.tokenCount(spark, sf0001)
+    assert(out.filter("n_bpe != n_word + n_num + n_punct").count() === 0,
+      "disjoint classes must partition the BPE-ish token stream")
+    assert(out.filter("chars_per_tok <= 0").count() === 0)
+  }
+
+  test("doc_fingerprint digest is deterministic and fingerprints non-empty") {
+    val a = TextOps.docFingerprint(spark, sf0001).collect()
+    val b = TextOps.docFingerprint(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getInt(r.fieldIndex("n_fp")) > 0))
+  }
+
+  test("winnowing fingerprints overlap for texts sharing long substrings only") {
+    import spark.implicits._
+    val base = "some long borrowed passage of at least ten chars"
+    val df = Seq(
+      (1L, s"prefix words $base suffix words"),
+      (2L, s"$base completely different tail content here"),
+      (3L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("graft_winnow", col("text"),
+          lit(TextOps.WinnowK), lit(TextOps.WinnowW)).as("fps"))
+    val pairs = df.as("a").join(df.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        arrays_overlap(col("a.fps"), col("b.fps")).as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(pairs((1L, 2L)), "shared passage must share fingerprints")
+    assert(!pairs((1L, 3L)) && !pairs((2L, 3L)),
+      "unrelated texts must not collide")
+  }
 }

@@ -145,4 +145,47 @@ class VectorExprSpec extends SparkSpec {
     val d = Similarity.dot(col("v"), col("qv"))
     assert(d.toString.toLowerCase.contains("graft_dot"))
   }
+
+  // ------------------------------------------------------------ graft_winnow
+
+  test("graft_winnow known answers (single window, exact-k, short, repeated)") {
+    val r = spark.sql(
+      """SELECT graft_winnow('abcdefghij', 7, 4) AS a,
+        |       graft_winnow('abcdefg', 7, 4) AS b,
+        |       graft_winnow('abc', 7, 4) AS c,
+        |       graft_winnow('aaaaaaaaaaaa', 7, 4) AS d,
+        |       graft_winnow(CAST(NULL AS STRING), 7, 4) AS e""".stripMargin).head()
+    assert(r.getSeq[Long](0) === Seq(156933632L))  // one 4-wide window over 4 hashes
+    assert(r.getSeq[Long](1) === Seq(1714780878L)) // exactly k chars: one hash
+    assert(r.getSeq[Long](2) === Seq.empty)        // shorter than k: no k-gram
+    assert(r.getSeq[Long](3) === Seq(1360156075L)) // equal hashes collapse to one fp
+    assert(r.isNullAt(4))
+  }
+
+  test("graft_winnow rejects out-of-range k/w at analysis") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_winnow('abc', 0, 4)").head())
+    assert(e.getMessage.contains("1..1024"))
+  }
+
+  test("graft_winnow kernel is bit-identical to the HOF formulation on real docs") {
+    val docs = graft.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val diff = docs
+      .withColumn("native", call_function("graft_winnow", col("text"), lit(7), lit(4)))
+      .withColumn("hof", graft.operators.TextOps.hofWinnow(col("text")))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("winnowing theorem: substring of length >= k+w-1 shares a fingerprint") {
+    // plant a 24-char shared substring inside otherwise unrelated texts
+    val shared = "the stolen phrase here ok"
+    val r = spark.sql(
+      s"""SELECT arrays_overlap(
+         |  graft_winnow('left padding words $shared more on this side', 7, 4),
+         |  graft_winnow('$shared entirely different continuation text', 7, 4)) AS o""".stripMargin)
+      .head()
+    assert(r.getBoolean(0), "long shared substring must share a winnow fingerprint")
+  }
 }
