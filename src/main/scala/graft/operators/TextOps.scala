@@ -88,9 +88,12 @@ object TextOps {
     * pattern): letter runs, digit runs, and non-alphanumeric non-space
     * runs each form one token. The classes partition non-space characters,
     * so alternation order is immaterial in either engine. */
+  // whitespace spelled explicitly, not \s: Java's \s includes U+000B but
+  // RE2's is [\t\n\f\r ], so \s would silently diverge between Spark and
+  // the DuckDB oracle on vertical-tab input. \x0B is valid in both.
   val BpeWord    = "[a-zA-Z]+"
   val BpeNum     = "[0-9]+"
-  val BpePunct   = "[^a-zA-Z0-9\\s]+"
+  val BpePunct   = "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+"
   val BpePattern = s"$BpeWord|$BpeNum|$BpePunct"
 
   def nMatches(c: Column, pattern: String): Column =
@@ -143,7 +146,10 @@ object TextOps {
     val mins = transform(
       sequence(lit(0), greatest(lit(0), size(hs) - w)),
       i => array_min(slice(hs, i + lit(1), lit(w))))
-    when(length(text) >= k, array_sort(array_distinct(mins)))
+    // NULL text must stay NULL to match the kernel (a bare when() treats a
+    // NULL condition as false and would fall through to the empty array).
+    when(text.isNull, lit(null).cast("array<bigint>"))
+      .when(length(text) >= k, array_sort(array_distinct(mins)))
       .otherwise(typedLit(Array.empty[Long]))
   }
 
@@ -178,6 +184,57 @@ object TextOps {
         md5(concat_ws(" ", transform(col("fps"), _.cast("string")))).as("fp_digest"))
       .orderBy("doc_id")
   }
+
+  /** `winnow_pairs` knobs — shared with the oracle via interpolation in
+    * SparkEntry (single source of truth). The df cap drops fingerprints
+    * whose posting list exceeds `WinnowDfCap` docs (low-entropy boilerplate
+    * — a df-length posting list contributes df² candidate rows, the same
+    * hot-shingle failure mode NgramJaccard's prefix filter defuses); pairs
+    * must share ≥ `WinnowMinShared` surviving fingerprints. */
+  val WinnowDfCap = 16
+  val WinnowMinShared = 5
+
+  /** Shared-substring pair mining over winnowing fingerprints — the
+    * cross-doc half of [[docFingerprint]] (which emits per-doc sets): the
+    * standard inverted-index postings join. Explode each doc's fingerprint
+    * set into (fp, doc_id) postings, drop postings above the df cap, join
+    * postings on fp (doc_a < doc_b), and keep pairs sharing at least
+    * `minShared` fingerprints. Never all-pairs: candidates are bounded by
+    * Σ df² over kept fingerprints, and every step is a hash-shuffle on fp
+    * or on the pair key — the MinHash-banding scale shape, for the
+    * long-shared-substring modality.
+    *
+    * By the winnowing theorem any shared substring of ≥ k + w − 1 code
+    * points guarantees ≥ 1 shared fingerprint (LlmOpsSpec plants one), so
+    * `minShared` tunes how much shared text constitutes a pair.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+      dfCap: Int = WinnowDfCap, minShared: Long = WinnowMinShared): DataFrame = {
+    val post = docs
+      .select(col("doc_id"), winnowFor(docs, col("text"), k, w).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val kept = post.join(
+      post.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("fp"),
+      "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Declared key (`winnow_pairs`): winnowing pair mining over the
+    * documents table at the declared k/w/df-cap/min-shared. The DuckDB
+    * oracle recomputes the whole pipeline — unrolled hash chain, window
+    * minima, postings, df cap, pair counts — so a regression anywhere in
+    * the kernel OR the mining join turns rows red. (This corpus has a tiny
+    * shared vocabulary, so 7-char fingerprints recur across unrelated docs;
+    * the df cap + min-shared threshold are what keep the pair set
+    * meaningful here, exactly as they would against boilerplate at 100 TB.)
+    */
+  def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
   // ------------------------------------------------------------- language ID
 

@@ -86,7 +86,16 @@ object WinnowExpr {
   final val Base = 257L
   final val Mod  = 2147483647L // 2^31 - 1
 
-  /** The full winnow pipeline over one string; also the codegen entry point. */
+  /** The full winnow pipeline over one string; also the codegen entry point.
+    *
+    * O(n) in the text length, independent of k and w: the k-gram hashes
+    * roll (`h' = h·B − c_out·B^k + c_in mod M`, with B^k mod M precomputed
+    * once) and the window minima come from a monotonic deque (each hash
+    * index is pushed and popped at most once). The rolling recurrence is
+    * algebraically the same polynomial as the direct k-term chain, so the
+    * output is bit-identical to the unrolled form the DuckDB oracle and
+    * [[graft.operators.TextOps.hofWinnow]] compute.
+    */
   def winnow(s: String, k: Int, w: Int): GenericArrayData = {
     if (k < 1 || k > 1024 || w < 1 || w > 1024)
       throw new IllegalArgumentException(
@@ -94,26 +103,53 @@ object WinnowExpr {
     val cps = s.codePoints().toArray
     val nh = cps.length - k + 1
     if (nh <= 0) return new GenericArrayData(Array.emptyLongArray)
+
+    // B^k mod M (k ≤ 1024, so a simple loop beats modpow's branching)
+    var bk = 1L
+    var j = 0
+    while (j < k) { bk = bk * Base % Mod; j += 1 }
+
+    // rolling k-gram hashes: first window directly, then subtract-leading-
+    // term. Magnitudes: h < M < 2³¹, h·B < 2⁴⁰, c_out·B^k < 2²¹·2³¹ = 2⁵²
+    // — every intermediate fits a Long with headroom.
     val hs = new Array[Long](nh)
-    var i = 0
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * Base + cps(j)) % Mod; j += 1 }
+    hs(0) = h
+    var i = 1
     while (i < nh) {
-      var h = 0L
-      var j = 0
-      while (j < k) { h = (h * Base + cps(i + j)) % Mod; j += 1 }
+      h = (h * Base - cps(i - 1) * bk % Mod + cps(i + k - 1)) % Mod
+      if (h < 0) h += Mod
       hs(i) = h
       i += 1
     }
+
+    // sliding-window minima via monotonic deque (indices with strictly
+    // increasing hash values; front = current window's minimum)
     val nw = math.max(1, nh - w + 1)
     val mins = new Array[Long](nw)
-    i = 0
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0 // deque is dq[head, tail)
+    j = 0
+    val firstEnd = math.min(w, nh)
+    while (j < firstEnd) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      j += 1
+    }
+    mins(0) = hs(dq(head))
+    i = 1
     while (i < nw) {
-      var m = hs(i)
-      var j = i + 1
-      val end = math.min(i + w, nh)
-      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
-      mins(i) = m
+      if (dq(head) < i) head += 1
+      val in = i + w - 1
+      while (tail > head && hs(dq(tail - 1)) >= hs(in)) tail -= 1
+      dq(tail) = in; tail += 1
+      mins(i) = hs(dq(head))
       i += 1
     }
+
     java.util.Arrays.sort(mins)
     var n = 0
     i = 0

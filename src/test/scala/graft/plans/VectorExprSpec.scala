@@ -178,6 +178,35 @@ class VectorExprSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("graft_winnow matches HOF at large k/w (rolling hash + deque path)") {
+    // k=50/w=100 forces the rolling update and multi-evict deque turns that
+    // the declared k=7/w=4 barely exercises
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).limit(50)
+    val diff = docs
+      .withColumn("native", call_function("graft_winnow", col("text"), lit(50), lit(100)))
+      .withColumn("hof", graft.operators.TextOps.hofWinnow(col("text"), 50, 100))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("hofWinnow NULL parity with the kernel") {
+    // the fallback must return NULL for NULL text exactly like the kernel,
+    // not an empty array (a =!= compare filters NULL rows, so assert directly)
+    import spark.implicits._
+    val r = Seq(Option.empty[String], Some("abc"), Some("abcdefghij")).toDF("text")
+      .select(
+        graft.operators.TextOps.hofWinnow(col("text")).as("hof"),
+        call_function("graft_winnow", col("text"),
+          lit(graft.operators.TextOps.WinnowK), lit(graft.operators.TextOps.WinnowW)).as("native"))
+      .collect()
+    for (row <- r) {
+      assert(row.isNullAt(0) === row.isNullAt(1))
+      if (!row.isNullAt(0)) assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    }
+  }
+
   test("winnowing theorem: substring of length >= k+w-1 shares a fingerprint") {
     // plant a 24-char shared substring inside otherwise unrelated texts
     val shared = "the stolen phrase here ok"
