@@ -80,6 +80,10 @@ object SparkEntry {
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "winnow_pairs"  -> (TextOps.winnowPairsQuery _),
+    // §2.7 E1 last mile: transitive cluster resolution over the verified
+    // MinHash pair set (pointer-jumping connected components)
+    "dedup_clusters" -> (DedupClusters.dedupClusters _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -101,21 +105,28 @@ object SparkEntry {
   /** Brute-force exact trigram-Jaccard ≥ 0.8 pairs — the shared oracle for
     * `dedup_minhash` (probabilistic LSH, recall 1.0 at this SF) and
     * `ngram_jaccard` (exact PPJoin prefix filter): identical output contract.
+    * Split into CTE + SELECT so `dedup_clusters` can reuse the SAME edge
+    * set inside its WITH RECURSIVE closure — Spark and DuckDB then resolve
+    * components over identical pairs by construction.
     */
-  private val exactJaccardPairsSql: String =
-    """WITH sh AS (
+  private val jaccardShingleCte: String =
+    """sh AS (
       |  SELECT doc_id, list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                                 FOR i IN range(1, len(toks) - 1) ]) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 3
-      |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |)""".stripMargin
+
+  private val jaccardPairsSelect: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin
+
+  private val exactJaccardPairsSql: String =
+    s"WITH $jaccardShingleCte\n$jaccardPairsSelect\nORDER BY doc_a, doc_b"
 
   /** The winnowing k-gram hash chain, unrolled for DuckDB: identical
     * arithmetic to graft.plans.WinnowExpr.winnow (mod after every step;
@@ -127,6 +138,26 @@ object SparkEntry {
         s"(($acc) * ${graft.plans.WinnowExpr.Base} + ascii(text[i+$j:i+$j]))" +
           s" % ${graft.plans.WinnowExpr.Mod}"
     }
+
+  /** The full winnowing recomputation as reusable CTEs (`m.fps` = each
+    * document's sorted distinct fingerprint set): the per-position hash
+    * chain, w-wide window minima (list slices clamp at the end exactly
+    * like the kernel's min(i+w, nh) bound), distinct + sort. Shared by the
+    * `doc_fingerprint` oracle (per-doc digests) and the `winnow_pairs`
+    * oracle (postings join), so both gates pin the same kernel semantics. */
+  private val winnowFpsCtes: String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    [ $winnowHashSql
+       |      FOR i IN range(1, length(text) - ${TextOps.WinnowK - 2}) ] AS hs
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(
+       |      [ list_min(hs[i:i+${TextOps.WinnowW - 1}])
+       |        FOR i IN range(1, greatest(2, len(hs) - ${TextOps.WinnowW - 2})) ])) AS fps
+       |  FROM h
+       |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -500,26 +531,56 @@ object SparkEntry {
     // and the same space-joined md5 digest — a hash-chain, selection, or
     // ordering regression in the kernel turns the row red
     "doc_fingerprint" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    [ $winnowHashSql
-         |      FOR i IN range(1, length(text) - ${TextOps.WinnowK - 2}) ] AS hs
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |    list_sort(list_distinct(
-         |      [ list_min(hs[i:i+${TextOps.WinnowW - 1}])
-         |        FOR i IN range(1, greatest(2, len(hs) - ${TextOps.WinnowW - 2})) ])) AS fps
-         |  FROM h
-         |)
+      s"""WITH $winnowFpsCtes
          |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
          |       list_max(fps) AS fp_max,
          |       md5(array_to_string(fps, ' ')) AS fp_digest
          |FROM m ORDER BY doc_id""".stripMargin,
+    // winnowing pair mining: the oracle recomputes the ENTIRE pipeline —
+    // kernel (shared CTEs above), postings, df cap, min-shared — with the
+    // knobs interpolated from TextOps (single source of truth), so a
+    // regression in either the kernel or the mining join turns rows red
+    "winnow_pairs" ->
+      s"""WITH $winnowFpsCtes, post AS (
+         |  SELECT doc_id, UNNEST(fps) AS fp FROM m
+         |), kept AS (
+         |  SELECT doc_id, fp FROM post
+         |  WHERE fp IN (SELECT fp FROM post GROUP BY fp
+         |               HAVING COUNT(*) <= ${TextOps.WinnowDfCap})
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING COUNT(*) >= ${TextOps.WinnowMinShared}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash" -> exactJaccardPairsSql,
     // NgramJaccard computes the SAME output contract exactly (PPJoin prefix
     // filter + exact verify), so it shares the brute-force oracle.
     "ngram_jaccard" -> exactJaccardPairsSql,
+    // transitive closure over the SAME brute-force edge set dedup_minhash
+    // is gated on: a recursive min-id walk labels every node with the
+    // smallest doc_id it can reach, so a propagation bug on the Spark side
+    // (a component split or merged wrongly) turns rows red. Singleton docs
+    // join in with themselves as representative — one row per DOCUMENT.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardShingleCte, pairs AS (
+         |$jaccardPairsSelect
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+         |), cc AS (
+         |  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id AS doc_id,
+         |       COALESCE(cc.rep, d.doc_id) AS cluster_rep,
+         |       COALESCE(cc.rep, d.doc_id) = d.doc_id AS is_survivor
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+         |ORDER BY doc_id""".stripMargin,
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

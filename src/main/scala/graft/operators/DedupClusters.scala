@@ -83,6 +83,14 @@ object DedupClusters {
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — returning partial labels would " +
+          "silently split components; raise maxIter (pointer jumping needs " +
+          "O(log diameter) rounds, so 50 covers any real edge set)")
+    }
     System.err.println(
       s"[graft] connectedComponents: converged in $iter rounds (maxIter=$maxIter)")
     labels
@@ -104,6 +112,11 @@ object DedupClusters {
     val pairs = MinHashDedup.verified(sh, MinHashDedup.candidatePairs(sh))
       .select(col("doc_a"), col("doc_b"))
     val cc = connectedComponents(pairs).toDF("doc_id", "rep")
+    // The CC fixpoint loop has already materialized `cc` (its convergence
+    // counts are actions), so the shingle frame backing the edge list is
+    // no longer needed; `cc` itself stays cached — callers that want a
+    // fully clean session wrap materialization in Caching.withCleanup(cc).
+    sh.unpersist(blocking = false)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))

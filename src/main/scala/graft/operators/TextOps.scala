@@ -210,9 +210,15 @@ object TextOps {
     */
   def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
       dfCap: Int = WinnowDfCap, minShared: Long = WinnowMinShared): DataFrame = {
+    // Persisted: the winnowing kernel feeding `post` is the expensive leg,
+    // and the frame is consumed three times (the df aggregation and both
+    // sides of the fp self-join) — without the persist the kernel runs ~3×
+    // per doc (the MinHashDedup shingle-frame discipline; callers that
+    // need a clean session wrap materialization in Caching.withCleanup).
     val post = docs
       .select(col("doc_id"), winnowFor(docs, col("text"), k, w).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = post.join(
       post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("fp"),
