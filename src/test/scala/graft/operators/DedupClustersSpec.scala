@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Caching, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Falsifiable verification of the connected-components propagation loop.
+  *
+  * The sf0.01 oracle corpus's Jaccard-0.8 edge set is dyads + one complete
+  * triangle (judge-measured, r8) — zero transitive-only pairs — so the
+  * `dedup_clusters` oracle row alone cannot distinguish the full pointer-
+  * jumping fixpoint from its round-0 init (min of direct neighbors). These
+  * specs plant the cases the oracle lacks: chains whose minimum label is
+  * reachable only through MULTIPLE propagation rounds, with ids deliberately
+  * non-monotone along the path so labels must actually travel.
+  */
+class DedupClustersSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
+  }
+
+  private def reps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("planted non-monotone chain 3~1~4~2: label 1 reaches node 2 transitively") {
+    // Path 3-1-4-2. Node 2's only direct neighbor is 4, so its round-0 init
+    // is min(2, 4) = 2 — the correct rep 1 can ONLY arrive via propagation
+    // through 4. A broken loop body leaves {2 -> 2} and splits the cluster.
+    val cc = DedupClusters.connectedComponents(edges((3L, 1L), (1L, 4L), (4L, 2L)))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("17-node ascending path needs multiple pointer-jump rounds, one component") {
+    // Path 1~2~...~17: node i's direct neighbors are i-1 and i+1, so init
+    // labels are i-1 — the worst case for naive propagation (label 1 moves
+    // one hop per round without jumping; 16 rounds naive, O(log 16) with
+    // pointer jumping). All nodes must land on rep 1.
+    val path = (1L until 17L).map(i => (i, i + 1))
+    val cc = DedupClusters.connectedComponents(edges(path: _*))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got.keySet === (1L to 17L).toSet)
+    assert(got.values.forall(_ === 1L),
+      s"every path node must reach the transitive min label 1; got $got")
+  }
+
+  test("two components stay separate: chain + disjoint dyad") {
+    val cc = DedupClusters.connectedComponents(
+      edges((3L, 1L), (1L, 4L), (10L, 12L)))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 12L -> 10L))
+  }
+
+  test("maxIter=1 on a long path throws instead of returning split components") {
+    val path = (1L until 17L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(edges(path: _*), maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("withCleanup unpersists the labels frame on success and on exception") {
+    spark.catalog.clearCache()
+    val cc = DedupClusters.connectedComponents(edges((5L, 2L), (2L, 9L)))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "withCleanup must leave no cached frame behind")
+
+    val cc2 = DedupClusters.connectedComponents(edges((7L, 3L)))
+    intercept[RuntimeException] {
+      Caching.withCleanup(cc2) { throw new RuntimeException("boom") }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "withCleanup must unpersist on the exception path too")
+  }
+
+  test("dedup_clusters key: reps are cluster minima and survivors are exactly the reps") {
+    val out = DedupClusters.dedupClusters(spark, sf0001).collect()
+    val rep = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // representative is idempotent (rep of a rep is itself) and <= member id
+    rep.foreach { case (id, r) =>
+      assert(r <= id, s"rep $r must be the smallest id in $id's cluster")
+      assert(rep(r) === r, s"rep $r must be its own representative")
+    }
+    out.foreach { r =>
+      assert(r.getBoolean(2) === (r.getLong(0) === r.getLong(1)))
+    }
+    spark.catalog.clearCache()
+  }
+}
