@@ -257,6 +257,52 @@ object Similarity {
     centroids
   }
 
+  /** nProbe nearest inverted lists per QUERY ROW, computed DISTRIBUTED:
+    * the tiny centroid frame broadcasts against the query frame, per-query
+    * centroid cosine, rank window over q_id. The query side never touches
+    * the driver, so this serves a query TABLE of any size — the "embed the
+    * new crawl, search the index" batch shape (the former driver-side
+    * collect + sort loop capped ANN at driver-sized query sets). Cosine is
+    * the same index-order double accumulation the driver loop computed, and
+    * the (cos desc, cid) window order reproduces its stable-sort tie-break,
+    * so probe choice is bit-identical to the old form.
+    * @param queries columns (q_id: Long, qv: array<double>)
+    */
+  def probeCids(queries: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid"))
+    queries.crossJoin(broadcast(cdf))
+      .withColumn("ccos", cosineFor(queries, col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(w))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cid"))
+  }
+
+  /** IVF search proper: probe selection + candidate scoring + per-query
+    * top-k, all distributed. `assigned` is the inverted file — the corpus
+    * with its list id, (cid, vec_id, v), from [[assignCids]]; `queries` is
+    * any (q_id, qv) frame. The probe join is a plain equi-join on cid (the
+    * planner broadcasts small probe sets; at cluster scale a cid-bucketed
+    * index co-locates it), candidates ≈ corpus × nProbe / c per query.
+    * Rows with vec_id = q_id are excluded (the declared key queries the
+    * corpus against itself; disjoint id spaces are unaffected). */
+  def ivfSearch(assigned: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], k: Int = DefaultK,
+      nProbe: Int = 2): DataFrame = {
+    val probes = probeCids(queries, centroids, nProbe)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineFor(assigned, col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def ivfTopk(spark: SparkSession, dir: String, k: Int = DefaultK, c: Int = 8,
       nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -267,33 +313,10 @@ object Similarity {
     // vectors shuffle ONCE here (the inverted-file materialization — at
     // cluster scale this is the write of the cid-bucketed index, amortized
     // over every query batch served from it).
-    // persisted: the assignment feeds two actions (query-vector pull below
-    // and the probe join) — without the cache the whole argmin pass runs
-    // twice. Narrow (vec_id, v, cid) rows, O(corpus) like `emb` itself.
     val assigned = emb.join(assignCids(spark, emb, centroids), "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = assigned.filter(col("vec_id") < NumQueryVecs)
+    val queries = emb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // nProbe nearest centroids per query, computed driver-side (tiny)
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
-    import spark.implicits._
-    val probes = queries.flatMap { case (qid, qv) =>
-      centroids.sortBy { case (_, cv) => -cos(qv, cv) }.take(nProbe)
-        .map { case (cid, _) => (qid, qv, cid) }
-    }.toSeq.toDF("q_id", "qv", "cid")
-
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rn")
+    ivfSearch(assigned, queries, centroids, k, nProbe).orderBy("q_id", "rn")
   }
 
   /** E2 scale path: LSH-bucketed approximate top-k. Corpus and queries are

@@ -138,6 +138,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann_topk query path is distributed — no driver-built query relation") {
+    val p = plan("ann_topk")
+    // the only LocalTableScan allowed is the tiny centroid frame (cid, cv);
+    // a scan carrying qv would mean the query vectors were collected to the
+    // driver and re-parallelized (the pre-r9 probe-selection shape)
+    p.linesIterator.filter(_.contains("LocalTableScan")).foreach { l =>
+      assert(!l.contains("qv") && !l.contains("q_id"),
+        s"query vectors must never round-trip through the driver: $l")
+    }
+  }
+
   test("embedDedup probe side carries ids only — no vectors through the explode") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

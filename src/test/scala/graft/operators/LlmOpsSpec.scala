@@ -113,6 +113,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivf.size === exact.size, "top-k fully filled from probed lists")
   }
 
+  test("ivfSearch serves a 10k-row query TABLE fully distributed") {
+    // the batch-serving shape: corpus indexed once, a large query frame
+    // searched against it — no driver collect anywhere on the query path
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id") * 16 + d)).as("v"))
+    val centroids = Similarity.trainCentroids(spark, emb, c = 8, lloydIters = 1)
+    val assigned = emb.join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+    val queries = spark.range(10000).select(col("id").as("q_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => cos(col("id") * 16 + d)).as("qv"))
+    val out = Similarity.ivfSearch(assigned, queries, centroids, k = 10, nProbe = 2)
+      .groupBy("q_id").agg(count(lit(1)).as("n"))
+    assert(out.count() === 10000L, "every query row must be served")
+    assert(out.filter(col("n") =!= 10).count() === 0L,
+      "probed lists (~250 vectors × 2 probes) must fill the full top-10")
+  }
+
   test("ann_topk recall verdict (declared IVF form) holds with slack on sf0.001") {
     val rows = Similarity.annRecall(spark, sf0001).collect()
     assert(rows.length === 5, "one verdict row per query vector")
