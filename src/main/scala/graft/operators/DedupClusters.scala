@@ -114,8 +114,12 @@ object DedupClusters {
     val cc = connectedComponents(pairs).toDF("doc_id", "rep")
     // The CC fixpoint loop has already materialized `cc` (its convergence
     // counts are actions), so the shingle frame backing the edge list is
-    // no longer needed; `cc` itself stays cached — callers that want a
-    // fully clean session wrap materialization in Caching.withCleanup(cc).
+    // no longer needed. `cc` itself stays cached and its handle is internal
+    // to this key: a fully clean session afterwards comes from the harness's
+    // spark.catalog.clearCache() per-key contract (Verify.scala). Library
+    // users who want scoped cleanup call [[connectedComponents]] directly —
+    // its returned frame IS the cached handle, wrappable in
+    // [[graft.Caching.withCleanup]] (exercised in DedupClustersSpec).
     sh.unpersist(blocking = false)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")

@@ -213,8 +213,7 @@ object TextOps {
     // Persisted: the winnowing kernel feeding `post` is the expensive leg,
     // and the frame is consumed three times (the df aggregation and both
     // sides of the fp self-join) — without the persist the kernel runs ~3×
-    // per doc (the MinHashDedup shingle-frame discipline; callers that
-    // need a clean session wrap materialization in Caching.withCleanup).
+    // per doc (the MinHashDedup shingle-frame discipline).
     val post = docs
       .select(col("doc_id"), winnowFor(docs, col("text"), k, w).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
@@ -223,11 +222,20 @@ object TextOps {
       post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("fp"),
       "fp")
-    kept.as("a").join(kept.as("b"),
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the pair frame while the postings are cached, then free
+    // the postings (Caching.withCleanup) — in a long-lived session the
+    // O(corpus) postings would otherwise leak until clearCache. The RESULT
+    // stays cached but is tiny (O(near-dup pairs), not O(corpus)) and is
+    // the returned frame, so callers hold its handle and own its cleanup
+    // (unpersist, or the Verify/Bench per-key clearCache contract).
+    graft.Caching.withCleanup(post)(pairs.count())
+    pairs
   }
 
   /** Declared key (`winnow_pairs`): winnowing pair mining over the

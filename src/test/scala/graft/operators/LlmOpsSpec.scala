@@ -255,6 +255,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.forall(r => r.getInt(r.fieldIndex("n_fp")) > 0))
   }
 
+  test("winnowPairs pairs docs sharing a long passage; disjoint docs stay unpaired") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // 146-char shared passage ≫ k+w−1 = 10: the winnowing theorem
+    // guarantees shared fingerprints, and ~146/w distinct window minima
+    // clear the minShared=5 bar with a wide margin
+    val shared = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "zebras quietly examine forty two mysterious glowing artifacts near " +
+      "the old stone bridge"
+    val docs = Seq(
+      (1L, s"unique preamble about gardens and rivers $shared"),
+      (2L, s"$shared entirely different closing remarks follow here today"),
+      (3L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp fff ggg hhh jjj kkk"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs)
+    val got = pairs.collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "exactly the passage-sharing pair, nothing touching the disjoint doc")
+    assert(got.head.getLong(2) >= TextOps.WinnowMinShared)
+    // the returned frame is the ONLY cache winnowPairs leaves behind —
+    // the O(corpus) postings frame is freed internally via withCleanup
+    pairs.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dropping the returned handle must leave a clean session")
+  }
+
   test("winnowing fingerprints overlap for texts sharing long substrings only") {
     import spark.implicits._
     val base = "some long borrowed passage of at least ten chars"
