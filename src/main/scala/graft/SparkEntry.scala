@@ -45,6 +45,7 @@ object SparkEntry {
     "win_rank"      -> (Relational.winRank _),
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
+    "star_topk"     -> (Relational.starTopk _),
     "asof_join"     -> (AsOfJoin.asofJoin _),
     "range_join"    -> ((s: SparkSession, d: String) => RangeJoin.rangeJoin(s, d)),
     // §2.5 function surface
@@ -252,6 +253,21 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // TPC-H Q3 shape — the macro multi-operator key: filter + 3-way join +
+    // per-order aggregation + top-10. Grouping by o_orderkey makes the
+    // oracle's GROUP BY equal Spark's pre-join per-order aggregate exactly.
+    "star_topk" ->
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items, o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "topk" ->
       """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey

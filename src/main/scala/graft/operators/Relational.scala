@@ -269,6 +269,37 @@ object Relational {
         col("P").cast("double").as("P"))
       .orderBy("yr")
 
+  /** Macro query (TPC-H Q3 shape): selective dimension filter + 3-way join
+    * + aggregation + top-k in ONE plan — the realistic multi-operator
+    * pipeline the per-operator keys exercise in isolation. Scale shape:
+    * all three predicates push to their scans; the shipped-late fact rows
+    * pre-aggregate per order BEFORE the join spine (the [[joinStar]]
+    * discipline — the one wide shuffle carries one narrow row per order,
+    * not every lineitem), the filtered orders/customer sides join onto the
+    * summaries (broadcast at bench scale, AQE's call at 100 TB), and the
+    * final top-10 plans as TakeOrderedAndProject (per-partition heaps +
+    * driver merge of k rows), never a global sort. After the per-order
+    * pre-aggregate each order is a single row, so no second aggregation is
+    * needed — the joins are 1:1 enrichment.
+    */
+  def starTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1995-03-15"
+    val revenue = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy("l_orderkey")
+      .agg(sum(revenue).as("rev"), count(lit(1)).as("n_items"))
+    perOrder
+      .join(Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("rev").cast("double").as("revenue"),
+        col("n_items"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** R15 / E1-exact: deduplication — keep the EARLIEST event per
     * (user_id, event_type), expressed as row_number over a keyed window
     * (deterministic, unlike dropDuplicates which keeps an arbitrary row).

@@ -138,6 +138,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("star_topk: pushed filters, fact pre-agg shuffle only, broadcast joins, top-k operator") {
+    val p = plan("star_topk")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter must reach the lineitem scan")
+    assert(p.contains("LessThan(o_orderdate"), "order-date filter must reach the orders scan")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the customer scan")
+    assert(count(p, "BroadcastHashJoin") === 2 && !p.contains("SortMergeJoin"),
+      "filtered orders + customer join onto the per-order summaries as broadcasts")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "the per-order fact pre-aggregate is the only wide shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must never plan a global sort")
+  }
+
   test("ann_topk query path is distributed — no driver-built query relation") {
     val p = plan("ann_topk")
     // the only LocalTableScan allowed is the tiny centroid frame (cid, cv);
