@@ -64,6 +64,24 @@ object StreamingOps {
           expr("timestamp - make_interval(0, 0, 0, 0, 0, 0, value % 10 + 1)"))
           .otherwise(col("timestamp")).as("ts"))
 
+  /** S5 streaming twin — NDJSON FILE-DROP ingestion: watch a directory and
+    * read each newly arrived file exactly once (the file source records
+    * processed files in the checkpoint's file log, so a restart neither
+    * re-reads nor skips). This is the production mode for the reference's
+    * gz fixture feed (S5 reads the same NDJSON as a bounded batch): same
+    * schema contract, same downstream transforms — batch/stream
+    * unification again. Compressed drops (.gz) decode by extension exactly
+    * as in the batch path. Streaming file sources require an explicit
+    * schema (no inference); `maxFilesPerTrigger` bounds micro-batch size
+    * so a backlog drains in controlled chunks instead of one giant batch.
+    */
+  def fileDropSource(spark: SparkSession, dir: String, ddlSchema: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(ddlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** W3/W4 — bounded out-of-orderness watermark. */
   def withEventWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
