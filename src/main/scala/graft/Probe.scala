@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale probes behind the BASELINE.md experiment log.
+  *
+  * Each probe builds a synthetic corpus ~40-200× the bench volume with
+  * PLANTED ground truth, runs the production operator, and prints wall
+  * time + an exact verdict (planted recall / zero violations). Run via
+  *   sbt "runMain graft.Probe winnow 200000 2000"
+  *   sbt "runMain graft.Probe cc 100000 10 1000"
+  * Generation is deterministic column arithmetic (no RNG) so every run
+  * probes the identical corpus.
+  */
+object Probe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("graft-probe")
+    args.headOption match {
+      case Some("winnow") =>
+        winnowProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
+          nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
+      case Some("cc") =>
+        ccProbe(spark,
+          nChains = args.lift(1).map(_.toInt).getOrElse(100000),
+          chainLen = args.lift(2).map(_.toInt).getOrElse(10),
+          longPath = args.lift(3).map(_.toInt).getOrElse(1000))
+      case other => sys.error(s"unknown probe $other (winnow | cc)")
+    }
+    spark.stop()
+  }
+
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** `winnow_pairs` at scale: `nDocs` random-vocab docs (60 tokens from a
+    * 50k vocab, deterministic hash arithmetic) + `nPlant` planted pairs
+    * sharing a 30-token passage (~180 chars — far above the k+w−1 = 10
+    * winnowing guarantee). Recall = planted pairs recovered with
+    * ≥ WinnowMinShared shared fingerprints. */
+  def winnowProbe(spark: SparkSession, nDocs: Int, nPlant: Int): Unit = {
+    val body = concat_ws(" ", transform(sequence(lit(0), lit(59)),
+      j => concat(lit("t"), pmod(xxhash64(col("id") * 61 + j), lit(50000)))))
+    // per-pair passage: tokens unique to the pair (prefix "p<pairId>x<j>")
+    val passage = concat_ws(" ", transform(sequence(lit(0), lit(29)),
+      j => concat(lit("p"), col("id") % nPlant, lit("x"), j)))
+    val base = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        when(col("id") < nPlant, concat(body, lit(" "), passage))
+          .otherwise(body).as("text"))
+    val clones = spark.range(nPlant)
+      .select((col("id") + nDocs).as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(0), lit(59)),
+            j => concat(lit("t"), pmod(xxhash64((col("id") + nDocs) * 61 + j), lit(50000))))),
+          lit(" "), passage).as("text"))
+    val docs = base.union(clones)
+    val pairs = timed(s"winnowPairs over ${nDocs + nPlant} docs") {
+      val p = graft.operators.TextOps.winnowPairs(docs)
+      p.count() // materialized inside winnowPairs; count is the timed action
+      p
+    }
+    val planted = pairs
+      .filter(col("doc_b") === col("doc_a") + nDocs && col("doc_a") < nPlant)
+    val nFound = planted.count()
+    val total = pairs.count()
+    println(s"[probe] winnow: planted recall $nFound/$nPlant, " +
+      s"total pairs $total (non-planted ${total - nFound})")
+    pairs.unpersist()
+    assert(nFound == nPlant, s"missed ${nPlant - nFound} planted pairs")
+  }
+
+  /** `connectedComponents` at scale with transitive-only ground truth:
+    * `nChains` disjoint paths of `chainLen` nodes plus one `longPath`-node
+    * path (diameter stress — pointer jumping must converge in O(log d)
+    * rounds), node ids XOR-scrambled so labels are non-monotone along every
+    * path and must genuinely travel. Verification is fully distributed:
+    * per-chain label cardinality and min-id agreement, zero rows collected.
+    */
+  def ccProbe(spark: SparkSession, nChains: Int, chainLen: Int, longPath: Int): Unit = {
+    val mask = 0x5A5A5AL // XOR with a constant: injective id scramble
+    val L = chainLen.toLong
+    def scramble(c: org.apache.spark.sql.Column) =
+      c.bitwiseXOR(lit(mask))
+    val chainEdges = spark.range(nChains * (L - 1))
+      .select((col("id") / (L - 1)).cast("long").as("c"),
+        (col("id") % (L - 1)).as("p"))
+      .select(scramble(col("c") * L + col("p")).as("a"),
+        scramble(col("c") * L + col("p") + 1).as("b"))
+    val off = nChains * L
+    val pathEdges = spark.range(longPath - 1L)
+      .select(scramble(col("id") + off).as("a"), scramble(col("id") + off + 1).as("b"))
+    val edges = chainEdges.union(pathEdges)
+    val cc = timed(s"connectedComponents over ${nChains * L + longPath} nodes " +
+      s"(${nChains} chains × $chainLen + one $longPath-path)") {
+      val r = graft.operators.DedupClusters.connectedComponents(edges)
+      r.count()
+      r
+    }
+    // recover each node's chain from the scrambled id; every chain must
+    // carry exactly ONE distinct rep, equal to the chain's min scrambled id
+    val byChain = cc
+      .select((col("id").bitwiseXOR(lit(mask))).as("orig"), col("rep"))
+      .select(when(col("orig") < off, (col("orig") / L).cast("long"))
+        .otherwise(lit(-1L)).as("chain"), col("orig"), col("rep"))
+      .groupBy("chain")
+      .agg(countDistinct(col("rep")).as("n_reps"),
+        min(col("rep")).as("got_rep"),
+        min(scramble(col("orig"))).as("want_rep"))
+    val bad = byChain.filter(col("n_reps") =!= 1 || col("got_rep") =!= col("want_rep")).count()
+    val nComponents = cc.select(countDistinct("rep")).head().getLong(0)
+    println(s"[probe] cc: $nComponents components (expect ${nChains + 1}), " +
+      s"$bad chain violations")
+    cc.unpersist()
+    assert(bad == 0 && nComponents == nChains + 1)
+  }
+}

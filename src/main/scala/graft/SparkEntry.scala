@@ -85,6 +85,17 @@ object SparkEntry {
     // §2.7 E1 last mile: transitive cluster resolution over the verified
     // MinHash pair set (pointer-jumping connected components)
     "dedup_clusters" -> (DedupClusters.dedupClusters _),
+    // §2.7 [EXT] training-data curation: deterministic hash splits,
+    // stratified sampling, BM25 retrieval ranking, benchmark
+    // decontamination, and embedding k-means assignment
+    "split_hash"        -> (Sampling.splitHash _),
+    "sample_stratified" -> ((s: SparkSession, d: String) =>
+      Sampling.sampleStratified(s, d)),
+    "bm25_topk"         -> ((s: SparkSession, d: String) =>
+      Ranking.bm25Topk(s, d)),
+    "contamination"     -> (Contamination.contamination _),
+    "kmeans_assign"     -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansAssign(s, d)),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -597,6 +608,71 @@ object SparkEntry {
          |       COALESCE(cc.rep, d.doc_id) = d.doc_id AS is_survivor
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+    // deterministic md5 split: bucket boundaries interpolate from Sampling
+    // (single source of truth); string compare = ASCII order on both engines
+    "split_hash" ->
+      s"""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.ValUpper}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT lang, rn, doc_id, skey FROM (
+         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || '${Sampling.StratSalt}') AS skey,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '${Sampling.StratSalt}'), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= ${Sampling.StratumN} ORDER BY lang, rn""".stripMargin,
+    // BM25: per-term tf/df columns and the scoring expression are GENERATED
+    // from Ranking.QueryTerms / Ranking.termScoreSql (single source of
+    // truth), so the oracle's arithmetic is association-identical to the
+    // Spark column expression; avgdl derives from an exact integer Σdl
+    "bm25_topk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |${Ranking.QueryTerms.map(t =>
+             s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n")}
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), s AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |${Ranking.QueryTerms.map(t =>
+             s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
+         |  FROM t
+         |), sc AS (
+         |  SELECT doc_id,
+         |    ROUND(${Ranking.QueryTerms.map(Ranking.termScoreSql).mkString("\n      + ")}, 6) AS score
+         |  FROM t, s
+         |)
+         |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // decontamination: containment is an exact int/int division, so rows
+    // hash-match bitwise; knobs interpolate from Contamination
+    "contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct([ array_to_string(toks[i:i+${Contamination.ShingleN - 1}], ' ')
+         |                                 FOR i IN range(1, len(toks) - ${Contamination.ShingleN - 2}) ]) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= ${Contamination.ShingleN}
+         |)
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+         |       CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT) AS n_common,
+         |       CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE) / len(c.shingles) AS containment
+         |FROM sh c JOIN sh b ON c.doc_id >= ${Contamination.BenchMaxId} AND b.doc_id < ${Contamination.BenchMaxId}
+         |WHERE CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE) / len(c.shingles) >= ${Contamination.Tau}
+         |ORDER BY doc_id, bench_id""".stripMargin,
+    // k-means assignment: the oracle recomputes the SAME index-order
+    // Σ(vᵢ−cvᵢ)² accumulation (list_sum ≡ the graft_dot fold — the
+    // sim_topk-proven equivalence), so argmin and 6-dp distance match
+    "kmeans_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${Similarity.KmeansSeedC}),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+         |                   FOR i IN generate_series(1, len(v)) ]) AS d2
+         |      FROM e, c),
+         |r AS (SELECT vec_id, cid, d2,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+         |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

@@ -241,6 +241,40 @@ object Similarity {
     * (c × dim doubles) and live on the driver between rounds — standard
     * IVF practice; each round is one distributed assign + one aggregation.
     */
+  /** Number of seed centroids for the declared `kmeans_assign` key —
+    * interpolated into its oracle SQL (single source of truth). */
+  val KmeansSeedC = 8
+
+  /** Declared key (`kmeans_assign`): one distributed Lloyd assignment step
+    * against deterministic seed centroids (the first [[KmeansSeedC]]
+    * vectors by id — iteration 0 of [[trainCentroids]], which DuckDB can
+    * recompute; the trained iterations only move the centroid VALUES, the
+    * assignment plan is identical). Same broadcast + `min(struct(d2,cid))`
+    * argmin shape as [[assignCids]], but the distance is the explicit
+    * Σ(vᵢ−cvᵢ)² index-order accumulation — each engine computes the SAME
+    * IEEE sequence, so the argmin (and the 6-dp distance) hash-match where
+    * assignCids' algebraically-expanded form could skew an ulp. Per-vector
+    * cost is one broadcast scan of c centroids; the plan is independent of
+    * c — the [[assignCids]] scale argument, measured at 1M×1024 in
+    * BASELINE.md. This is the embedding-clustering entry point (corpus
+    * diversity buckets, ANN list building, stratified-by-topic sampling).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String,
+      c: Int = KmeansSeedC): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cdf = broadcast(
+      emb.filter(col("vec_id") < c)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
+    val diff = zip_with(col("v"), col("cv"), (x, y) => x - y)
+    emb.crossJoin(cdf)
+      .select(col("vec_id"),
+        struct(dotFor(emb, diff, diff).as("d2"), col("cid").as("cid")).as("sc"))
+      .groupBy("vec_id").agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), round(col("m.d2"), 6).as("d2"))
+      .orderBy("vec_id")
+  }
+
   def trainCentroids(spark: SparkSession, emb: DataFrame, c: Int,
       lloydIters: Int): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(c).collect()

@@ -161,6 +161,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("split_hash is a pure narrow projection — zero exchanges") {
+    val p = plan("split_hash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "hash-split must not shuffle; only the output ORDER BY may range-exchange")
+  }
+
+  test("bm25_topk: corpus stats broadcast back, top-k operator, one scan family") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must never plan a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row stats frame must broadcast, not shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("contamination: benchmark postings broadcast; corpus never sort-merge joined") {
+    val p = plan("contamination")
+    assert(p.contains("BroadcastHashJoin"), "shingle join must broadcast the bench side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("kmeans_assign: centroids broadcast, plan independent of c, kernel distance") {
+    val p = plan("kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid side must broadcast")
+    assert(p.contains("graft_dot"), "distance must go through the codegen'd kernel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("embedDedup probe side carries ids only — no vectors through the explode") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

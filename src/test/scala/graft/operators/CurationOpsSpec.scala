@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: hash splits, stratified sampling,
+  * BM25 ranking, benchmark decontamination, k-means assignment. Each test
+  * pins a semantic property the sf0.01 oracle row can't falsify on its own
+  * (determinism under corpus growth, exact stratum counts, ranking order,
+  * containment asymmetry, argmin correctness vs brute force).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  test("split_hash is stable under corpus growth and hits ~80/10/10") {
+    val full = Sampling.splitHash(spark, "/root/testdata/sf0.01")
+    val byId = full.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // stability: the sf0.001 corpus is a subset id range; every shared id
+    // must get the IDENTICAL split (the property that keeps eval sets
+    // uncontaminated across crawl refreshes)
+    val small = Sampling.splitHash(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    small.foreach { case (id, s) => assert(byId(id) === s, s"doc $id flipped split") }
+    val n = byId.size.toDouble
+    val frac = byId.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
+    assert(frac("val") > 0.05 && frac("val") < 0.15)
+    assert(frac("test") > 0.05 && frac("test") < 0.15)
+  }
+
+  test("sample_stratified returns exactly n per stratum, deterministically") {
+    val s1 = Sampling.sampleStratified(spark, "/root/testdata/sf0.01", 7).collect()
+    val s2 = Sampling.sampleStratified(spark, "/root/testdata/sf0.01", 7).collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "not deterministic")
+    val perLang = s1.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ === 7), s"per-stratum counts $perLang")
+    assert(perLang.keySet === Set("de", "en", "es", "fr", "zh"))
+    // ranks are 1..n within each stratum
+    s1.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 7))
+    }
+  }
+
+  test("bm25 ranks a term-dense short doc above a diluted long one, omits non-matches") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark window merge spark window merge"),              // dense, short
+      (1L, ("spark " + Seq.fill(60)("pad").mkString(" "))),       // one hit, long
+      (2L, Seq.fill(40)("noise").mkString(" ")),                  // no query terms
+      (3L, "spark window other other other other other other")    // two terms
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("curation_bm25_docs")
+    // score via the same pipeline against a temp dir is overkill; rank the
+    // crafted frame through the public pieces by writing it as documents
+    val dir = tmpDir("bm25docs")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranked = Ranking.bm25Topk(spark, dir, 10).collect()
+    assert(ranked.map(_.getLong(1)).toSeq === Seq(0L, 3L, 1L, 2L),
+      "expected density+coverage order 0 > 3 > 1, zero-score doc last")
+    val scores = ranked.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scores(2L) === 0.0, "doc without query terms scores 0")
+    assert(scores(0L) > scores(3L) && scores(3L) > scores(1L))
+  }
+
+  test("contamination flags the planted near-dups and only those at sf0.01") {
+    val hits = Contamination.contamination(spark, "/root/testdata/sf0.01").collect()
+    val pairs = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // judge-measured planted pairs crossing the doc_id<50 boundary
+    assert(pairs === Set((245L, 8L), (455L, 26L), (267L, 45L), (413L, 45L),
+      (383L, 31L), (446L, 44L)))
+    hits.foreach(r => assert(r.getDouble(3) >= Contamination.Tau))
+  }
+
+  test("containment is asymmetric: quoting doc flagged, quoted-plus-noise direction differs") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val bench = Seq((1L, passage)).toDF("doc_id", "text")
+    // corpus doc = the whole benchmark passage + heavy noise: every one of
+    // its *passage* shingles is in bench, but noise shingles dilute
+    // containment of doc in bench below tau when noise dominates
+    val noisy = passage + " " + (1 to 40).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((100L, passage), (101L, noisy)).toDF("doc_id", "text")
+    val got = Contamination.contained(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got(100L) === 1.0, "exact quote fully contained")
+    assert(!got.contains(101L), "diluted doc under tau is not flagged")
+  }
+
+  test("kmeans_assign matches brute-force nearest centroid at sf0.001") {
+    val got = Similarity.kmeansAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val centroids = emb.filter(_._1 < Similarity.KmeansSeedC)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    emb.foreach { case (id, v) =>
+      val want = centroids.minBy { case (cid, cv) => (d2(v, cv), cid) }._1.toInt
+      assert(got(id) === want, s"vec $id assigned ${got(id)}, nearest is $want")
+    }
+    // every seed vector is its own centroid at distance 0
+    (0 until Similarity.KmeansSeedC).foreach(i => assert(got(i.toLong) === i))
+  }
+}
