@@ -16,17 +16,19 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * what is really one duplicate cluster. A 100 TB dedup must resolve the
   * transitive closure and keep exactly one document per component.
   *
-  * [[connectedComponents]] is iterative min-id label propagation with
-  * POINTER JUMPING (label ← label of label each round), the standard
-  * O(log diameter)-round MapReduce CC shape (cf. Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
-  * small-star/large-star family; pointer jumping gives the same
-  * logarithmic round bound over a STATIC edge set, which keeps every
-  * iteration two hash-shuffles on the id key and never rewrites edges).
-  * The driver loop only orchestrates: per round one join edges⋈labels
-  * (propagate the smallest neighbor label), one join labels⋈labels
-  * (jump), one `count` for the convergence check. No vertex data ever
-  * reaches the driver; the iteration count is logged.
+  * [[connectedComponents]] is the ALTERNATING STAR algorithm of Kiveris
+  * et al., "Connected Components in MapReduce and Beyond" (SoCC 2014):
+  * large-star / small-star edge rewriting with the paper's O(log² n)
+  * round bound, independent of how ids are laid out along paths. (The
+  * round-8 implementation — min-label propagation + one pointer jump per
+  * round over a static edge set — looked logarithmic on ascending-id
+  * chains but degraded to ~1 hop/round on id-scrambled paths; the
+  * `graft.Probe cc` 1000-node scrambled path caught it still unconverged
+  * at 50 rounds. Star rounds rewrite edges toward local minima from both
+  * endpoints, which is what the proven bound needs.) The driver loop only
+  * orchestrates; no vertex data ever reaches the driver; the round count
+  * is logged, and every round's frame is checkpointed to truncate both
+  * lineage and the self-join's compounding size estimates.
   */
 object DedupClusters {
 
@@ -45,55 +47,121 @@ object DedupClusters {
     * ([[graft.Caching.withCleanup]]).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val Array(ca, cb) = pairs.columns.take(2)
-    val sym = pairs.select(col(ca).as("u"), col(cb).as("v"))
-      .union(pairs.select(col(cb).as("u"), col(ca).as("v")))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
 
-    // round 0 folded into init: rep = min(self, direct neighbors)
-    var labels = sym.groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("rep"))
-      .select(col("u").as("id"), col("rep"))
-      .persist(MEMORY_AND_DISK)
+    // Per-round LINEAGE TRUNCATION, not just caching: `jumped` references
+    // `prop` twice (the pointer-jump self-join), so the logical plan
+    // DOUBLES per round — 2^rounds plan nodes by round r. persist() caches
+    // data but Catalyst still analyzes/optimizes (and the UI renders) the
+    // full tree on every action, so beyond ~10 rounds planning dominates
+    // and the loop looks hung (caught by the `graft.Probe cc` 1000-node
+    // path, which needs ~14 rounds; the sf gate's 2-3 rounds never showed
+    // it). checkpoint()/localCheckpoint() rebase the frame onto its
+    // materialized rows — the GraphX-Pregel discipline for iterative
+    // dataflows. Reliable checkpoint is used when the session has a
+    // checkpoint dir (cluster production: survives executor loss); local
+    // checkpoint otherwise (single-JVM harness; blocks are reclaimed
+    // explicitly each round below).
+    // The createDataFrame rebase before the checkpoint RESETS PLAN
+    // STATISTICS: checkpoint's LogicalRDD inherits the origin plan's
+    // sizeInBytes estimate, and the pointer-jump SELF-join SQUARES it —
+    // round r would carry a 2^r-bit BigInt and Catalyst's stats visitor
+    // ends up in million-digit BigInteger multiplies (the probe's actual
+    // second hang, after lineage truncation fixed the first). The rebase
+    // costs one row-format conversion per round, during the checkpoint
+    // job itself; the materialized blocks serve all downstream reads.
+    def truncate(df: DataFrame): DataFrame = {
+      val rebased = spark.createDataFrame(df.rdd, df.schema)
+      if (spark.sparkContext.getCheckpointDir.isDefined) rebased.checkpoint()
+      else rebased.localCheckpoint()
+    }
+    // the materialized rows behind a truncated frame, for eager reclaim of
+    // superseded rounds (ContextCleaner would get them only at GC)
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+
+    // Alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond", SoCC 2014): edge-rewriting with
+    // PROVEN O(log² n) round convergence for ANY id layout. The previous
+    // min-label-propagation + single pointer-jump loop is O(log d) only
+    // when ids increase along paths (the spec's ascending chain: 4
+    // rounds); on the probe's XOR-scrambled 1000-node path it was still
+    // unconverged at 50 rounds — the jump target's own label knowledge is
+    // unrelated to the jumper's position when ids are shuffled, so
+    // progress degrades to ~1 hop/round. Star operations rewrite edges
+    // toward local minima from BOTH sides, which is what the proof needs.
+    //
+    // Edges stay canonical (u < v). Each operation is one symmetrize, one
+    // algebraic groupBy-min (map-side partials — skew-proof even at the
+    // star roots), one hash join on u, one distinct. Edge count never
+    // exceeds |E| + |V|.
+
+    // canonical undirected edges, self-loops dropped
+    var edges = truncate(pairs
+      .select(least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star(u): every neighbor v > u re-links to m(u) = min(N(u) ∪ {u});
+    // m ≤ u < v keeps the output canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      s.filter(col("v") > col("u")).join(m, "u")
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+    }
+
+    // small-star(u): u and its strictly-smaller neighbors link to their
+    // minimum; every emitted edge (m, x) has m < x — canonical
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = sym(e).filter(col("v") < col("u"))
+      val m = sm.groupBy("u").agg(min(col("v")).as("m"))
+      val viaNbrs = sm.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+      val viaSelf = m.select(col("m").as("u"), col("u").as("v"))
+      viaNbrs.union(viaSelf).distinct()
+    }
 
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // propagate: the smallest label among my neighbors' labels
-      val nbrMin = sym
-        .join(labels.select(col("id").as("v"), col("rep").as("vrep")), "v")
-        .groupBy(col("u")).agg(min(col("vrep")).as("nbr_rep"))
-        .select(col("u").as("id"), col("nbr_rep"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-      // pointer jump: rep ← rep(rep) — labels chase their own chain, so
-      // path lengths halve per round instead of shrinking by one
-      val jumped = prop
-        .join(prop.toDF("jid", "rep2"), col("rep") === col("jid"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .persist(MEMORY_AND_DISK)
-      changed = jumped
-        .join(labels.toDF("id", "old_rep"), "id")
-        .filter(col("rep") < col("old_rep"))
-        .count()
-      labels.unpersist()
-      labels = jumped
+    var changed = true
+    while (changed && iter < maxIter) {
+      val next = truncate(smallStar(largeStar(edges)))
+      // fixpoint ⟺ identical edge sets (both frames are distinct-ed)
+      changed = !(next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty)
+      backingRdd(edges).foreach(_.unpersist(false))
+      edges = next
       iter += 1
     }
-    sym.unpersist()
-    if (changed > 0) {
-      labels.unpersist(blocking = false)
+    if (changed) {
+      backingRdd(edges).foreach(_.unpersist(false))
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — returning partial labels would " +
-          "silently split components; raise maxIter (pointer jumping needs " +
-          "O(log diameter) rounds, so 50 covers any real edge set)")
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "returning partial labels would silently split components; raise " +
+          "maxIter (alternating star rounds are O(log² n) by the SoCC'14 " +
+          "bound, so 50 covers any real edge set)")
     }
     System.err.println(
       s"[graft] connectedComponents: converged in $iter rounds (maxIter=$maxIter)")
-    labels
+    // at the fixpoint the graph is a disjoint union of stars rooted at
+    // component minima: u column = roots, v column = members
+    val labels = edges.select(col("v").as("id"), col("u").as("rep"))
+      .union(edges.select(col("u")).distinct()
+        .select(col("u").as("id"), col("u").as("rep")))
+    // hand back a cacheManager-registered frame — the library cache
+    // contract (callers own cleanup: unpersist / Caching.withCleanup).
+    // Its one-pass materialization reads the final checkpoint's rows; those
+    // blocks stay as the cache's recompute source and are reclaimed when
+    // the frame is garbage-collected.
+    val out = labels.persist(MEMORY_AND_DISK)
+    out.count()
+    out
   }
 
   /** Declared key (`dedup_clusters`): transitive dedup resolution over the

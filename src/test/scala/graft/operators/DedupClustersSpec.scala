@@ -45,6 +45,20 @@ class DedupClustersSpec extends SparkSpec {
       s"every path node must reach the transitive min label 1; got $got")
   }
 
+  test("id-scrambled 33-node path converges fast and fully (probe regression)") {
+    // XOR-scramble breaks any correlation between id order and path
+    // position — the layout where the r8 propagate+jump loop degraded to
+    // ~1 hop/round (caught by the cc scale probe at 1000 nodes). The
+    // alternating-star rounds must converge well under maxIter and land
+    // every node on the global min.
+    val scrambled = (0L until 32L).map(i => (i ^ 0x15L, (i + 1) ^ 0x15L))
+    val cc = DedupClusters.connectedComponents(edges(scrambled: _*), maxIter = 12)
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got.keySet === (0L to 32L).map(_ ^ 0x15L).toSet)
+    assert(got.values.forall(_ === 0L),
+      s"all nodes must reach global min 0 (= 0x15 ^ 0x15); got $got")
+  }
+
   test("two components stay separate: chain + disjoint dyad") {
     val cc = DedupClusters.connectedComponents(
       edges((3L, 1L), (1L, 4L), (10L, 12L)))
