@@ -28,17 +28,41 @@ object Contamination {
   val Tau = 0.5
   val BenchMaxId = 50L
 
-  /** Distinct token `n`-gram strings of a space-tokenized text column.
-    * Guarded: texts shorter than `n` tokens yield an empty array (a bare
-    * `sequence(0, size-n)` would DESCEND for negative ends — Spark
-    * sequences run backwards when start > stop). */
-  def tokenShingles(text: Column, n: Int = ShingleN): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  /** Built-in-function formulation of [[graft.plans.TokenNgramsExpr]] over
+    * an ALREADY-TOKENIZED column. Callers must materialize the token array
+    * in its own projection first (the [[TextOps.langIdScoreOfToks]]
+    * discipline): the lambda body is re-evaluated per element with no CSE,
+    * so an inlined `split` would re-tokenize the text once per shingle
+    * POSITION. Guarded: texts shorter than `n` tokens yield an empty array
+    * (a bare `sequence(0, size-n)` would DESCEND for negative ends —
+    * Spark sequences run backwards when start > stop); NULL stays NULL to
+    * match the kernel. Bit-equality with the kernel is asserted in
+    * VectorExprSpec. */
+  def tokenShinglesOfToks(toks: Column, n: Int = ShingleN): Column =
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(typedLit(Array.empty[String]))
-  }
+
+  /** Convenience form over raw text — fine for one-off expressions; inside
+    * plans prefer materializing the tokens and [[tokenShinglesOfToks]]. */
+  def tokenShingles(text: Column, n: Int = ShingleN): Column =
+    tokenShinglesOfToks(split(text, " "), n)
+
+  /** (doc_id, sh) with sh = distinct token n-grams: the codegen'd
+    * [[graft.plans.TokenNgramsExpr]] kernel when the session has
+    * GraftExtensions (one char-scan per row, index-arithmetic substrings
+    * — measured ~3× the whole key's cost cheaper than the interpreted
+    * lambda at sf0.1), the two-projection HOF form otherwise (same
+    * catalog-fallback contract as Similarity.simhashFor). */
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    if (docs.sparkSession.catalog.functionExists("graft_token_ngrams"))
+      docs.select(col("doc_id"),
+        call_function("graft_token_ngrams", col("text"), lit(n)).as("sh"))
+    else
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), tokenShinglesOfToks(col("toks"), n).as("sh"))
 
   /** Containment of each corpus document in each benchmark document:
     * |shingles(doc) ∩ shingles(bench)| / |shingles(doc)|, kept when
@@ -46,11 +70,9 @@ object Contamination {
     * engines. Returns (doc_id, bench_id, n_common, containment). */
   def contained(corpus: DataFrame, bench: DataFrame, n: Int = ShingleN,
       tau: Double = Tau): DataFrame = {
-    val corpusSh = corpus
-      .select(col("doc_id"), tokenShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val benchPost = bench
-      .select(col("doc_id").as("bench_id"), explode(tokenShingles(col("text"), n)).as("sh"))
+    val corpusSh = shingled(corpus, n).filter(size(col("sh")) > 0)
+    val benchPost = shingled(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("sh"))
     corpusSh
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sh"))
       .join(broadcast(benchPost), "sh")

@@ -54,10 +54,14 @@ object Ranking {
   /** Declared key (`bm25_topk`): top-k documents by BM25 for
     * [[QueryTerms]]. */
   def bm25Topk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val toks = split(col("text"), " ")
-    val perDoc = Tables.documents(spark, dir).select(
-      col("doc_id") +: size(toks).as("dl") +:
-        QueryTerms.map(t => size(filter(toks, x => x === t)).as(s"tf_$t")): _*)
+    // tokens materialized once; dl and each per-term tf reference the
+    // array column rather than re-splitting the text per expression
+    val toks = col("toks")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id") +: size(toks).as("dl") +:
+          QueryTerms.map(t => size(filter(toks, x => x === t)).as(s"tf_$t")): _*)
     // one global row: N, exact integer Σdl, per-term document frequencies
     val stats = perDoc.agg(
       count(lit(1)).as("n"),

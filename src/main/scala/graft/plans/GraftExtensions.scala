@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSimHashExpr].getName, "graft_vec_simhash"),
       (children: Seq[Expression]) => VecSimHashExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgramsExpr].getName, "graft_token_ngrams"),
+      (children: Seq[Expression]) => TokenNgramsExpr(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))

@@ -207,6 +207,34 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_token_ngrams is bit-identical to the HOF shingle form") {
+    import spark.implicits._
+    // edge shapes: plain, doubled/leading/trailing spaces (empty tokens),
+    // fewer tokens than n, exactly n, duplicate shingles (first-occurrence
+    // dedup order), surrogate-pair unicode, NULL
+    val texts = Seq(
+      Some("a b c d e f g"),
+      Some("a  b c d  e"),
+      Some(" lead b c d e"),
+      Some("trail b c d e "),
+      Some("one two"),
+      Some("x y z"),
+      Some("r r r r r r r r"),
+      Some("😀 tok 😀 tok 😀 tok"),
+      Option.empty[String])
+    val r = texts.toDF("text")
+      .select(
+        call_function("graft_token_ngrams", col("text"), lit(3)).as("native"),
+        graft.operators.Contamination
+          .tokenShinglesOfToks(split(col("text"), " "), 3).as("hof"))
+      .collect()
+    for (row <- r) {
+      assert(row.isNullAt(0) === row.isNullAt(1))
+      if (!row.isNullAt(0))
+        assert(row.getSeq[String](0) === row.getSeq[String](1))
+    }
+  }
+
   test("winnowing theorem: substring of length >= k+w-1 shares a fingerprint") {
     // plant a 24-char shared substring inside otherwise unrelated texts
     val shared = "the stolen phrase here ok"
