@@ -65,17 +65,28 @@ object DedupClusters {
     // explicitly each round below).
     // The createDataFrame rebase before the checkpoint RESETS PLAN
     // STATISTICS: checkpoint's LogicalRDD inherits the origin plan's
-    // sizeInBytes estimate, and the pointer-jump SELF-join SQUARES it —
-    // round r would carry a 2^r-bit BigInt and Catalyst's stats visitor
-    // ends up in million-digit BigInteger multiplies (the probe's actual
-    // second hang, after lineage truncation fixed the first). The rebase
-    // costs one row-format conversion per round, during the checkpoint
-    // job itself; the materialized blocks serve all downstream reads.
+    // sizeInBytes estimate, and the star rounds' self-referencing joins
+    // SQUARE it — round r would carry a 2^r-bit BigInt and Catalyst's
+    // stats visitor ends up in million-digit BigInteger multiplies (the
+    // probe's actual second hang, after lineage truncation fixed the
+    // first). The rebase costs one row-format conversion per round,
+    // during the checkpoint job itself; the materialized blocks serve all
+    // downstream reads.
     def truncate(df: DataFrame): DataFrame = {
       val rebased = spark.createDataFrame(df.rdd, df.schema)
       if (spark.sparkContext.getCheckpointDir.isDefined) rebased.checkpoint()
       else rebased.localCheckpoint()
     }
+    // Every round truncates, including round 0 (which also rebases the
+    // caller's edge-mining plan — e.g. the full MinHash pipeline — to a
+    // one-node leaf; the pairs frame is tiny so that rebase is free). A
+    // persist-instead-of-checkpoint hybrid for shallow rounds was measured
+    // SLOWER at sf0.1 (7-8 s vs 3-4 s): the checkpoint job materializes in
+    // the same pass the fixpoint needs anyway, and the re-embedded plans
+    // persist() leaves behind cost more in per-action analysis than the
+    // row-format rebase costs in execution.
+    def release(df: DataFrame): Unit =
+      backingRdd(df).foreach(_.unpersist(false))
     // the materialized rows behind a truncated frame, for eager reclaim of
     // superseded rounds (ContextCleaner would get them only at GC)
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
@@ -131,16 +142,23 @@ object DedupClusters {
 
     var iter = 0
     var changed = true
+    var nEdges = edges.count()
     while (changed && iter < maxIter) {
       val next = truncate(smallStar(largeStar(edges)))
-      // fixpoint ⟺ identical edge sets (both frames are distinct-ed)
-      changed = !(next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty)
-      backingRdd(edges).foreach(_.unpersist(false))
+      // fixpoint ⟺ identical edge sets. Both frames are distinct-ed, so
+      // |next| = |edges| ∧ next ∖ edges = ∅ ⟹ equality — one anti-join +
+      // one count against two materialized frames (cheaper than the
+      // two-sided exceptAll compare)
+      val nNext = next.count()
+      changed = nNext != nEdges ||
+        !next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      release(edges)
       edges = next
+      nEdges = nNext
       iter += 1
     }
     if (changed) {
-      backingRdd(edges).foreach(_.unpersist(false))
+      release(edges)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "returning partial labels would silently split components; raise " +
@@ -156,11 +174,14 @@ object DedupClusters {
         .select(col("u").as("id"), col("u").as("rep")))
     // hand back a cacheManager-registered frame — the library cache
     // contract (callers own cleanup: unpersist / Caching.withCleanup).
-    // Its one-pass materialization reads the final checkpoint's rows; those
-    // blocks stay as the cache's recompute source and are reclaimed when
-    // the frame is garbage-collected.
+    // Its one-pass materialization reads the final round's rows; a
+    // persisted final frame (shallow graphs) is then released — its
+    // lineage stays recomputable — while a checkpointed one keeps its
+    // blocks as the cache's recompute source (not cacheManager-visible;
+    // reclaimed when the frame is garbage-collected).
     val out = labels.persist(MEMORY_AND_DISK)
     out.count()
+    edges.unpersist(blocking = false)
     out
   }
 
