@@ -78,8 +78,8 @@ object Probe {
 
   /** `connectedComponents` at scale with transitive-only ground truth:
     * `nChains` disjoint paths of `chainLen` nodes plus one `longPath`-node
-    * path (diameter stress — pointer jumping must converge in O(log d)
-    * rounds), node ids XOR-scrambled so labels are non-monotone along every
+    * path (diameter stress — star rounds must converge within the SoCC'14
+    * O(log² n) bound), node ids XOR-scrambled so labels are non-monotone along every
     * path and must genuinely travel. Verification is fully distributed:
     * per-chain label cardinality and min-id agreement, zero rows collected.
     */

@@ -83,7 +83,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "winnow_pairs"  -> (TextOps.winnowPairsQuery _),
     // §2.7 E1 last mile: transitive cluster resolution over the verified
-    // MinHash pair set (pointer-jumping connected components)
+    // MinHash pair set (alternating-star connected components)
     "dedup_clusters" -> (DedupClusters.dedupClusters _),
     // §2.7 [EXT] training-data curation: deterministic hash splits,
     // stratified sampling, BM25 retrieval ranking, benchmark

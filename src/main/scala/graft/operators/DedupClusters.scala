@@ -50,19 +50,19 @@ object DedupClusters {
     val spark = pairs.sparkSession
     val Array(ca, cb) = pairs.columns.take(2)
 
-    // Per-round LINEAGE TRUNCATION, not just caching: `jumped` references
-    // `prop` twice (the pointer-jump self-join), so the logical plan
-    // DOUBLES per round — 2^rounds plan nodes by round r. persist() caches
-    // data but Catalyst still analyzes/optimizes (and the UI renders) the
-    // full tree on every action, so beyond ~10 rounds planning dominates
-    // and the loop looks hung (caught by the `graft.Probe cc` 1000-node
-    // path, which needs ~14 rounds; the sf gate's 2-3 rounds never showed
-    // it). checkpoint()/localCheckpoint() rebase the frame onto its
-    // materialized rows — the GraphX-Pregel discipline for iterative
-    // dataflows. Reliable checkpoint is used when the session has a
-    // checkpoint dir (cluster production: survives executor loss); local
-    // checkpoint otherwise (single-JVM harness; blocks are reclaimed
-    // explicitly each round below).
+    // Per-round LINEAGE TRUNCATION, not just caching: each star round
+    // references the previous round's frame ~6 times (symmetrize + the
+    // min-frame join on both operations), so the logical plan grows
+    // geometrically. persist() caches data but Catalyst still analyzes/
+    // optimizes (and the UI renders) the full tree on every action, so
+    // beyond ~10 rounds planning dominates and the loop looks hung
+    // (caught by the `graft.Probe cc` 1000-node path; the sf gate's 2-3
+    // rounds never showed it). checkpoint()/localCheckpoint() rebase the
+    // frame onto its materialized rows — the GraphX-Pregel discipline for
+    // iterative dataflows. Reliable checkpoint is used when the session
+    // has a checkpoint dir (cluster production: survives executor loss);
+    // local checkpoint otherwise (single-JVM harness; blocks are
+    // reclaimed explicitly each round below).
     // The createDataFrame rebase before the checkpoint RESETS PLAN
     // STATISTICS: checkpoint's LogicalRDD inherits the origin plan's
     // sizeInBytes estimate, and the star rounds' self-referencing joins
@@ -85,14 +85,16 @@ object DedupClusters {
     // the same pass the fixpoint needs anyway, and the re-embedded plans
     // persist() leaves behind cost more in per-action analysis than the
     // row-format rebase costs in execution.
-    def release(df: DataFrame): Unit =
-      backingRdd(df).foreach(_.unpersist(false))
     // the materialized rows behind a truncated frame, for eager reclaim of
-    // superseded rounds (ContextCleaner would get them only at GC)
+    // superseded rounds (ContextCleaner would get them only at GC; a
+    // reliable checkpoint's FILES survive the unpersist, so its frames
+    // stay recomputable)
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
+    def release(df: DataFrame): Unit =
+      backingRdd(df).foreach(_.unpersist(false))
 
     // Alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
     // Components in MapReduce and Beyond", SoCC 2014): edge-rewriting with
@@ -174,14 +176,12 @@ object DedupClusters {
         .select(col("u").as("id"), col("u").as("rep")))
     // hand back a cacheManager-registered frame — the library cache
     // contract (callers own cleanup: unpersist / Caching.withCleanup).
-    // Its one-pass materialization reads the final round's rows; a
-    // persisted final frame (shallow graphs) is then released — its
-    // lineage stays recomputable — while a checkpointed one keeps its
-    // blocks as the cache's recompute source (not cacheManager-visible;
-    // reclaimed when the frame is garbage-collected).
+    // Its one-pass materialization reads the final round's checkpoint
+    // rows; those blocks stay as the cache's recompute source (raw RDD
+    // blocks, not cacheManager-visible) and are reclaimed when the frame
+    // is garbage-collected.
     val out = labels.persist(MEMORY_AND_DISK)
     out.count()
-    edges.unpersist(blocking = false)
     out
   }
 

@@ -32,11 +32,10 @@ class DedupClustersSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
-  test("17-node ascending path needs multiple pointer-jump rounds, one component") {
-    // Path 1~2~...~17: node i's direct neighbors are i-1 and i+1, so init
-    // labels are i-1 — the worst case for naive propagation (label 1 moves
-    // one hop per round without jumping; 16 rounds naive, O(log 16) with
-    // pointer jumping). All nodes must land on rep 1.
+  test("17-node ascending path needs multiple star rounds, one component") {
+    // Path 1~2~...~17: a diameter-16 component — naive neighbor
+    // propagation would take 16 rounds; alternating star rounds must
+    // collapse it well within maxIter. All nodes must land on rep 1.
     val path = (1L until 17L).map(i => (i, i + 1))
     val cc = DedupClusters.connectedComponents(edges(path: _*))
     val got = Caching.withCleanup(cc)(reps(cc))
