@@ -37,14 +37,21 @@ object DedupClusters {
     * @param pairs two id columns (any orderable numeric type), one row per
     *              edge; direction and duplicates don't matter.
     * @return (id, rep): every id that appears in some edge, labeled with
-    *         the smallest id in its component. Singletons (nodes with no
-    *         edge) are absent — callers attach them with a left join +
+    *         the smallest id in its component. Self-loops contribute their
+    *         node (an id seen ONLY in (x, x) pairs is its own singleton
+    *         component, rep = x). Nodes appearing in no edge at all are
+    *         absent — callers attach them with a left join +
     *         coalesce(rep, id), see [[dedupClusters]].
     *
     * The returned frame is persisted (it is the fixpoint of an iterative
     * computation — recomputing it from lineage would replay every round);
     * the caller owns cleanup per the library cache contract
-    * ([[graft.Caching.withCleanup]]).
+    * ([[graft.Caching.withCleanup]]). On the reliable-checkpoint path
+    * (session has a checkpoint dir) the loop DELETES each superseded
+    * round's checkpoint files itself; only the FINAL round's file set
+    * remains as the returned frame's recompute source — it is reclaimed by
+    * Spark at GC when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is true, otherwise it lives until the checkpoint dir is cleaned.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -86,15 +93,27 @@ object DedupClusters {
     // persist() leaves behind cost more in per-action analysis than the
     // row-format rebase costs in execution.
     // the materialized rows behind a truncated frame, for eager reclaim of
-    // superseded rounds (ContextCleaner would get them only at GC; a
-    // reliable checkpoint's FILES survive the unpersist, so its frames
-    // stay recomputable)
+    // superseded rounds (ContextCleaner would get them only at GC)
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
+    // CAUTION — a released frame is PERMANENTLY DEAD on both paths, not
+    // lazily recomputable: localCheckpoint has no lineage to recompute from
+    // (unpersist destroys the only copy), and on the reliable path the
+    // checkpoint FILES are deleted here too (Spark itself only cleans them
+    // at GC with spark.cleaner.referenceTracking.cleanCheckpoints=true, so
+    // a long-lived cluster session would otherwise accumulate one file set
+    // per round per run). Call ONLY on frames no later computation touches
+    // — i.e. the loop's superseded-round call sites.
     def release(df: DataFrame): Unit =
-      backingRdd(df).foreach(_.unpersist(false))
+      backingRdd(df).foreach { r =>
+        r.unpersist(false)
+        r.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
 
     // Alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
     // Components in MapReduce and Beyond", SoCC 2014): edge-rewriting with
@@ -112,11 +131,29 @@ object DedupClusters {
     // star roots), one hash join on u, one distinct. Edge count never
     // exceeds |E| + |V|.
 
-    // canonical undirected edges, self-loops dropped
-    var edges = truncate(pairs
+    // ONE pass over the caller's pair-mining plan: canonicalize and
+    // materialize first, then split real edges from self-loops against the
+    // materialized frame (a second reference to `pairs` would re-run the
+    // whole mining pipeline — e.g. all of MinHash).
+    val canon = truncate(pairs
       .select(least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct())
+    var edges = truncate(canon.filter(col("u") =!= col("v")))
+    // An id seen ONLY in self-loop pairs is a singleton component labeled
+    // rep = self. The star rounds drop self-loops (they carry no
+    // connectivity), so those label rows are built here, eagerly, before
+    // the loop can release anything. Skipped when the mining output has no
+    // self-loops at all — the common case, decided by one cheap scan of
+    // the already-materialized canon frame.
+    val selfRows = canon.filter(col("u") === col("v"))
+    val selfOnlyLabels: Option[DataFrame] =
+      if (selfRows.isEmpty) None
+      else Some(truncate(selfRows.select(col("u").as("id"))
+        .join(edges.select(col("u").as("id"))
+            .union(edges.select(col("v").as("id"))).distinct(),
+          Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("rep"))))
+    release(canon)
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -161,6 +198,7 @@ object DedupClusters {
     }
     if (changed) {
       release(edges)
+      selfOnlyLabels.foreach(release)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "returning partial labels would silently split components; raise " +
@@ -170,10 +208,13 @@ object DedupClusters {
     System.err.println(
       s"[graft] connectedComponents: converged in $iter rounds (maxIter=$maxIter)")
     // at the fixpoint the graph is a disjoint union of stars rooted at
-    // component minima: u column = roots, v column = members
-    val labels = edges.select(col("v").as("id"), col("u").as("rep"))
+    // component minima: u column = roots, v column = members. Self-loop-only
+    // singletons (labeled before the loop) union back in so the contract
+    // "every id appearing in some pair gets a row" holds.
+    val starLabels = edges.select(col("v").as("id"), col("u").as("rep"))
       .union(edges.select(col("u")).distinct()
         .select(col("u").as("id"), col("u").as("rep")))
+    val labels = selfOnlyLabels.fold(starLabels)(starLabels.unionByName(_))
     // hand back a cacheManager-registered frame — the library cache
     // contract (callers own cleanup: unpersist / Caching.withCleanup).
     // Its one-pass materialization reads the final round's checkpoint

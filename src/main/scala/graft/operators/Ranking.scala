@@ -28,6 +28,16 @@ object Ranking {
   val K1 = 1.2
   val B = 0.75
 
+  /** Precomputed compound constants, interpolated into BOTH the Column
+    * expression and the oracle SQL from these shared vals: each engine then
+    * parses the identical printed literal. (Computing `K1 + 1` separately on
+    * each side round-trips only because today's constants print as
+    * shortest-repr decimals — a future constant whose sum doesn't round-trip
+    * through toString would silently skew the oracle below the 6-dp
+    * rounding.) */
+  val K1plus1 = K1 + 1
+  val OneMinusB = 1 - B
+
   /** Fixed query for the declared key — three corpus terms with distinct
     * document frequencies (so the idf weighting actually orders them). */
   val QueryTerms = Seq("spark", "window", "merge")
@@ -41,15 +51,15 @@ object Ranking {
     * the oracle SQL builder [[termScoreSql]]. */
   private def termScore(tf: Column, dl: Column, n: Column, df: Column,
       avgdl: Column): Column =
-    idf(n, df) * (tf * lit(K1 + 1)) /
-      (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / avgdl)))
+    idf(n, df) * (tf * lit(K1plus1)) /
+      (tf + lit(K1) * (lit(OneMinusB) + lit(B) * (dl / avgdl)))
 
   /** The same contribution in DuckDB SQL, interpolating the same constants
     * — single source of truth with [[termScore]] (SparkEntry splices these
     * into the `bm25_topk` oracle). */
   def termScoreSql(t: String): String =
-    s"ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${K1 + 1}) / " +
-      s"(tf_$t + $K1 * ((1 - $B) + $B * (dl / avgdl)))"
+    s"ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * $K1plus1) / " +
+      s"(tf_$t + $K1 * ($OneMinusB + $B * (dl / avgdl)))"
 
   /** Declared key (`bm25_topk`): top-k documents by BM25 for
     * [[QueryTerms]]. */
@@ -77,9 +87,16 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     // rank over the k survivors only (tiny frame; the heavy ordering was
-    // the distributed TakeOrderedAndProject above)
+    // the distributed TakeOrderedAndProject above). The partitionBy is a
+    // constant-valued expression — semantically the same single partition
+    // an empty spec would use — purely to keep WindowExec's "No Partition
+    // Defined" warning out of bench/driver logs, where it buried real
+    // signals (the frame is k rows by construction, so one partition is
+    // the point). pmod(doc_id, 1) rather than lit(1) because Catalyst
+    // prunes FOLDABLE partition expressions and the warning returns.
     ranked.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc, col("doc_id"))))
       .select("rank", "doc_id", "score")
       .orderBy("rank")
   }

@@ -64,12 +64,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(scores(0L) > scores(3L) && scores(3L) > scores(1L))
   }
 
-  test("contamination flags the planted near-dups and only those at sf0.01") {
+  test("contamination flags exactly the brute-force containment pairs at sf0.01") {
     val hits = Contamination.contamination(spark, "/root/testdata/sf0.01").collect()
     val pairs = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
-    // judge-measured planted pairs crossing the doc_id<50 boundary
-    assert(pairs === Set((245L, 8L), (455L, 26L), (267L, 45L), (413L, 45L),
-      (383L, 31L), (446L, 44L)))
+    // expected set recomputed in-test from the same fixture (the
+    // kmeans-test discipline, replacing a hard-coded judge-measured tuple
+    // list that broke silently on fixture regeneration): shingle both
+    // sides in plain Scala, exact set containment. split with limit -1
+    // matches Spark's split(text, ' ') trailing-empty behavior.
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < Contamination.ShingleN) Set.empty
+      else toks.sliding(Contamination.ShingleN).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val bench = docs.filter(_._1 < Contamination.BenchMaxId)
+    val corpus = docs.filter(_._1 >= Contamination.BenchMaxId)
+    val want = (for {
+      (cid, cs) <- corpus if cs.nonEmpty
+      (bid, bs) <- bench
+      if cs.intersect(bs).size.toDouble / cs.size >= Contamination.Tau
+    } yield (cid, bid)).toSet
+    assert(want.nonEmpty, "fixture lost its planted contamination pairs")
+    assert(pairs === want)
     hits.foreach(r => assert(r.getDouble(3) >= Contamination.Tau))
   }
 

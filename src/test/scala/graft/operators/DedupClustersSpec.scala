@@ -89,6 +89,63 @@ class DedupClustersSpec extends SparkSpec {
       "withCleanup must unpersist on the exception path too")
   }
 
+  test("randomized cross-check: 50 scrambled random graphs vs in-memory union-find") {
+    // The planted-chain specs above pin KNOWN shapes; this falsifies the
+    // star rewrite on shapes nobody thought of (the r2 monotone-minhash and
+    // r9 scrambled-path bugs were both found by exactly this class of
+    // test). 50 random graphs — varied size/density, ids XOR-scrambled so
+    // id order carries no path information, ~5% self-loops to exercise the
+    // singleton-label path — are offset into disjoint id ranges and
+    // resolved in ONE connectedComponents call (components cannot cross
+    // ranges, so one fixpoint checks all 50 graphs at once); ground truth
+    // is a 20-line union-find over the same pairs.
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    for (g <- 0 until 50) {
+      val base = (g + 1) * 1000000L
+      val n = 2 + rnd.nextInt(199) // 2..200 nodes
+      val mask = rnd.nextInt(256) // injective XOR scramble (n <= 256)
+      def id(i: Int): Long = base + (i ^ mask).toLong
+      val m = 1 + rnd.nextInt(2 * n) // sparse fragments .. dense near-clique
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n)
+        val b = if (rnd.nextInt(20) == 0) a else rnd.nextInt(n)
+        (id(a), id(b))
+      }
+      all ++= pairs
+      // union-find ground truth: rep = min id per component
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.foreach(x => expected(x) = find(x))
+    }
+    val cc = DedupClusters.connectedComponents(edges(all.toSeq: _*))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got === expected.toMap)
+  }
+
+  test("self-loop-only nodes get singleton labels; mixed self/real edges unaffected") {
+    // node 6 appears ONLY as (6,6) — its label row must still exist
+    // (rep = self); node 1 has a self-loop AND a real edge — the self-loop
+    // must not perturb its component
+    val cc = DedupClusters.connectedComponents(
+      edges((6L, 6L), (1L, 1L), (3L, 1L)))
+    val got = Caching.withCleanup(cc)(reps(cc))
+    assert(got === Map(1L -> 1L, 3L -> 1L, 6L -> 6L))
+  }
+
   test("dedup_clusters key: reps are cluster minima and survivors are exactly the reps") {
     val out = DedupClusters.dedupClusters(spark, sf0001).collect()
     val rep = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
