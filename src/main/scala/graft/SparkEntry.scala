@@ -78,6 +78,7 @@ object SparkEntry {
       Similarity.embedDedupRecallCheck(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
     "payload_dedup" -> (Multimodal.payloadDedupQuery _),
+    "media_dims"    -> (Multimodal.mediaDimsQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -489,17 +490,26 @@ object SparkEntry {
          |     (SELECT COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
          |ORDER BY p""".stripMargin,
     "media_stats" ->
-      """SELECT meta.modality AS modality, COUNT(*) AS n,
-        |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms
-        |FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT meta.modality AS modality, COUNT(*) AS n,
+         |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms
+         |FROM read_parquet('${Multimodal.fixturePath}/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "payload_dedup" ->
-      """SELECT media_id, modality, n_bytes FROM (
-        |  SELECT media_id, meta.modality AS modality,
-        |         CAST(octet_length(payload) AS INT) AS n_bytes,
-        |         ROW_NUMBER() OVER (PARTITION BY payload ORDER BY media_id) AS rn
-        |  FROM read_parquet('/root/repo/target/fixtures/media.parquet/*.parquet'))
-        |WHERE rn = 1 ORDER BY media_id""".stripMargin,
+      s"""SELECT media_id, modality, n_bytes FROM (
+         |  SELECT media_id, meta.modality AS modality,
+         |         CAST(octet_length(payload) AS INT) AS n_bytes,
+         |         ROW_NUMBER() OVER (PARTITION BY payload ORDER BY media_id) AS rn
+         |  FROM read_parquet('${Multimodal.fixturePath}/*.parquet'))
+         |WHERE rn = 1 ORDER BY media_id""".stripMargin,
+    // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
+    // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the
+    // fixture's METADATA columns — equality certifies the byte parse, and
+    // the image-only row set certifies decode rejects non-image payloads.
+    "media_dims" ->
+      s"""SELECT media_id, meta.format AS fmt,
+         |       CAST(meta.width AS INT) AS width, CAST(meta.height AS INT) AS height
+         |FROM read_parquet('${Multimodal.fixturePath}/*.parquet')
+         |WHERE meta.modality = 'image' ORDER BY media_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * no custom Spark types needed; parquet stores binary natively, columnar
   * pruning skips payload bytes when a query touches only metadata.
   *
-  * The DECODE step is environment-dependent (no image/audio codecs in this
-  * container) and is STUBBED behind [[MediaDecoder]]: a deterministic fake
-  * that "decodes" bytes into fixed-shape features. Everything around it —
-  * schema, batching, partition-level iteration, feature columns, the
-  * downstream similarity/dedup plumbing — is real Spark and is what a
-  * production decoder would drop into.
+  * The decode layer is split by what a zero-dependency JVM can honestly
+  * do: CONTAINER parsing (image dimensions from PNG IHDR / JPEG SOF
+  * headers) is REAL — [[MediaDecoder.decodeDims]] reads the payload bytes
+  * with no codec library, and the declared `media_dims` key cross-checks
+  * the parsed dims against the fixture's metadata columns via the DuckDB
+  * oracle. CONTENT decoding (pixel/sample → model features) needs codecs
+  * this container doesn't have and remains a deterministic stand-in
+  * ([[MediaDecoder.decode]]); everything around it — schema, batching,
+  * partition-level iteration, feature columns, the downstream
+  * similarity/dedup plumbing — is real Spark and is what a production
+  * model/codec would drop into.
   *
   * Scale notes: decode is the expensive narrow stage; it runs inside
   * `mapPartitions` so a real decoder amortizes model/codec init once per
@@ -30,10 +35,13 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, modality: String,
       n_bytes: Int, checksum: Long, features: Array[Float])
+  case class MediaDims(media_id: Long, fmt: String, width: Int, height: Int)
 
-  /** Deterministic stand-in for a real codec/model: features are a stable
-    * function of the payload bytes (rolling hash folded into `dim` floats).
-    * A real implementation replaces ONLY this object. */
+  /** Payload-byte decoding. [[decodeDims]] is a REAL pure-JVM container
+    * parse (PNG IHDR / JPEG SOF — the header formats are public specs and
+    * need no codec); [[decode]] remains the deterministic stand-in for the
+    * pixel/sample→feature model this container can't run. A production
+    * implementation replaces ONLY [[decode]]. */
   object MediaDecoder {
     val dim = 8
     def decode(payload: Array[Byte], modality: String): Array[Float] = {
@@ -51,23 +59,126 @@ object Multimodal {
       while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
       h
     }
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** Image dimensions parsed from the container header, codec-free:
+      *  - PNG: 8-byte signature, then the IHDR chunk (spec-mandated first)
+      *    carries width/height as big-endian u32 at fixed offsets.
+      *  - JPEG: SOI then a marker-segment walk (each segment is
+      *    FF <marker> <u16 length incl. itself>) until a start-of-frame
+      *    marker (C0–CF minus C4/C8/CC), whose payload is
+      *    precision(1) height(2) width(2).
+      * Returns None for anything else (non-image payloads, truncation,
+      * corrupt headers) — never throws, so it is safe to run over a mixed
+      * corpus and use as the modality filter itself. */
+    def decodeDims(payload: Array[Byte]): Option[(String, Int, Int)] = {
+      if (payload.length >= 24 && payload.take(8).sameElements(PngSig) &&
+          payload.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII"))) {
+        val w = be32(payload, 16)
+        val h = be32(payload, 20)
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some(("png", w.toInt, h.toInt))
+        else None
+      } else if (payload.length >= 4 &&
+          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 3 < payload.length) {
+          if ((payload(i) & 0xff) != 0xff) return None // lost marker sync
+          val marker = payload(i + 1) & 0xff
+          if (marker == 0xff) { i += 1 } // fill bytes before a marker
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+            i += 2 // standalone marker, no length field
+          } else if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (i + 9 > payload.length) return None
+            val h = be16(payload, i + 5)
+            val w = be16(payload, i + 7)
+            return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+          } else {
+            val len = be16(payload, i + 2)
+            if (len < 2) return None
+            i += 2 + len
+          }
+        }
+        None
+      } else None
+    }
+
+    /** Minimal VALID PNG header for the synthetic fixture: signature +
+      * IHDR (8-bit RGB, junk CRC — [[decodeDims]] and real header readers
+      * don't verify it). */
+    def pngHeader(width: Int, height: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(PngSig).putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(width).putInt(height)
+      b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.putInt(0xdeadbeef) // CRC placeholder
+      b.array()
+    }
+
+    /** Minimal JPEG header: SOI + APP0/JFIF + a COM segment (so the parser
+      * proves real segment-walking, not an assumed fixed SOF offset) +
+      * SOF0 with the given dimensions. */
+    def jpegHeader(width: Int, height: Int): Array[Byte] = {
+      val com = "graft synthetic".getBytes("US-ASCII")
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 4 + com.length + 19)
+      b.put(0xff.toByte).put(0xd8.toByte) // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      b.put(1.toByte).put(1.toByte).put(0.toByte)
+      b.putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+      b.put(0xff.toByte).put(0xfe.toByte).putShort((2 + com.length).toShort) // COM
+      b.put(com)
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, 3 components
+      b.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      b.put(3.toByte)
+      b.put(1.toByte).put(0x22.toByte).put(0.toByte)
+      b.put(2.toByte).put(0x11.toByte).put(1.toByte)
+      b.put(3.toByte).put(0x11.toByte).put(1.toByte)
+      b.array()
+    }
   }
 
-  /** Deterministic synthetic media table: payload bytes derived from the
-    * id (stands in for real image/audio blobs; zero-egress container has
-    * no codecs or fixtures). */
+  /** Deterministic synthetic media table. IMAGE payloads are genuine
+    * PNG/JPEG byte streams — a real container header encoding the
+    * metadata's width/height, followed by deterministic junk "compressed
+    * data" (no codec in the container can produce real pixel data, but the
+    * header IS the real format, so [[MediaDecoder.decodeDims]] exercises
+    * the same parse a production reader performs). Audio/video payloads
+    * are opaque junk whose byte recurrence provably never collides with a
+    * PNG signature or JPEG SOI (consecutive bytes differ by 7 mod 251, so
+    * neither 0x89 0x50 nor 0xff 0xd8 can occur at offset 0). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val modality = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-      val payload = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
+      val width = 16 + (id % 16).toInt
+      val height = 12 + (id % 9).toInt
+      val fmt =
+        if (modality != "image") "mkv" else if (id % 6 == 0) "png" else "jpeg"
+      val junk = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
+      val payload = fmt match {
+        case "png"  => MediaDecoder.pngHeader(width, height) ++ junk
+        case "jpeg" => MediaDecoder.jpegHeader(width, height) ++ junk
+        case _      => junk
+      }
       MediaRow(id, payload,
-        MediaMeta(modality, if (modality == "image") "png" else "mkv",
-          width = 16 + (id % 16).toInt, height = 16, durationMs = id % 5000))
+        MediaMeta(modality, fmt, width, height, durationMs = id % 5000))
     }
   }
 
-  val fixturePath = "/root/repo/target/fixtures/media.parquet"
+  // v2: image payloads carry real PNG/JPEG headers (media_dims key); the
+  // version bump forces regeneration of any v1 fixture left on disk.
+  val fixturePath = "/root/repo/target/fixtures/media_v2.parquet"
 
   /** Deterministic media parquet fixture for the declared E4 queries (the
     * binary-column analog of [[graft.sources.Sources.ensureBigFixture]]):
@@ -108,6 +219,28 @@ object Multimodal {
     import spark.implicits._
     payloadDedup(extractFeatures(spark.read.parquet(fixturePath).as[MediaRow]))
       .select(col("media_id"), col("modality"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  /** Declared query `media_dims`: REAL container decode — image
+    * dimensions parsed from the payload BYTES alone (PNG IHDR / JPEG SOF
+    * via [[MediaDecoder.decodeDims]]; the metadata columns are never
+    * read on the Spark side). The DuckDB oracle answers from the fixture's
+    * metadata width/height/format columns instead — the compare certifies
+    * byte-parse == recorded metadata on every image row, and that decode
+    * returns None on exactly the non-image payloads (a false positive or
+    * false negative changes the row set). Decode is a narrow
+    * mapPartitions stage; only (id, fmt, w, h) flows into the final sort. */
+  def mediaDimsQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureMediaFixture(spark)
+    import spark.implicits._
+    spark.read.parquet(fixturePath).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        MediaDecoder.decodeDims(r.payload).map { case (fmt, w, h) =>
+          MediaDims(r.media_id, fmt, w, h)
+        }
+      })
+      .toDF()
       .orderBy("media_id")
   }
 

@@ -353,6 +353,43 @@ object Similarity {
     ivfSearch(assigned, queries, centroids, k, nProbe).orderBy("q_id", "rn")
   }
 
+  /** IVF index PERSISTENCE — the "build once, serve many query batches"
+    * production shape ([[ivfTopk]] rebuilds per call, fine for one-shot
+    * queries; a served index amortizes the Lloyd training and the one
+    * corpus shuffle over every batch that follows). Layout under `dir`:
+    *  - `centroids/` — the c (cid, cv) rows, one small file (they are
+    *    driver-resident by IVF design on read anyway);
+    *  - `assigned/`  — the inverted file (vec_id, v, cid), parquet
+    *    PARTITIONED BY cid: each inverted list is its own directory, so a
+    *    probe of nProbe lists reads nProbe/c of the corpus from disk
+    *    (partition pruning replaces the in-memory cid join at this layer)
+    *    and a cluster-scale search co-locates by construction.
+    */
+  /** Returns the trained centroids (exactly what was persisted), so a
+    * caller can serve the in-memory index immediately without a retrain —
+    * Lloyd's distributed double summation is not ulp-deterministic across
+    * runs, so "retrain and hope it matches" is not a substitute. */
+  def writeIvfIndex(spark: SparkSession, dir: String, emb: DataFrame,
+      c: Int = 8, lloydIters: Int = 2): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    val centroids = trainCentroids(spark, emb, c, lloydIters)
+    centroids.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    emb.join(assignCids(spark, emb, centroids), "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+    centroids
+  }
+
+  /** Read a persisted IVF index back into the (assigned, centroids) pair
+    * [[ivfSearch]] consumes. The centroid collect is c rows — the same
+    * driver-resident centroid set every IVF implementation carries. */
+  def readIvfIndex(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    (spark.read.parquet(s"$dir/assigned"), centroids)
+  }
+
   /** E2 scale path: LSH-bucketed approximate top-k. Corpus and queries are
     * bucketed by the top `prefixBits` of their SimHash; each query scores
     * only vectors sharing its bucket OR any bucket at Hamming distance 1

@@ -82,6 +82,35 @@ object StreamingOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** [EXT] streaming twin of [[graft.operators.TextOps.docDedup]] — exact
+    * dedup over a CONTINUOUSLY ARRIVING document stream (the most common
+    * streaming curation ask: dedup the crawl as it lands, emit each new
+    * document exactly once). Same bag-of-words md5 fingerprint as the
+    * batch key, then streaming `dropDuplicates` on it: Spark keeps one
+    * state row per DISTINCT fingerprint (a narrow md5 string, not the
+    * document), checkpointed with the query — so the "seen" set survives
+    * restarts and the exactly-once guarantee is end-to-end with an
+    * idempotent sink. State grows with the number of distinct documents,
+    * which is the semantics corpus dedup requires ("emit once EVER", not
+    * once-per-window); at cluster scale back it with the RocksDB state
+    * store provider. For pipelines that only need near-time dedup (replay
+    * storms, at-least-once upstreams), [[streamingDocDedupBounded]] trades
+    * the global guarantee for bounded state. */
+  def streamingDocDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+
+  /** Bounded-state variant: duplicates are only suppressed while their
+    * fingerprint is within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`); state older than the horizon is
+    * evicted. The right tool when duplicates cluster in time and the seen
+    * set must not grow with corpus size. */
+  def streamingDocDedupBounded(docs: DataFrame, tsCol: String, delay: String,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** W3/W4 — bounded out-of-orderness watermark. */
   def withEventWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)

@@ -131,6 +131,35 @@ class LlmOpsSpec extends SparkSpec {
       "probed lists (~250 vectors × 2 probes) must fill the full top-10")
   }
 
+  test("IVF index persists and serves identical top-k after a round-trip") {
+    // build-once/serve-many: the index written to parquet must answer
+    // exactly like the in-memory (assigned, centroids) pair it came from
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dir = tmpDir("ivf-index")
+    val trained = Similarity.writeIvfIndex(spark, dir, emb, c = 8, lloydIters = 2)
+    val (assigned, centroids) = Similarity.readIvfIndex(spark, dir)
+    assert(centroids.length === 8)
+    assert(centroids === trained.sortBy(_._1),
+      "centroids must round-trip bit-exactly through parquet")
+    // the inverted file is cid-partitioned on disk (one directory per list)
+    val listDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(listDirs.length === 8, s"expected 8 cid= list dirs, got ${listDirs.toSeq}")
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val served = Similarity.ivfSearch(assigned, queries, centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // the SAME trained index served in-memory (no retrain — Lloyd's
+    // distributed summation is not ulp-deterministic across runs)
+    val assigned2 = emb.join(Similarity.assignCids(spark, emb, trained), "vec_id")
+    val direct = Similarity.ivfSearch(assigned2, queries, trained)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(served.toSeq === direct.toSeq)
+  }
+
   test("ann_topk recall verdict (declared IVF form) holds with slack on sf0.001") {
     val rows = Similarity.annRecall(spark, sf0001).collect()
     assert(rows.length === 5, "one verdict row per query vector")

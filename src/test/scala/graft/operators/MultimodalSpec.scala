@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.forall(_.media_id % 10 === 0))
   }
 
+  test("decodeDims parses crafted PNG headers (incl. edge dimensions)") {
+    import Multimodal.MediaDecoder._
+    assert(decodeDims(pngHeader(1, 1) ++ Array.fill[Byte](32)(9)) === Some(("png", 1, 1)))
+    assert(decodeDims(pngHeader(65535, 3)) === Some(("png", 65535, 3)))
+    assert(decodeDims(pngHeader(640, 480).dropRight(4)) === Some(("png", 640, 480)),
+      "CRC bytes are not required to read IHDR dims")
+  }
+
+  test("decodeDims walks JPEG segments to SOF (APP0 + COM skipped by length)") {
+    import Multimodal.MediaDecoder._
+    assert(decodeDims(jpegHeader(320, 200) ++ Array.fill[Byte](16)(0x5a)) ===
+      Some(("jpeg", 320, 200)))
+    // progressive JPEG: same walk, SOF2 marker instead of SOF0
+    val prog = jpegHeader(100, 50)
+    val sofAt = prog.length - 19
+    assert((prog(sofAt) & 0xff) === 0xff && (prog(sofAt + 1) & 0xff) === 0xc0)
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(decodeDims(prog) === Some(("jpeg", 100, 50)))
+  }
+
+  test("decodeDims rejects junk, truncation, and corrupt markers") {
+    import Multimodal.MediaDecoder._
+    assert(decodeDims(Array.empty[Byte]) === None)
+    assert(decodeDims(Array.fill[Byte](100)(42)) === None)
+    assert(decodeDims(pngHeader(8, 8).take(15)) === None, "truncated before IHDR dims")
+    val jfifOnly = jpegHeader(9, 9).take(20) // SOI + APP0, stream ends before SOF
+    assert(decodeDims(jfifOnly) === None)
+    val badSync = jpegHeader(9, 9)
+    badSync(2) = 0x00 // APP0 marker loses its FF prefix
+    assert(decodeDims(badSync) === None)
+  }
+
+  test("media_dims: byte-parsed dims equal recorded metadata on every image row") {
+    val rows = media.collect()
+    rows.foreach { r =>
+      val parsed = Multimodal.MediaDecoder.decodeDims(r.payload)
+      if (r.meta.modality == "image")
+        assert(parsed === Some((r.meta.format, r.meta.width, r.meta.height)),
+          s"image row ${r.media_id}")
+      else assert(parsed === None, s"non-image row ${r.media_id} must not decode")
+    }
+    assert(rows.count(_.meta.format == "png") > 0)
+    assert(rows.count(_.meta.format == "jpeg") > 0)
+  }
+
   test("payload dedup collapses identical payloads only") {
     import spark.implicits._
     val base = Multimodal.syntheticMedia(spark, 50)

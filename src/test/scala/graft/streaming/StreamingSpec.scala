@@ -134,6 +134,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming doc dedup: duplicates across micro-batches emit once, restart-safe") {
+    // The streaming twin of the batch doc_dedup key: NDJSON docs drop into
+    // a watched directory; normalized duplicates (reordered tokens hash to
+    // the same bag-of-words fingerprint) must emit exactly once across
+    // micro-batches AND across a checkpoint restart — the dedup state
+    // lives in the checkpoint, so a duplicate of a pre-restart doc is
+    // still suppressed after the query comes back.
+    val dropDir = tmpDir("ddedup-src")
+    val outDir  = tmpDir("ddedup-out")
+    val ckDir   = tmpDir("ddedup-ck")
+    def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+      val lines = docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingDocDedup(
+        StreamingOps.fileDropSource(spark, dropDir, "doc_id LONG, text STRING",
+          maxFilesPerTrigger = 1)),
+      outDir, ckDir)
+    drop("a.json", Seq((1L, "the cat sat"), (2L, "dogs bark loud")))
+    drop("b.json", Seq((3L, "sat the cat"),   // normalized dup of doc 1
+                       (4L, "fresh unique text")))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // while the query is DOWN: a dup of a PRE-restart doc and one new doc
+    drop("c.json", Seq((5L, "dogs bark loud"), (6L, "entirely new words")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq === Seq(1L, 2L, 4L, 6L),
+      "one emission per distinct fingerprint; dedup state survives restart")
+  }
+
+  test("bounded streaming dedup evicts state past the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingDocDedupBounded(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "5 seconds")
+      .writeStream.format("memory").queryName("bdedup_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, "alpha beta"), (ts(2), 2L, "alpha beta"))
+      q.processAllAvailable() // 2 is an in-horizon duplicate of 1
+      in.addData((ts(100), 3L, "far future"))
+      q.processAllAvailable() // watermark 95 s: doc 1's state evicted
+      in.addData((ts(101), 4L, "alpha beta"))
+      q.processAllAvailable() // same text again, but PAST the horizon → emits
+      val ids = spark.table("bdedup_out").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq === Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("T1/T3/K3: noop sink starts and stop() cancels cleanly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
