@@ -36,6 +36,7 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, modality: String,
       n_bytes: Int, checksum: Long, features: Array[Float])
   case class MediaDims(media_id: Long, fmt: String, width: Int, height: Int)
+  case class MediaPayload(media_id: Long, payload: Array[Byte])
 
   /** Payload-byte decoding. [[decodeDims]] is a REAL pure-JVM container
     * parse (PNG IHDR / JPEG SOF — the header formats are public specs and
@@ -229,12 +230,16 @@ object Multimodal {
     * metadata width/height/format columns instead — the compare certifies
     * byte-parse == recorded metadata on every image row, and that decode
     * returns None on exactly the non-image payloads (a false positive or
-    * false negative changes the row set). Decode is a narrow
-    * mapPartitions stage; only (id, fmt, w, h) flows into the final sort. */
+    * false negative changes the row set). The scan reads ONLY
+    * (media_id, payload) — the plan itself proves the metadata columns
+    * can't leak into the answer (ReadSchema asserted in PlanAuditSpec).
+    * Decode is a narrow mapPartitions stage; only (id, fmt, w, h) flows
+    * into the final sort. */
   def mediaDimsQuery(spark: SparkSession, dir: String): DataFrame = {
     ensureMediaFixture(spark)
     import spark.implicits._
-    spark.read.parquet(fixturePath).as[MediaRow]
+    spark.read.parquet(fixturePath)
+      .select("media_id", "payload").as[MediaPayload]
       .mapPartitions(_.flatMap { r =>
         MediaDecoder.decodeDims(r.payload).map { case (fmt, w, h) =>
           MediaDims(r.media_id, fmt, w, h)

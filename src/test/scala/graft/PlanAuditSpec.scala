@@ -127,6 +127,13 @@ class PlanAuditSpec extends SparkSpec {
       "metadata-only query must never read payload bytes (columnar pruning)")
   }
 
+  test("media_dims reads only (media_id, payload) — metadata cannot leak into the answer") {
+    val p = plan("media_dims")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("payload") && !read.contains("meta"),
+      s"byte-only decode must scan payload but never the metadata struct: $read")
+  }
+
   test("zip_scan reads through the graft-zipjson DSv2 connector") {
     val p = plan("zip_scan")
     assert(p.contains("graft-zipjson"))
