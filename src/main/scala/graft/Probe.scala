@@ -27,7 +27,9 @@ object Probe {
           nChains = args.lift(1).map(_.toInt).getOrElse(100000),
           chainLen = args.lift(2).map(_.toInt).getOrElse(10),
           longPath = args.lift(3).map(_.toInt).getOrElse(1000))
-      case other => sys.error(s"unknown probe $other (winnow | cc)")
+      case Some("media") =>
+        mediaProbe(spark, n = args.lift(1).map(_.toInt).getOrElse(1000000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media)")
     }
     spark.stop()
   }
@@ -74,6 +76,30 @@ object Probe {
       s"total pairs $total (non-planted ${total - nFound})")
     pairs.unpersist()
     assert(nFound == nPlant, s"missed ${nPlant - nFound} planted pairs")
+  }
+
+  /** `media_dims` decode at scale: `n` synthetic payloads (1/3 real
+    * PNG/JPEG headers + junk tail, 2/3 opaque junk), header parse per row,
+    * ground truth recomputed per row from the generator's own metadata —
+    * every image must decode to exactly its recorded (fmt, w, h), every
+    * non-image to None. Distributed end-to-end: the verdict is one
+    * aggregated violation count, zero rows collected. */
+  def mediaProbe(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(spark, n)
+    val bad = timed(s"decodeDims over $n payloads") {
+      media.map { r =>
+        val d = Multimodal.MediaDecoder.decodeDims(r.payload)
+        val ok =
+          if (r.meta.modality == "image")
+            d.contains((r.meta.format, r.meta.width, r.meta.height))
+          else d.isEmpty
+        if (ok) 0L else 1L
+      }.reduce(_ + _)
+    }
+    println(s"[probe] media: $bad decode violations over $n payloads")
+    assert(bad == 0L)
   }
 
   /** `connectedComponents` at scale with transitive-only ground truth:

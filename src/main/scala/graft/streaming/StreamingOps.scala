@@ -28,6 +28,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * directory in overwrite mode, so a replayed batch overwrites itself
   * rather than duplicating (verified by restart in StreamingSpec).
   */
+/** Rows/state for [[StreamingOps.streamingNearDupPairs]]. */
+case class BandedDoc(band: Int, sig: Long, doc_id: Long, mh: Seq[Long])
+case class NearDupPair(doc_a: Long, doc_b: Long, est_jac: Double)
+case class BucketDocs(docs: List[(Long, Seq[Long])])
+
 /** Per-key running state for [[StreamingOps.statefulSessions]]. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 case class KeyedEvent(key: String, ts: java.sql.Timestamp)
@@ -110,6 +115,82 @@ object StreamingOps {
     docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** [EXT] streaming NEAR-duplicate detection — the fuzzy member of the
+    * streaming dedup family (the batch pipeline is
+    * [[graft.operators.MinHashDedup]]; this is its continuously-arriving
+    * form: detect that an incoming crawl document is a near-dup of ANY
+    * document seen so far, across micro-batches and restarts).
+    *
+    * Same narrow signature math as batch — shingle → one xxhash64 per
+    * shingle → the codegen'd `graft_minhash64` kernel → band structs —
+    * then the BUCKET-JOIN of the batch pipeline becomes BUCKET STATE:
+    * `flatMapGroupsWithState` keyed by (band, band-signature) keeps the
+    * (doc_id, minhash signature) of every doc that landed in the bucket
+    * and emits a pair when a new arrival's signature agrees with a stored
+    * one on ≥ `estThreshold` of positions (the unbiased Jaccard estimate;
+    * agreement over 64 positions has σ ≈ 0.04 at jac 0.9, so the batch
+    * family's exact-verify discipline applies downstream where texts are
+    * at hand). Never all-pairs: comparisons happen only inside LSH
+    * buckets, exactly like the batch join.
+    *
+    * Semantics and costs, stated plainly:
+    *  - a pair colliding in k bands is emitted up to k times (one per
+    *    bucket's state; Spark can't chain a second stateful dedup after
+    *    this one in the same query) — consumers dedupe on (doc_a, doc_b),
+    *    as the spec does;
+    *  - state is the per-bucket doc list (≈ #docs × bands × 8·rows bytes
+    *    total) and grows with the corpus — the "near-dup of anything EVER"
+    *    contract requires it; back it with RocksDB at scale, or bound the
+    *    horizon with a timeout variant when near-time detection suffices;
+    *  - within-batch pairs are found too (arrivals fold into state one at
+    *    a time, ordered by doc_id for determinism).
+    */
+  def streamingNearDupPairs(docs: DataFrame, estThreshold: Double = 0.8,
+      bands: Int = 16, rows: Int = 4)
+      : org.apache.spark.sql.Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("shingles"))
+    val withSig = sh.select(col("doc_id"),
+      call_function("graft_minhash64",
+        transform(col("shingles"), s => xxhash64(s))).as("mh"))
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    withSig
+      .select(col("doc_id"), col("mh"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("mh"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState[BucketDocs, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), arrivals: Iterator[BandedDoc], state: GroupState[BucketDocs]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+          arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_._1 == d.doc_id)) { // replay-safe: ignore re-arrivals
+              seen.foreach { case (oid, omh) =>
+                val agree = omh.iterator.zip(d.mh.iterator)
+                  .count { case (a, b) => a == b }.toDouble / d.mh.length
+                if (agree >= estThreshold)
+                  out += NearDupPair(math.min(oid, d.doc_id),
+                    math.max(oid, d.doc_id), agree)
+              }
+              seen = (d.doc_id, d.mh) :: seen
+            }
+          }
+          state.update(BucketDocs(seen))
+          out.iterator
+      }
+  }
 
   /** W3/W4 — bounded out-of-orderness watermark. */
   def withEventWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =

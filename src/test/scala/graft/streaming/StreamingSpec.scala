@@ -167,6 +167,47 @@ class StreamingSpec extends SparkSpec {
       "one emission per distinct fingerprint; dedup state survives restart")
   }
 
+  test("streaming near-dup: MinHash bucket state pairs near-duplicates across restart") {
+    // The fuzzy member of the streaming dedup family: doc 3 (a one-token
+    // edit of doc 1) arrives in a LATER file, after a query restart — the
+    // pair must still be found because the bucket state (doc_id + minhash
+    // signature per LSH bucket) lives in the checkpoint. Unrelated docs
+    // must never pair. The minhash kernel is deterministic, so the
+    // estimate for a fixed text pair is the same number every run.
+    val dropDir = tmpDir("ndup-src")
+    val outDir  = tmpDir("ndup-out")
+    val ckDir   = tmpDir("ndup-ck")
+    val baseA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val editA = (0 until 39).map(i => s"alpha$i").mkString(" ") + " CHANGED"
+    val textB = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val textC = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    val twinD = (0 until 40).map(i => s"delta$i").mkString(" ")
+    def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+      val lines = docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingNearDupPairs(
+        StreamingOps.fileDropSource(spark, dropDir, "doc_id LONG, text STRING",
+          maxFilesPerTrigger = 1)).toDF(),
+      outDir, ckDir)
+    drop("a.json", Seq((1L, baseA), (2L, textB)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // near-dup of a PRE-restart doc, an unrelated doc, and a within-batch twin pair
+    drop("b.json", Seq((3L, editA), (4L, textC), (5L, twinD), (6L, twinD)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("est_jac")))
+    // a pair colliding in k bands is emitted once per bucket — dedupe as a consumer
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    assert(pairs === Set((1L, 3L), (5L, 6L)),
+      s"expected exactly the planted near-dup pairs, got $pairs")
+    assert(rows.filter(t => t._1 == 5L).forall(_._3 === 1.0),
+      "identical twins must estimate jaccard 1.0")
+    assert(rows.filter(t => t._1 == 1L).forall(_._3 >= 0.8))
+  }
+
   test("bounded streaming dedup evicts state past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
