@@ -29,7 +29,9 @@ object Probe {
           longPath = args.lift(3).map(_.toInt).getOrElse(1000))
       case Some("media") =>
         mediaProbe(spark, n = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media)")
+      case Some("streamdedup") =>
+        streamDedupProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(200000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup)")
     }
     spark.stop()
   }
@@ -100,6 +102,42 @@ object Probe {
     }
     println(s"[probe] media: $bad decode violations over $n payloads")
     assert(bad == 0L)
+  }
+
+  /** [[graft.streaming.StreamingOps.streamingDocDedup]] at scale: `nDocs`
+    * NDJSON documents dropped as files (60 random-vocab tokens each; the
+    * second half are EXACT text duplicates of the first half), streamed
+    * through the fingerprint + dropDuplicates query in bounded
+    * micro-batches. Exactly nDocs/2 distinct documents must come out, and
+    * the dedup state (one md5 per distinct doc) must hold across all
+    * batches. Wall time covers the whole drain: file listing, JSON parse,
+    * fingerprint, state store, parquet sink. */
+  def streamDedupProbe(spark: SparkSession, nDocs: Int): Unit = {
+    require(nDocs % 2 == 0, "nDocs must be even (half originals, half dups)")
+    val half = nDocs / 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val (src, out, ck) = (s"$tmp/src", s"$tmp/out", s"$tmp/ck")
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          j => concat(lit("t"), pmod(xxhash64(pmod(col("id"), lit(half)) * 61 + j), lit(50000)))))
+          .as("text"))
+      .repartition(32).write.json(src)
+    val q = graft.streaming.StreamingOps.foreachBatchParquetSink(
+      graft.streaming.StreamingOps.streamingDocDedup(
+        graft.streaming.StreamingOps.fileDropSource(
+          spark, src, "doc_id LONG, text STRING", maxFilesPerTrigger = 8)),
+      out, ck)
+    timed(s"streamingDocDedup drain of $nDocs docs (50% duplicates, 8-file batches)") {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val result = spark.read.parquet(out)
+    val kept = result.count()
+    val distinctFps = result.select("fp").distinct().count()
+    println(s"[probe] streamdedup: kept $kept (expect $half), " +
+      s"$distinctFps distinct fingerprints")
+    assert(kept == half && distinctFps == half)
   }
 
   /** `connectedComponents` at scale with transitive-only ground truth:

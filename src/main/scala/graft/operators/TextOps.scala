@@ -48,18 +48,27 @@ object TextOps {
     * Real pipelines swap in model-based scores through the same column
     * contract; the filter/verdict plumbing is what matters at 100 TB
     * (narrow, codegen'd, no shuffle until any downstream agg). */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** The quality transform on ANY frame with a `text` column — appends
+    * `quality` and `verdict`, keeps every input column. Pure stateless
+    * column expressions, so the IDENTICAL function runs over a bounded
+    * table or a `readStream` frame (batch/stream parity asserted in
+    * StreamingSpec — this is the unified-API point: a streaming curation
+    * filter is the batch filter, run incrementally). */
+  def quality(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val stop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
     val ttr = size(array_distinct(toks)).cast("double") / size(toks)
     val meanLen = (length(col("text")) - size(toks) + 1).cast("double") / size(toks)
     val score = lit(0.4) * stop + lit(0.4) * ttr + lit(0.2) * (least(meanLen, lit(8.0)) / lit(8.0))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        score.as("quality"),
-        when(score >= 0.35, "keep").otherwise("drop").as("verdict"))
-      .orderBy("doc_id")
+    docs
+      .withColumn("quality", score)
+      .withColumn("verdict", when(score >= 0.35, "keep").otherwise("drop"))
   }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir))
+      .select("doc_id", "lang", "n_chars", "quality", "verdict")
+      .orderBy("doc_id")
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token list.
     * Reorderings and exact duplicates collapse to one fingerprint; md5

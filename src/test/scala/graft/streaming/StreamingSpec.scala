@@ -227,6 +227,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/stream parity: the SAME quality transform scores a stream identically") {
+    // unified-API proof for the curation family: TextOps.quality (the
+    // function object itself, not a re-implementation) applied to a
+    // MemoryStream emits row-for-row what it computes over the same rows
+    // as a bounded frame
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on a mat with a hat"),
+      (2L, "zz zz zz zz"),
+      (3L, "a dense and varied vocabulary sentence with the usual words"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.quality(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("q_out").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("q_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+          r.getAs[String]("verdict"))).sortBy(_._1)
+      val batch = graft.operators.TextOps.quality(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+          r.getAs[String]("verdict"))).sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_._3).toSet === Set("keep", "drop"),
+        "fixture must exercise both verdicts")
+    } finally q.stop()
+  }
+
   test("T1/T3/K3: noop sink starts and stop() cancels cleanly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
