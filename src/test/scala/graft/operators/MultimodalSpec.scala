@@ -67,6 +67,21 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeDims(badSync) === None)
   }
 
+  test("decodeDims never throws: fuzz over random bytes and mutated real headers") {
+    import Multimodal.MediaDecoder._
+    val rnd = new scala.util.Random(0xF00D)
+    for (_ <- 0 until 2000) {
+      val b = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      decodeDims(b) // any Option is fine; an exception fails the test
+    }
+    for (_ <- 0 until 2000) {
+      val h = if (rnd.nextBoolean()) pngHeader(640, 480) else jpegHeader(640, 480)
+      val cut = h.take(rnd.nextInt(h.length + 1))
+      if (cut.nonEmpty) cut(rnd.nextInt(cut.length)) = rnd.nextInt(256).toByte
+      decodeDims(cut)
+    }
+  }
+
   test("media_dims: byte-parsed dims equal recorded metadata on every image row") {
     val rows = media.collect()
     rows.foreach { r =>

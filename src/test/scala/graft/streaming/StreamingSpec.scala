@@ -208,6 +208,68 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(t => t._1 == 1L).forall(_._3 >= 0.8))
   }
 
+  test("streaming near-dup randomized cross-check: incremental state equals one-shot bucketing") {
+    // Falsification for the BUCKET-STATE fold: 48 random docs (small vocab
+    // so accidental bucket collisions happen, 8 planted one-token edits so
+    // true pairs exist) arrive over THREE micro-batches; the streaming
+    // pair set must equal an in-memory one-shot computation over the same
+    // signatures (bucket by (band, sig), pair within buckets, agreement
+    // >= 0.8) — any state-folding bug (lost doc, re-add, wrong incremental
+    // pairing) diverges the sets. Signatures/bands come from a BATCH run
+    // of the same column expressions; the bucketing+agreement arm is plain
+    // Scala.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBEEF)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(20)(s"v${rnd.nextInt(30)}").mkString(" "))
+    }
+    val edits = (0 until 8).map { i =>
+      val (srcId, text) = base(rnd.nextInt(40))
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = "EDITED"
+      (100L + i, toks.mkString(" "))
+    }
+    val docs = rnd.shuffle(base ++ edits)
+    // independent arm: batch signatures + band sigs via the same exprs,
+    // then one-shot bucketing in plain Scala
+    val bands = 16; val rows = 4
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val sigRows = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("shingles"))
+      .select(col("doc_id"), call_function("graft_minhash64",
+        transform(col("shingles"), s => xxhash64(s))).as("mh"))
+      .select(col("doc_id"), col("mh"), array(bandStructs: _*).as("bands"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(b => (b.getAs[Int]("band"), b.getAs[Long]("sig"))).toVector))
+    val want = (for {
+      (band, bucket) <- sigRows.flatMap { case (id, mh, bs) => bs.map(b => (b, (id, mh))) }
+        .groupBy(_._1).iterator
+      members = bucket.map(_._2).toSeq
+      (a, amh) <- members; (b, bmh) <- members if a < b
+      agree = amh.zip(bmh).count(p => p._1 == p._2).toDouble / amh.length
+      if agree >= 0.8
+    } yield (a, b)).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupPairs(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ndrand_out").outputMode("append").start()
+    try {
+      docs.grouped(16).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      val got = spark.table("ndrand_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(want.nonEmpty, "fixture must produce at least the planted pairs")
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("bounded streaming dedup evicts state past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
