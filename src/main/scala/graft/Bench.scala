@@ -13,7 +13,10 @@ object Bench {
     // still yields steady-state numbers, in a third of the wall clock —
     // BENCH_r09 timed out (rc 124) on an overloaded driver box and recorded
     // nothing, which is worse than a 1-run record.
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.trim.toInt)
+    // malformed values degrade to the default — a typo'd env var must not
+    // itself reproduce the blank-round failure this knob exists to prevent
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
     val spark = Engine.session("graft-bench")
     // Untimed warmup pass: JIT + whole-stage-codegen compilation costs ~6-7 s

@@ -34,17 +34,41 @@ object MinHashDedup {
   val rowsPerBand = 4
   val threshold  = 0.8
 
-  /** Distinct word-3-gram shingles per doc (docs shorter than 3 tokens are
-    * dropped — they have no 3-gram and `sequence(0, negative)` would count
-    * DOWN in Spark). */
-  def shingleDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Distinct word-3-gram shingles for ANY (doc_id, text) frame — batch or
+    * streaming (pure stateless column expressions; docs shorter than 3
+    * tokens are dropped — they have no 3-gram and `sequence(0, negative)`
+    * would count DOWN in Spark). Shared by the batch pipeline below and
+    * [[graft.streaming.StreamingOps.streamingNearDupPairs]], so the
+    * streaming twin cannot drift from the batch shingling. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks")) // split ONCE per row
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         array_distinct(expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
           .as("shingles"))
+
+  def shingleDocs(spark: SparkSession, dir: String): DataFrame =
+    shingled(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** (doc_id, shingles) → (doc_id, mh): the 64-minima signature via the
+    * native single-pass graft_minhash64 kernel. Shared batch/streaming. */
+  def signatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      call_function("graft_minhash64",
+        transform(col("shingles"), s => xxhash64(s))).as("mh"))
+
+  /** One struct column per LSH band over an `mh` signature column: band
+    * index + xxhash64 of its `rows` signature values. Shared batch/
+    * streaming — a banding retune changes both pipelines at once. */
+  def bandStructCols(bands: Int, rows: Int): Seq[org.apache.spark.sql.Column] = {
+    require(bands * rows <= numHashes, s"need $bands×$rows ≤ $numHashes signature values")
+    (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+  }
 
   /** Steps 2–4: candidate pairs from LSH banding.
     *
@@ -71,16 +95,8 @@ object MinHashDedup {
     // for the monotone-affine bug the 500k scale test caught) in one
     // codegen'd nested loop — the built-in formulation would evaluate 64
     // interpreted lambdas per row.
-    val withSig = sh.select(col("doc_id"),
-      call_function("graft_minhash64",
-        transform(col("shingles"), s => xxhash64(s))).as("mh"))
-    require(bands * rows <= numHashes, s"need $bands×$rows ≤ $numHashes signature values")
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-    }
-    val banded = withSig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    val banded = signatures(sh)
+      .select(col("doc_id"), explode(array(bandStructCols(bands, rows): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")

@@ -139,10 +139,13 @@ object StreamingOps {
     *    bucket's state; Spark can't chain a second stateful dedup after
     *    this one in the same query) — consumers dedupe on (doc_a, doc_b),
     *    as the spec does;
-    *  - state is the per-bucket doc list (≈ #docs × bands × 8·rows bytes
-    *    total) and grows with the corpus — the "near-dup of anything EVER"
-    *    contract requires it; back it with RocksDB at scale, or bound the
-    *    horizon with a timeout variant when near-time detection suffices;
+    *  - state is the per-bucket doc list — each entry carries the FULL
+    *    64-value signature, so ≈ #docs × bands × (8 + 8·64) B total
+    *    (~8 KB/doc at 16 bands, NOT the 32 B/doc of the exact-dedup
+    *    seen-set) and grows with the corpus; the "near-dup of anything
+    *    EVER" contract requires it — back it with RocksDB at scale, or
+    *    bound the horizon with a timeout variant when near-time detection
+    *    suffices;
     *  - within-batch pairs are found too (arrivals fold into state one at
     *    a time, ordered by doc_id for determinism).
     */
@@ -151,21 +154,12 @@ object StreamingOps {
       : org.apache.spark.sql.Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("shingles"))
-    val withSig = sh.select(col("doc_id"),
-      call_function("graft_minhash64",
-        transform(col("shingles"), s => xxhash64(s))).as("mh"))
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => element_at(col("mh"), b * rows + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-    }
-    withSig
-      .select(col("doc_id"), col("mh"), explode(array(bandStructs: _*)).as("bs"))
+    import graft.operators.MinHashDedup
+    // the SAME shingle/signature/banding stages as the batch pipeline —
+    // shared helpers, so a batch-side retune retunes the streaming twin
+    MinHashDedup.signatures(MinHashDedup.shingled(docs))
+      .select(col("doc_id"), col("mh"),
+        explode(array(MinHashDedup.bandStructCols(bands, rows): _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
         col("doc_id"), col("mh"))
       .as[BandedDoc]
