@@ -102,6 +102,7 @@ object SparkEntry {
       Sketches.approxDistinctChecked(s, d)),
     "approx_quantile" -> ((s: SparkSession, d: String) =>
       Sketches.approxQuantileChecked(s, d)),
+    "heavy_hitters" -> (HeavyHitters.heavyHittersChecked _),
     // SQL-string API surface (§3.1) — shares agg_basic's oracle shape
     "sql_agg"       -> (SqlSurface.sqlAgg _),
     "sql_subquery"  -> (SqlSurface.sqlSubquery _),
@@ -489,6 +490,20 @@ object SparkEntry {
          |FROM (SELECT UNNEST([${Sketches.QuantilePs.map(p => s"CAST($p AS DOUBLE)").mkString(", ")}]) AS p),
          |     (SELECT COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
          |ORDER BY p""".stripMargin,
+    // Misra-Gries verdict rows: the oracle recomputes the guaranteed-heavy
+    // set (exact count · k > n — pure integer arithmetic, no division) and
+    // emits literal TRUE for the survival/bound booleans Spark certifies
+    // against its own exact counts; k values interpolate from
+    // HeavyHitters.CheckedKs (single source of truth)
+    "heavy_hitters" ->
+      s"""WITH exact AS (SELECT lang AS key, COUNT(*) AS exact_cnt
+         |              FROM documents GROUP BY 1),
+         |     tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n FROM exact),
+         |     ks AS (SELECT UNNEST([${HeavyHitters.CheckedKs.mkString(", ")}]) AS k)
+         |SELECT k, key, exact_cnt, n, TRUE AS survived_ok, TRUE AS bound_ok
+         |FROM ks, exact, tot
+         |WHERE exact_cnt * k > n
+         |ORDER BY k, key""".stripMargin,
     "media_stats" ->
       s"""SELECT meta.modality AS modality, COUNT(*) AS n,
          |       AVG(meta.width) AS avg_width, MAX(meta.durationMs) AS max_duration_ms
