@@ -67,6 +67,7 @@ object SparkEntry {
     // §2.7 LLM-pipeline operators
     "text_stats"    -> (TextOps.textStats _),
     "text_quality"  -> (TextOps.textQuality _),
+    "doc_repetition" -> (TextOps.docRepetition _),
     "doc_dedup"     -> (TextOps.docDedup _),
     "dedup_minhash" -> (MinHashDedup.dedupMinhash _),
     "ngram_jaccard" -> (NgramJaccard.ngramJaccard _),
@@ -552,6 +553,33 @@ object SparkEntry {
         |                           / len(string_split(text, ' ')), 8.0) / 8.0) >= 0.35
         |       THEN 'keep' ELSE 'drop' END AS verdict
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // repetition fractions: the oracle rebuilds the 2/3-gram MULTISETS by
+    // unnest + GROUP BY (dup frac = 1 − distinct/total; top frac = max
+    // multiplicity/total — ≡ the Spark side's sorted-array max run); the
+    // threshold interpolates from TextOps.RepetitionTau
+    "doc_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g2 AS (SELECT doc_id, unnest([ array_to_string(toks[i:i+1], ' ')
+         |                               FOR i IN range(1, len(toks)) ]) AS gram
+         |       FROM d WHERE len(toks) >= 2),
+         |g3 AS (SELECT doc_id, unnest([ array_to_string(toks[i:i+2], ' ')
+         |                               FOR i IN range(1, len(toks) - 1) ]) AS gram
+         |       FROM d WHERE len(toks) >= 3),
+         |u2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |u3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2, COUNT(*) AS d2,
+         |              MAX(c) AS top2 FROM u2 GROUP BY 1),
+         |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3, COUNT(*) AS d3
+         |       FROM u3 GROUP BY 1)
+         |SELECT s2.doc_id,
+         |  CAST(s2.n2 - s2.d2 AS DOUBLE) / s2.n2 AS dup2_frac,
+         |  CAST(s2.top2 AS DOUBLE) / s2.n2 AS top2_frac,
+         |  COALESCE(CAST(s3.n3 - s3.d3 AS DOUBLE) / s3.n3, 0.0) AS dup3_frac,
+         |  CASE WHEN s2.n2 < ${TextOps.RepetitionMinGrams} THEN 'short'
+         |       WHEN CAST(s2.top2 AS DOUBLE) / s2.n2 > ${TextOps.RepetitionTau}
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM s2 LEFT JOIN s3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_dedup" ->
       """SELECT doc_id, fp, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -70,6 +70,98 @@ object TextOps {
       .select("doc_id", "lang", "n_chars", "quality", "verdict")
       .orderBy("doc_id")
 
+  /** Within-document repetition signals — the Gopher-style repetition
+    * filters (Rae et al. 2021, "Scaling Language Models", §A.1.1: drop
+    * documents dominated by duplicate/top n-grams). Per document:
+    * duplicate-2-gram and duplicate-3-gram fractions (1 − distinct/total)
+    * and the top-2-gram fraction (most frequent 2-gram's share). All three
+    * are exact-int divisions cast to double, so the DuckDB oracle — which
+    * recomputes them by unnest + GROUP BY — hash-matches bitwise.
+    *
+    * Scale shape: one narrow projection per document — no explode, no
+    * shuffle, no per-doc groupBy (the oracle's unnest+GROUP BY form is the
+    * harness, not the plan). The counters come from the codegen'd
+    * [[graft.plans.RepetitionStatsExpr]] kernel (one char scan per doc)
+    * when the session has GraftExtensions, else from built-in HOFs
+    * (transform/slice gram multiset, aggregate-fold max run). Verdict: "short" below [[RepetitionMinGrams]] 2-grams
+    * (top2_frac ≥ 1/n2 makes the threshold meaningless on tiny docs —
+    * Gopher gates these filters behind a min-word precondition), then
+    * "drop" when top2_frac > [[RepetitionTau]] (boilerplate-dominated),
+    * else "keep". */
+  val RepetitionTau = 0.06
+  val RepetitionMinGrams = 19 // i.e. ≥ 20 whitespace tokens
+
+  private[graft] def gramsOfToks(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(typedLit(Array.empty[String]))
+
+  /** Max multiplicity of any element in an array: sort, then one
+    * aggregate() pass tracking the current and best run length. Null-safe
+    * prev comparison so an initial sentinel can't alias a real gram. */
+  private[graft] def maxMultiplicity(arr: Column): Column = {
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(
+      array_sort(arr), init,
+      (a, x) => {
+        val run = when(x.eqNullSafe(a.getField("prev")), a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+  }
+
+  /** The repetition transform on ANY frame with (doc_id, text) — pure
+    * stateless column expressions, so the identical function runs over a
+    * bounded table or a readStream frame (the [[quality]] contract).
+    * Documents with fewer than 2 tokens have no 2-grams and are dropped. */
+  def repetition(docs: DataFrame): DataFrame = {
+    // counters via the codegen'd graft_repetition_stats kernel when the
+    // session has GraftExtensions (one char scan + hash counts per doc),
+    // the HOF form otherwise — the Contamination.shingled fallback
+    // contract; both produce identical (n2,d2,top2,n3,d3) longs
+    // (bit-equality asserted in VectorExprSpec)
+    val counters =
+      if (docs.sparkSession.catalog.functionExists("graft_repetition_stats"))
+        docs.select(col("doc_id"),
+          call_function("graft_repetition_stats", col("text")).as("s"))
+          .select(col("doc_id"), col("s.n2").as("n2"), col("s.d2").as("d2"),
+            col("s.top2").as("top2"), col("s.n3").as("n3"), col("s.d3").as("d3"))
+      else
+        // materialize toks as its own projection: a lambda body
+        // re-evaluates non-attribute subexpressions PER ELEMENT, so passing
+        // split(text) straight into gramsOfToks' transform() would re-split
+        // the whole document for every gram position — O(n²) splits per doc
+        // (measured ~10× on this key at sf0.1)
+        docs
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            gramsOfToks(col("toks"), 2).as("g2"),
+            gramsOfToks(col("toks"), 3).as("g3"))
+          .select(col("doc_id"),
+            size(col("g2")).cast("long").as("n2"),
+            size(array_distinct(col("g2"))).cast("long").as("d2"),
+            maxMultiplicity(col("g2")).as("top2"),
+            size(col("g3")).cast("long").as("n3"),
+            size(array_distinct(col("g3"))).cast("long").as("d3"))
+    counters
+      .filter(col("n2") > 0)
+      .select(col("doc_id"),
+        ((col("n2") - col("d2")).cast("double") / col("n2")).as("dup2_frac"),
+        (col("top2").cast("double") / col("n2")).as("top2_frac"),
+        when(col("n3") > 0, (col("n3") - col("d3")).cast("double") / col("n3"))
+          .otherwise(lit(0.0)).as("dup3_frac"),
+        when(col("n2") < RepetitionMinGrams, "short")
+          .when(col("top2").cast("double") / col("n2") > RepetitionTau, "drop")
+          .otherwise("keep").as("verdict"))
+  }
+
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token list.
     * Reorderings and exact duplicates collapse to one fingerprint; md5
     * exists in both engines so the oracle matches. At 100 TB this is the

@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenNgramsExpr].getName, "graft_token_ngrams"),
       (children: Seq[Expression]) => TokenNgramsExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))

@@ -121,6 +121,16 @@ class PlanAuditSpec extends SparkSpec {
       "the wide (partial) exchange must be keyed on (event_type, __salt)")
   }
 
+  test("doc_repetition is a narrow per-doc pipeline — no explode, no keyed exchange") {
+    val p = plan("doc_repetition")
+    // all gram stats come from HOFs inside the projection; the only
+    // exchange is the final global-sort range partitioning
+    assert(!p.contains("Generate"), "per-doc stats must not explode grams")
+    assert(!p.contains("Exchange hashpartitioning"), "no per-doc groupBy")
+    // reads only (doc_id, text)
+    assert(!p.contains("n_chars") && !p.contains("lang"))
+  }
+
   test("media_stats prunes the payload column from the parquet scan") {
     val p = plan("media_stats")
     assert(!p.contains("payload"),

@@ -253,6 +253,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter("n_types > n_tokens").count() === 0)
   }
 
+  test("repetition fractions on crafted docs match hand counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // 25×"a": 24×"a a" → dup2 23/24, top2 1.0; 23×"a a a" → dup3 22/23
+      (1L, Seq.fill(25)("a").mkString(" ")),
+      // 24 distinct tokens: dup2 0, top2 1/23 < tau → keep
+      (2L, (1 to 24).map(i => s"t$i").mkString(" ")),
+      // "p q p q … p" (25 toks): 12×"p q" + 12×"q p" → dup2 22/24, top2 0.5
+      (3L, Seq.tabulate(25)(i => if (i % 2 == 0) "p" else "q").mkString(" ")),
+      // 4 tokens: has 2-grams but below the min-length gate → "short"
+      (5L, "w x y z"),
+      // single token: no 2-grams — dropped entirely
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Double]("dup2_frac"), r.getAs[Double]("top2_frac"),
+        r.getAs[Double]("dup3_frac"), r.getAs[String]("verdict"))).toMap
+    assert(byId(1L) == ((23.0 / 24, 1.0, 22.0 / 23, "drop")))
+    assert(byId(2L) == ((0.0, 1.0 / 23, 0.0, "keep")))
+    // 3-grams: 12×"p q p" + 11×"q p q" → dup3 21/23
+    assert(byId(3L) == ((22.0 / 24, 0.5, 21.0 / 23, "drop")))
+    assert(byId(5L) == ((0.0, 1.0 / 3, 0.0, "short")))
+  }
+
+  test("randomized cross-check: repetition fractions vs in-memory recount") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map { id =>
+      val nTok = 2 + rnd.nextInt(40)
+      val vocab = 1 + rnd.nextInt(6) // small vocab → real collisions
+      (id, Seq.fill(nTok)(s"t${rnd.nextInt(vocab)}").mkString(" "))
+    }
+    val out = TextOps.repetition(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      def stats(n: Int) = {
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        (grams.size, grams.distinct.size,
+          if (grams.isEmpty) 0L else grams.groupBy(identity).values.map(_.size).max.toLong)
+      }
+      val (n2, d2, top2) = stats(2)
+      val (n3, d3, _) = stats(3)
+      val r = out(id)
+      assert(r.getAs[Double]("dup2_frac") == (n2 - d2).toDouble / n2, s"doc $id dup2")
+      assert(r.getAs[Double]("top2_frac") == top2.toDouble / n2, s"doc $id top2")
+      val expDup3 = if (n3 == 0) 0.0 else (n3 - d3).toDouble / n3
+      assert(r.getAs[Double]("dup3_frac") == expDup3, s"doc $id dup3")
+    }
+  }
+
   test("BPE-ish token classes split crafted mixed text correctly") {
     import spark.implicits._
     // "hello world42 foo-bar!! x3" → words {hello, world, foo, bar, x},

@@ -235,6 +235,44 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_repetition_stats is bit-identical to the HOF counter form") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(19)
+    val crafted = Seq(
+      "a b c d e", "a a a a a", "p q p q p",
+      "a  b c d  e", " lead b c", "trail b c ",
+      "one two", "solo", "", "😀 x 😀 x 😀")
+    val randoms = Seq.fill(40) {
+      val vocab = 1 + rnd.nextInt(5)
+      Seq.fill(2 + rnd.nextInt(30))(s"t${rnd.nextInt(vocab)}").mkString(" ")
+    }
+    val rows = (crafted ++ randoms).toDF("text")
+      .select(col("text"), split(col("text"), " ").as("toks"))
+      .select(
+        call_function("graft_repetition_stats", col("text")).as("s"),
+        TextOps.gramsOfToks(col("toks"), 2).as("g2"),
+        TextOps.gramsOfToks(col("toks"), 3).as("g3"))
+      .select(col("s"),
+        size(col("g2")).cast("long").as("n2"),
+        size(array_distinct(col("g2"))).cast("long").as("d2"),
+        TextOps.maxMultiplicity(col("g2")).as("top2"),
+        size(col("g3")).cast("long").as("n3"),
+        size(array_distinct(col("g3"))).cast("long").as("d3"))
+      .collect()
+    for (r <- rows) {
+      val s = r.getStruct(0)
+      assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4)) ===
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"kernel vs HOF mismatch on row $r")
+    }
+    // NULL text → NULL struct (the HOF form's when() yields empty arrays
+    // instead — the kernel's NULL is the declared key's filter semantics)
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_repetition_stats", col("text"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("winnowing theorem: substring of length >= k+w-1 shares a fingerprint") {
     // plant a 24-char shared substring inside otherwise unrelated texts
     val shared = "the stolen phrase here ok"
