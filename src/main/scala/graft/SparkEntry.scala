@@ -98,6 +98,7 @@ object SparkEntry {
     "contamination"     -> (Contamination.contamination _),
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
+    "seq_pack"          -> (Packing.seqPack _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -726,6 +727,20 @@ object SparkEntry {
          |r AS (SELECT vec_id, cid, d2,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
          |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // sequence packing: the oracle is the NAIVE single-window global
+    // cumsum (exact integer arithmetic, so rows hash bitwise) — the Spark
+    // side must reproduce it from the two-phase distributed prefix sum,
+    // so a bucket-offset bug (a lost or double-counted bucket) turns rows
+    // red. `div` = floor division on non-negative longs in both engines.
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tok, start_tok, start_tok // ${Packing.SeqBudget} AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

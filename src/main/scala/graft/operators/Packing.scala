@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data pipelines (SURVEY.md §2.7
+  * [EXT]): assign every document its token offset in the deterministic
+  * doc_id-ordered corpus concatenation, and from it the fixed-budget
+  * training sequence (context window) its first token lands in — the
+  * "concat-and-chunk" batching step that turns a curated corpus into
+  * training sequences.
+  *
+  * The interesting part is the global prefix sum. The naive form —
+  * `sum(n_tok) over (order by doc_id)` with no partition — funnels the
+  * ENTIRE corpus through one partition (Spark plans an unpartitioned
+  * running window as Exchange SinglePartition), a guaranteed OOM/straggler
+  * at 100 TB. This operator computes the identical result as a classic
+  * two-phase parallel prefix sum:
+  *
+  *   1. bucket docs by a MONOTONE function of the sort key
+  *      (`doc_id div bucketWidth` — monotone bucketing is exactly what
+  *      range partitioning does, so any ordered key domain works);
+  *   2. within-bucket running sums — a keyed window, parallel across
+  *      buckets, each partition holds one bucket's docs;
+  *   3. per-bucket totals (one map-side-combined aggregation down to
+  *      #buckets rows) cumulated into bucket offsets by a tiny window
+  *      over #buckets rows — the only single-partition step, O(#buckets)
+  *      not O(#docs);
+  *   4. broadcast the offsets back and add.
+  *
+  * Equivalence to the single-window form is asserted on random corpora in
+  * CurationOpsSpec; the plan shape (no SinglePartition exchange of raw
+  * docs, broadcast offset join) is pinned in PlanAuditSpec.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence for the declared key (a
+    * GPT-2-ish context budget; any positive budget works). */
+  val SeqBudget = 512
+
+  /** doc_ids per prefix-sum bucket for the declared key. Sized so a
+    * bucket's docs fit one executor partition (at 100 TB: pick
+    * corpus_rows / desired_parallelism); correctness is independent of
+    * the choice (asserted in spec). */
+  val BucketWidth = 64L
+
+  /** Whitespace token count, matching `split(text, ' ')` keep-empties —
+    * the same tokenization every other text key uses. */
+  private def nTok(text: Column): Column =
+    size(split(text, " ")).cast("long")
+
+  /** Two-phase distributed prefix sum + chunk assignment over an
+    * arbitrary (id, n_tok) frame. `docs` must have unique ids; ordering
+    * and bucketing both key off `idCol`.
+    *
+    * Cache contract ([[graft.Caching]]): both phases read `docs`, so the
+    * narrow bucketed projection is persisted — without it the doc source
+    * (a 100 TB text scan for the declared key) is scanned and tokenized
+    * twice. The cached frame is id+two longs per row, ~1000× smaller than
+    * the text it derives from. Callers release it via
+    * `spark.catalog.clearCache()` / `withCleanup` once the result is
+    * materialized (Verify and Bench both do). */
+  def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
+      budget: Int, bucketWidth: Long): DataFrame = {
+    val bucketed = docs.withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // phase 3: #buckets-row frame of exclusive bucket offsets. The window
+    // is over bucket summaries, never docs; pmod(bucket, 1) ≡ 0 keeps
+    // WindowExec's "No Partition Defined" warning out of driver logs
+    // without changing semantics (same trick as Ranking.bm25Topk — a lit
+    // would be constant-folded away and the warning would return).
+    val wOff = Window.partitionBy(pmod(col("bucket"), lit(1)))
+      .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum(nTokCol).as("btot"))
+      .withColumn("boff", sum("btot").over(wOff) - col("btot"))
+      .select("bucket", "boff")
+
+    // phase 2 + 4: within-bucket running sum, plus the broadcast offset
+    val wIn = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("start_tok",
+        sum(nTokCol).over(wIn) - col(nTokCol))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start_tok", col("start_tok") + col("boff"))
+      .withColumn("seq_id", expr(s"start_tok div $budget"))
+      .drop("bucket", "boff")
+  }
+
+  /** Declared key (`seq_pack`): doc_id → (n_tok, start_tok, seq_id) over
+    * the documents table at the [[SeqBudget]] context budget. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok(col("text")).as("n_tok"))
+    packSequences(t, "doc_id", "n_tok", SeqBudget, BucketWidth)
+      .select("doc_id", "n_tok", "start_tok", "seq_id")
+      .orderBy("doc_id")
+  }
+}

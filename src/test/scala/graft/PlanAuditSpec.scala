@@ -220,4 +220,22 @@ class PlanAuditSpec extends SparkSpec {
         s"explode must fan out (vec_id, probe) only, not the vector: $l")
     }
   }
+
+  test("seq_pack: no single-partition pass over docs; offsets broadcast; one text scan") {
+    val p = plan("seq_pack")
+    // the naive global-cumsum plan this operator exists to avoid
+    assert(!p.contains("Exchange SinglePartition"),
+      "the corpus must never funnel through one partition")
+    // within-bucket windows exchange on the bucket key; the #buckets-row
+    // offset frame joins back as a broadcast, never a shuffle
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // cache contract: the narrow (id, n_tok, bucket) projection is
+    // persisted, so the 100 TB text scan + tokenize happens once — BOTH
+    // phases must read the InMemoryRelation (the FileScan lines in the
+    // plan string are the cached plan's printout, executed once)
+    assert(count(p, "InMemoryTableScan") >= 2,
+      "both phases must share one cached tokenize pass")
+    spark.catalog.clearCache()
+  }
 }

@@ -124,4 +124,32 @@ class CurationOpsSpec extends SparkSpec {
     // every seed vector is its own centroid at distance 0
     (0 until Similarity.KmeansSeedC).foreach(i => assert(got(i.toLong) === i))
   }
+
+  test("packSequences two-phase prefix sum ≡ naive global cumsum on random corpora") {
+    import spark.implicits._
+    // the randomized cross-check pattern (DedupClustersSpec/AsOfJoinSpec):
+    // scattered non-dense ids, varied budgets and bucket widths — a
+    // lost/double-counted bucket offset or a non-monotone bucketing bug
+    // shows up as a shifted start_tok somewhere in 8×~150 rows
+    val rnd = new scala.util.Random(0x5e9c)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(150)
+      val ids = Iterator.continually(rnd.nextLong().abs % 1000000L)
+        .distinct.take(n).toSeq
+      val rows = ids.map(id => (id, (rnd.nextInt(300) + 1).toLong))
+      val budget = 1 + rnd.nextInt(700)
+      val width = 1L + rnd.nextInt(500)
+      val got = Packing.packSequences(
+          rows.toDF("doc_id", "n_tok"), "doc_id", "n_tok", budget, width)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tok", "start_tok", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      var cum = 0L
+      val want = rows.sortBy(_._1).map { case (id, t) =>
+        val s = cum; cum += t; (id, t, s, s / budget)
+      }
+      assert(got === want, s"trial $trial (n=$n budget=$budget width=$width)")
+      spark.catalog.clearCache() // packSequences' documented cache contract
+    }
+  }
 }
