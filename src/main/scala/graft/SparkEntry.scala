@@ -46,6 +46,7 @@ object SparkEntry {
     "pivot_agg"     -> (Relational.pivotAgg _),
     "dedup"         -> (Relational.dedup _),
     "star_topk"     -> (Relational.starTopk _),
+    "large_order"   -> (Relational.largeOrderTopk _),
     "asof_join"     -> (AsOfJoin.asofJoin _),
     "range_join"    -> ((s: SparkSession, d: String) => RangeJoin.rangeJoin(s, d)),
     // §2.5 function surface
@@ -99,6 +100,7 @@ object SparkEntry {
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
     "seq_pack"          -> (Packing.seqPack _),
+    "bloom_join"        -> (BloomJoin.bloomJoin _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -283,6 +285,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // Q18 macro: quantities sum as DECIMAL on both engines (exact, so the
+    // HAVING cut and the output hash bitwise); threshold interpolates from
+    // Relational (single source of truth)
+    "large_order" ->
+      s"""WITH po AS (
+         |  SELECT l_orderkey,
+         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         |         COUNT(*) AS n_items
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > ${Relational.LargeOrderQty}
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty, n_items
+         |FROM po
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "topk" ->
       """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey
@@ -741,6 +759,10 @@ object SparkEntry {
          |      FROM t)
          |SELECT doc_id, n_tok, start_tok, start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
+    // might_contain has no false negatives and the exact join removes its
+    // false positives, so any divergence means the bloom dropped a real key
+    "bloom_join" -> BloomJoin.oracleSql,
     "sql_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

@@ -300,6 +300,37 @@ object Relational {
       .limit(10)
   }
 
+  /** Quantity floor for [[largeOrderTopk]] — interpolated into the oracle
+    * SQL (single source of truth). */
+  val LargeOrderQty = 200
+
+  /** Macro query (TPC-H Q18 shape): full-fact aggregation + HAVING + join
+    * spine + top-k — the complement of [[starTopk]]'s plan discipline.
+    * Q3 prunes the fact with filtered DIMS; Q18 inverts it: the fact
+    * pre-aggregates per order first (the only corpus-wide shuffle, with
+    * map-side partial sums), the HAVING collapses it to the rare
+    * large-quantity orders, and THAT small survivor set drives the joins —
+    * at 100 TB the filtered aggregate (≈0.006 % of orders at this
+    * threshold) is the broadcast build side against the full orders and
+    * customer tables, so neither dimension ever shuffles. Quantities sum
+    * as DECIMAL (exact, order-independent — safe to hash-compare), and
+    * the top-100 plans as TakeOrderedAndProject.
+    */
+  def largeOrderTopk(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
+      .filter(col("qty") > LargeOrderQty)
+    broadcast(perOrder)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("total_qty"), col("n_items"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** R15 / E1-exact: deduplication — keep the EARLIEST event per
     * (user_id, event_type), expressed as row_number over a keyed window
     * (deterministic, unlike dropDuplicates which keeps an arbitrary row).

@@ -40,6 +40,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
+    // Spark's runtime-filter bloom expressions (codegen'd, mergeable
+    // sketch aggregate) are internal-only — InjectRuntimeFilter uses them
+    // but no SQL name is registered. Exposing them lets queries build a
+    // key-set bloom on a filtered dim side as a scalar subquery and prune
+    // a fact scan with it BEFORE the join shuffle (see
+    // operators.BloomJoin). Both take xxhash64(key) longs.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),

@@ -221,6 +221,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
+    val p = plan("large_order")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "the per-order quantity aggregate is the only corpus-wide shuffle")
+    // Q18's inversion of Q3: the filtered AGGREGATE is the build side, so
+    // orders/customer never exchange
+    assert(count(p, "BroadcastHashJoin") === 2 && !p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must never plan a global sort")
+  }
+
+  test("bloom_join: bloom built once as a subquery, probe filters the fact scan pre-join") {
+    val p = plan("bloom_join")
+    // the sketch aggregate merges partial blooms (O(bits) exchange, the
+    // shape that ships ~1 MB instead of the key set), shared by subquery
+    assert(p.contains("partial_bloom_filter_agg"), "bloom must build map-side partials")
+    assert(p.contains("might_contain(Subquery"), "probe must reference the shared subquery")
+    // the probe must sit on the lineitem side BEFORE the join, where it
+    // drops pruned rows ahead of the join exchange
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0)
+    assert(p.substring(joinIdx).contains("might_contain"),
+      "fact-side Filter with the bloom probe must be under the join")
+    // dim-side price predicate reaches both orders scans
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"))
+  }
+
   test("seq_pack: no single-partition pass over docs; offsets broadcast; one text scan") {
     val p = plan("seq_pack")
     // the naive global-cumsum plan this operator exists to avoid

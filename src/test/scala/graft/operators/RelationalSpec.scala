@@ -78,6 +78,31 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("bloom pre-filter keeps every true join key and prunes most others") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = sf0001
+    val li = graft.Tables.lineitem(spark, dir)
+    val trueKeys = graft.Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > BloomJoin.PriceMin)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    graft.functions.SqlSurface.registerViews(spark, dir, Seq("orders"))
+    val pruned = li.filter(expr(
+      s"""graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+         |   FROM orders WHERE o_totalprice > ${BloomJoin.PriceMin}),
+         |  xxhash64(l_orderkey))""".stripMargin))
+      .select("l_orderkey").collect().map(_.getLong(0))
+    // no false negatives: every lineitem of a qualifying order survives
+    val total = li.count()
+    val trueMatches = li.filter(col("l_orderkey").isInCollection(trueKeys)).count()
+    assert(pruned.count(trueKeys) === trueMatches,
+      "bloom must never drop a real join key")
+    // and it actually prunes: at ~20 % dim selectivity and 1 % target FPP
+    // the survivor set stays well under half the fact table
+    assert(pruned.length < total / 2,
+      s"bloom kept ${pruned.length} of $total rows — not pruning")
+  }
+
   test("scalar_funcs buckets respect their thresholds") {
     val out = Funcs.scalarFuncs(spark, sf0001)
     assert(out.filter("bucket = 'high' AND price_floor <= 300000").count() === 0)
