@@ -20,25 +20,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-    * Spark cannot represent natively (µs precision). Read the raw ns count
-    * via the `nanosAsLong` escape hatch and truncate to µs TIMESTAMP_NTZ —
-    * the same truncation DuckDB applies, so oracle comparisons line up.
+  /** `events.ts` has shipped in two encodings across testdata generations:
+    * parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark can only
+    * read via the `nanosAsLong` escape hatch (raw ns count as LongType) —
+    * and plain TIMESTAMP(MICROS) (TimestampType/TimestampNTZType). The
+    * loader must not assume either: it branches on the type Spark actually
+    * inferred and normalizes both to µs TIMESTAMP_NTZ, the truncation DuckDB
+    * applies, so oracle comparisons line up regardless of the file's vintage.
     *
-    * Both configs are set by [[graft.Engine.session]] at session build; our
-    * own entry points never hit the fallback below. The driver, however,
-    * smoke-runs `SparkEntry.entry(spark)` with an EXTERNALLY built session —
-    * for that path we set the two semantics-critical confs defensively
-    * (documented session-level mutation: without nanosAsLong the read
-    * fails outright, and a non-UTC zone silently shifts event times).
+    * `nanosAsLong` stays set unconditionally BEFORE the read: it is required
+    * for the ns encoding (without it the read fails at schema inference) and
+    * a no-op for µs files. Both confs are also set by [[graft.Engine.session]]
+    * at session build; the defensive set here covers the driver's smoke path,
+    * which calls `SparkEntry.entry` with an externally built session
+    * (documented session-level mutation: a non-UTC zone silently shifts
+    * event times).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
       s.conf.set("spark.sql.session.timeZone", "UTC")
-    table(s, d, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = table(s, d, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns-encoded file read through the escape hatch: truncate ns → µs
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+      case _ =>
+        // native µs timestamp (with or without zone): normalize to NTZ
+        "cast(ts as timestamp_ntz)"
+    }
+    raw.withColumn("ts", expr(tsExpr))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

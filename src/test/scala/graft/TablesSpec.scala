@@ -1,0 +1,94 @@
+package graft
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Regression net for the testdata contract on `events.parquet`.
+  *
+  * The driver has shipped `ts` in two encodings across testdata
+  * generations — parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) and plain
+  * TIMESTAMP(MICROS) — and a regeneration between rounds flipped the
+  * encoding under a loader that assumed one of them, erroring every
+  * event-table key. [[Tables.events]] now branches on the inferred type;
+  * this spec pins that contract by writing BOTH encodings as tiny in-test
+  * fixtures (Spark cannot write TIMESTAMP(NANOS), so the ns fixture is
+  * crafted with the bundled parquet-mr example writer) and asserting the
+  * loader yields identical TIMESTAMP_NTZ rows from each.
+  */
+class TablesSpec extends SparkSpec {
+
+  // one timestamp with sub-µs precision (exercises the ns→µs truncation)
+  // and one on a whole second (exercises the no-op path)
+  private val t1 = LocalDateTime.of(2026, 3, 1, 12, 34, 56, 123456789)
+  private val t2 = LocalDateTime.of(2026, 3, 2, 0, 0, 0, 0)
+  private def epochNs(t: LocalDateTime): Long =
+    t.toEpochSecond(ZoneOffset.UTC) * 1000000000L + t.getNano
+
+  private def writeNanosFixture(dir: String): Unit = {
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64).named("event_id"))
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(
+          /* isAdjustedToUTC = */ false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .named("events")
+    val f = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/events.parquet"))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(schema)
+      .build()
+    try {
+      writer.write(f.newGroup().append("event_id", 1L).append("ts", epochNs(t1)))
+      writer.write(f.newGroup().append("event_id", 2L).append("ts", epochNs(t2)))
+    } finally writer.close()
+  }
+
+  private def writeMicrosFixture(dir: String): Unit = {
+    import spark.implicits._
+    // LocalDateTime encodes as TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), the regenerated testdata's encoding
+    Seq((1L, t1.withNano(123456000)), (2L, t2))
+      .toDF("event_id", "ts")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("Tables.events yields identical NTZ rows from ns-long and µs-timestamp files") {
+    val nsDir = tmpDir("events-ns")
+    val usDir = tmpDir("events-us")
+    writeNanosFixture(nsDir)
+    writeMicrosFixture(usDir)
+
+    val fromNs = Tables.events(spark, nsDir)
+    val fromUs = Tables.events(spark, usDir)
+    assert(fromNs.schema("ts").dataType === TimestampNTZType)
+    assert(fromUs.schema("ts").dataType === TimestampNTZType)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, LocalDateTime)] =
+      df.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getAs[LocalDateTime]("ts"))).toSeq
+    val ns = rows(fromNs)
+    val us = rows(fromUs)
+    assert(ns === us, "the two encodings must load to the same µs-NTZ rows")
+    // the ns fixture really carried sub-µs digits and they truncated, not rounded
+    assert(ns.head._2.getNano === 123456000)
+  }
+
+  test("Tables.events loads the driver-generated file under an externally built session") {
+    // the driver smoke path: a session Engine.session did NOT configure —
+    // the loader's defensive confs must make the read succeed regardless of
+    // which encoding the current testdata generation uses
+    val ext = spark.newSession()
+    ext.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val df = Tables.events(ext, sf0001)
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    assert(df.limit(5).count() > 0)
+  }
+}
