@@ -39,25 +39,32 @@ object MinHashDedup {
     * tokens are dropped — they have no 3-gram and `sequence(0, negative)`
     * would count DOWN in Spark). Shared by the batch pipeline below and
     * [[graft.streaming.StreamingOps.streamingNearDupPairs]], so the
-    * streaming twin cannot drift from the batch shingling. */
-  def shingled(docs: DataFrame): DataFrame =
+    * streaming twin cannot drift from the batch shingling.
+    *
+    * `carry` names extra input columns to pass through untouched — the
+    * bounded streaming variant carries its event-time column this way
+    * (the watermark survives projections, so tagging before shingling
+    * keeps one shared code path). */
+  def shingled(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks")) // split ONCE per row
+      .select(col("doc_id") +: carry.map(col) :+
+        split(col("text"), " ").as("toks"): _*) // split ONCE per row
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         array_distinct(expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-          .as("shingles"))
+          .as("shingles"): _*)
 
   def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     shingled(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** (doc_id, shingles) → (doc_id, mh): the 64-minima signature via the
-    * native single-pass graft_minhash64 kernel. Shared batch/streaming. */
-  def signatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
+    * native single-pass graft_minhash64 kernel. Shared batch/streaming;
+    * `carry` as in [[shingled]]. */
+  def signatures(sh: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    sh.select(col("doc_id") +: carry.map(col) :+
       call_function("graft_minhash64",
-        transform(col("shingles"), s => xxhash64(s))).as("mh"))
+        transform(col("shingles"), s => xxhash64(s))).as("mh"): _*)
 
   /** One struct column per LSH band over an `mh` signature column: band
     * index + xxhash64 of its `rows` signature values. Shared batch/

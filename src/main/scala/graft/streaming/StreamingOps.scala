@@ -33,6 +33,13 @@ case class BandedDoc(band: Int, sig: Long, doc_id: Long, mh: Seq[Long])
 case class NearDupPair(doc_a: Long, doc_b: Long, est_jac: Double)
 case class BucketDocs(docs: List[(Long, Seq[Long])])
 
+/** Rows/state for [[StreamingOps.streamingNearDupPairsBounded]] — the
+  * timed twin: each stored doc carries its event-time millis so the
+  * horizon can evict per-doc, and the whole bucket dies by timeout. */
+case class BandedDocTs(band: Int, sig: Long, doc_id: Long, mh: Seq[Long],
+    ts: java.sql.Timestamp)
+case class TimedBucketDocs(docs: List[(Long, Seq[Long], Long)])
+
 /** Per-key running state for [[StreamingOps.statefulSessions]]. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 case class KeyedEvent(key: String, ts: java.sql.Timestamp)
@@ -143,9 +150,8 @@ object StreamingOps {
     *    64-value signature, so ≈ #docs × bands × (8 + 8·64) B total
     *    (~8 KB/doc at 16 bands, NOT the 32 B/doc of the exact-dedup
     *    seen-set) and grows with the corpus; the "near-dup of anything
-    *    EVER" contract requires it — back it with RocksDB at scale, or
-    *    bound the horizon with a timeout variant when near-time detection
-    *    suffices;
+    *    EVER" contract requires it — back it with RocksDB at scale, or use
+    *    [[streamingNearDupPairsBounded]] when near-time detection suffices;
     *  - within-batch pairs are found too (arrivals fold into state one at
     *    a time, ordered by doc_id for determinism).
     */
@@ -183,6 +189,99 @@ object StreamingOps {
           }
           state.update(BucketDocs(seen))
           out.iterator
+      }
+  }
+
+  /** Bounded-state variant of [[streamingNearDupPairs]] — the fuzzy twin of
+    * [[streamingDocDedupBounded]]: near-dup pairs are only sought within an
+    * EVENT-TIME horizon, and bucket state is evicted once the watermark
+    * passes it. This is the production shape when "near-time detection
+    * suffices" (replay storms, crawl refetches, at-least-once upstreams):
+    * state is bounded by the horizon's document arrival volume instead of
+    * growing ~8 KB/doc with the whole corpus.
+    *
+    * Mechanics: the watermark is applied to `tsCol` with the horizon as its
+    * delay BEFORE the shared shingle/signature/banding stages (watermarks
+    * survive projections, so the batch-shared helpers stay one code path —
+    * their `carry` parameter threads the timestamp through). The bucket
+    * fold is [[streamingNearDupPairs]]'s with two changes, both
+    * eviction-only:
+    *  - per-doc: a stored doc with `ts + horizon < watermark` can never
+    *    again form an in-horizon pair with a future arrival (the watermark
+    *    bounds future event times from below), so it is dropped at each
+    *    bucket invocation;
+    *  - per-bucket: `EventTimeTimeout` set to `max(ts)+horizon` removes the
+    *    whole bucket's state once every member is past eviction, so idle
+    *    buckets cost nothing — without this, a bucket that stops receiving
+    *    arrivals would pin its (empty-after-filter) state row forever.
+    *
+    * Contract: a pair is emitted iff both docs land in a shared LSH bucket,
+    * their signatures agree on ≥ `estThreshold` positions, AND their event
+    * times differ by ≤ `horizonMs`. Pairs spanning more than the horizon
+    * are deliberately NOT found — that is the trade. Emission multiplicity
+    * (once per colliding band) and replay safety are as in the unbounded
+    * form. Rows later than the watermark are dropped by Spark before the
+    * fold (standard W5 semantics). */
+  def streamingNearDupPairsBounded(docs: DataFrame, tsCol: String, horizonMs: Long,
+      estThreshold: Double = 0.8, bands: Int = 16, rows: Int = 4)
+      : org.apache.spark.sql.Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.MinHashDedup
+    // normalize to TimestampType BEFORE the watermark: downstream
+    // projections must carry the watermarked ATTRIBUTE itself (a cast
+    // after the watermark strips the delay metadata and the stateful op
+    // rejects EventTimeTimeout as "no watermark")
+    val withWm = docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    MinHashDedup.signatures(MinHashDedup.shingled(withWm, Seq("ts")), Seq("ts"))
+      .select(col("doc_id"), col("mh"), col("ts"),
+        explode(array(MinHashDedup.bandStructCols(bands, rows): _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("mh"), col("ts"))
+      .as[BandedDocTs]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState[TimedBucketDocs, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), arrivals: Iterator[BandedDocTs],
+            state: GroupState[TimedBucketDocs]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            // evict docs that can never again pair in-horizon: future
+            // arrivals have event time ≥ watermark, so ts + horizon < wm
+            // is unpairable
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._3 + horizonMs >= wmMs)
+            val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+            arrivals.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (!seen.exists(_._1 == d.doc_id)) { // replay-safe
+                val tMs = d.ts.getTime
+                seen.foreach { case (oid, omh, oMs) =>
+                  if (math.abs(tMs - oMs) <= horizonMs) {
+                    val agree = omh.iterator.zip(d.mh.iterator)
+                      .count { case (a, b) => a == b }.toDouble / d.mh.length
+                    if (agree >= estThreshold)
+                      out += NearDupPair(math.min(oid, d.doc_id),
+                        math.max(oid, d.doc_id), agree)
+                  }
+                }
+                seen = (d.doc_id, d.mh, tMs) :: seen
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(TimedBucketDocs(seen))
+              // whole-bucket eviction once every member is past horizon;
+              // must exceed the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(seen.map(_._3).max + horizonMs, wmMs + 1))
+            }
+            out.iterator
+          }
       }
   }
 

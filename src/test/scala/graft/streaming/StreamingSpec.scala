@@ -289,6 +289,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded streaming near-dup: pairs within horizon, state evicted past it") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val baseA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val editA = (0 until 39).map(i => s"alpha$i").mkString(" ") + " CHANGED"
+    val textB = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val textC = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingNearDupPairsBounded(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", horizonMs = 5000L)
+      .toDF()
+      .writeStream.format("memory").queryName("bnd_out").outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      in.addData((ts(1), 1L, baseA), (ts(1), 2L, textB))
+      q.processAllAvailable()
+      in.addData((ts(2), 3L, editA)) // in-horizon near-dup of doc 1
+      q.processAllAvailable()
+      val before = stateRows
+      assert(before >= 32L, s"three banded docs should hold >=32 bucket rows, got $before")
+      // sentinel 98 s ahead: watermark 95 s, every stored doc is > horizon old
+      in.addData((ts(100), 4L, textC))
+      q.processAllAvailable()
+      q.processAllAvailable() // let the no-data batch fire the timeouts
+      val after = stateRows
+      assert(after < before,
+        s"bucket state must shrink after the horizon passes ($before -> $after)")
+      // same text as doc 1 again, but 100 s later: PAST the horizon -> no pair
+      in.addData((ts(101), 5L, baseA))
+      q.processAllAvailable()
+      // and a fresh in-horizon twin of doc 5 -> pair (5,6)
+      in.addData((ts(103), 6L, baseA))
+      q.processAllAvailable()
+      val pairs = spark.table("bnd_out").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs === Set((1L, 3L), (5L, 6L)),
+        s"expected only the in-horizon pairs, got $pairs")
+      val jac = spark.table("bnd_out").collect()
+        .filter(_.getAs[Long]("doc_a") == 5L).map(_.getAs[Double]("est_jac"))
+      assert(jac.nonEmpty && jac.forall(_ === 1.0))
+    } finally q.stop()
+  }
+
+  test("bounded streaming near-dup: in-horizon state survives a restart") {
+    // the bounded family keeps the checkpoint-restart guarantee of its
+    // unbounded twin: doc 3 arrives AFTER a stop/start and must still pair
+    // with pre-restart doc 1 because bucket state (and the watermark) live
+    // in the checkpoint
+    val dropDir = tmpDir("bndup-src")
+    val outDir  = tmpDir("bndup-out")
+    val ckDir   = tmpDir("bndup-ck")
+    val baseA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val editA = (0 until 39).map(i => s"alpha$i").mkString(" ") + " CHANGED"
+    val textB = (0 until 40).map(i => s"beta$i").mkString(" ")
+    def drop(name: String, docs: Seq[(Long, String, String)]): Unit = {
+      val lines = docs.map { case (id, t, tss) =>
+        s"""{"doc_id": $id, "text": "$t", "ts": "$tss"}""" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingNearDupPairsBounded(
+        StreamingOps.fileDropSource(spark, dropDir,
+          "doc_id LONG, text STRING, ts TIMESTAMP", maxFilesPerTrigger = 1),
+        "ts", horizonMs = 10000L).toDF(),
+      outDir, ckDir)
+    drop("a.json", Seq((1L, baseA, "2026-01-01 00:00:01"),
+                       (2L, textB, "2026-01-01 00:00:02")))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    drop("b.json", Seq((3L, editA, "2026-01-01 00:00:05")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val pairs = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 3L)),
+      s"post-restart arrival must pair with pre-restart in-horizon doc, got $pairs")
+  }
+
   test("batch/stream parity: the SAME quality transform scores a stream identically") {
     // unified-API proof for the curation family: TextOps.quality (the
     // function object itself, not a re-implementation) applied to a
