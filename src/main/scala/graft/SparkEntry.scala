@@ -101,6 +101,9 @@ object SparkEntry {
       Similarity.kmeansAssign(s, d)),
     "seq_pack"          -> (Packing.seqPack _),
     "bloom_join"        -> (BloomJoin.bloomJoin _),
+    // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
+    // quality gate → exact dedup → train split → sequence packing
+    "curation_pipeline" -> (Curation.curationPipeline _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -176,6 +179,19 @@ object SparkEntry {
        |        FOR i IN range(1, greatest(2, len(hs) - ${TextOps.WinnowW - 2})) ])) AS fps
        |  FROM h
        |)""".stripMargin
+
+  /** [[graft.operators.TextOps.quality]]'s score blend as DuckDB SQL over a
+    * bare `text` column — shared by the `text_quality` oracle and the
+    * composed `curation_pipeline` oracle (single source of truth for the
+    * formula; every term is an exact-int division then IEEE double ops, so
+    * it hash-matches the Spark side bitwise). */
+  private val qualitySqlExpr: String =
+    """0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |       / len(string_split(text, ' ')))
+      |  + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')))
+      |  + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |                 / len(string_split(text, ' ')), 8.0) / 8.0)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -557,21 +573,11 @@ object SparkEntry {
         |    / len(string_split(text, ' ')) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id, lang, n_chars,
-        |  0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
-        |         / len(string_split(text, ' ')))
-        |  + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |           / len(string_split(text, ' ')))
-        |  + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-        |                 / len(string_split(text, ' ')), 8.0) / 8.0) AS quality,
-        |  CASE WHEN 0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS DOUBLE)
-        |                   / len(string_split(text, ' ')))
-        |            + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |                     / len(string_split(text, ' ')))
-        |            + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-        |                           / len(string_split(text, ' ')), 8.0) / 8.0) >= 0.35
-        |       THEN 'keep' ELSE 'drop' END AS verdict
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, n_chars,
+         |  $qualitySqlExpr AS quality,
+         |  CASE WHEN $qualitySqlExpr >= 0.35
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // repetition fractions: the oracle rebuilds the 2/3-gram MULTISETS by
     // unnest + GROUP BY (dup frac = 1 − distinct/total; top frac = max
     // multiplicity/total — ≡ the Spark side's sorted-array max run); the
@@ -754,10 +760,42 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
          |           FROM documents),
          |c AS (SELECT doc_id, n_tok,
-         |        SUM(n_tok) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+         |        CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS start_tok
          |      FROM t)
          |SELECT doc_id, n_tok, start_tok, start_tok // ${Packing.SeqBudget} AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // composed curation pipeline: the oracle chains the four stage oracles
+    // as CTEs — the quality formula interpolates from qualitySqlExpr, the
+    // fingerprint/split/packing shapes are the doc_dedup / split_hash /
+    // seq_pack oracles' own SQL with their constants interpolated from the
+    // same Scala vals. A stage-interaction bug (dedup seeing pre-filter
+    // rows, packing offsets computed before the split, a dropped stage)
+    // turns rows red even though each singleton key stays green.
+    "curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, $qualitySqlExpr AS quality FROM documents),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.35),
+         |dd AS (
+         |  SELECT doc_id, quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         |      ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |train AS (
+         |  SELECT doc_id, quality, n_tok FROM dd
+         |  WHERE rn = 1
+         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |c AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_tok
+         |  FROM train)
+         |SELECT doc_id, quality, n_tok, start_tok,
+         |       start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
     // might_contain has no false negatives and the exact join removes its

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation macro (SURVEY.md §2.7 [EXT] — the north-star
+  * pipeline as ONE composed plan): quality-filter → exact dedup → train
+  * split → sequence packing, documents in, training sequences out.
+  *
+  * The point being proven is COMPOSITION WITHOUT MATERIALIZATION: every
+  * stage is the same public operator the singleton keys run
+  * ([[TextOps.quality]], [[TextOps.fingerprint]] + keep-first,
+  * [[Sampling.hashBucket]], [[Packing.packSequences]]), chained as plain
+  * DataFrame transforms, and Catalyst plans the whole thing as one query —
+  * the quality score, fingerprint, and split bucket all compute in the
+  * SAME narrow projection over one text scan, the dedup window is the one
+  * corpus-wide shuffle before packing's bucketed phases, and nothing hits
+  * disk between stages. At 100 TB that is the difference between one pass
+  * over the corpus and four (a per-stage materializing pipeline reads and
+  * writes the full text four times; this reads it once — the dedup
+  * exchange ships only (fp, doc_id, n_tok, quality), never the text).
+  *
+  * Stage semantics (each individually oracle-gated by its own key; the
+  * composed DuckDB CTE oracle gates their interaction here):
+  *   1. keep docs with quality ≥ 0.35 ([[TextOps.quality]]'s verdict);
+  *   2. keep the lowest doc_id per bag-of-words fingerprint;
+  *   3. keep the ~80 % train shard of the deterministic md5 split;
+  *   4. pack survivors into [[Packing.SeqBudget]]-token sequences via the
+  *      two-phase distributed prefix sum (no SinglePartition doc pass).
+  */
+object Curation {
+
+  /** Declared key (`curation_pipeline`): one row per surviving document —
+    * its quality score, token count, and packed-sequence coordinates. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // 1. quality gate — narrow, same columns the text_quality key emits
+    val kept = TextOps.quality(docs).filter(col("verdict") === "keep")
+    // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
+    //    n_tok is computed HERE so the dedup exchange and everything after
+    //    it carry four narrow columns, not the text
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = kept
+      .select(col("doc_id"), col("quality"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    // 3. deterministic train shard (the split_hash discipline)
+    val train = deduped
+      .filter(Sampling.hashBucket(col("doc_id")) < Sampling.TrainUpper)
+      .select("doc_id", "quality", "n_tok")
+    // 4. pack into training sequences
+    Packing.packSequences(train, "doc_id", "n_tok",
+        Packing.SeqBudget, Packing.BucketWidth)
+      .select("doc_id", "quality", "n_tok", "start_tok", "seq_id")
+      .orderBy("doc_id")
+  }
+}

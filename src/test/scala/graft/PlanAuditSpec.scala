@@ -247,6 +247,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_totalprice,400000.0)"))
   }
 
+  test("curation_pipeline: composed stages add no materialization and no doc-wide single partition") {
+    val p = plan("curation_pipeline")
+    // the seq_pack discipline survives composition: no corpus funnel
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage may funnel the corpus through one partition")
+    // offsets come back as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // ONE parquet scan of documents feeds quality+fingerprint+split+tokenize:
+    // every "Scan parquet" in the printout must be the cached projection's
+    // plan rendered under an InMemoryRelation (once per InMemoryTableScan)
+    // — a scan count above the relation count would mean a stage re-read
+    // the text outside the cache
+    assert(count(p, "Scan parquet") === count(p, "InMemoryRelation"),
+      "the composed pipeline must read the corpus only through the cached projection")
+    // both packing phases read the post-split cached projection
+    assert(count(p, "InMemoryTableScan") >= 2)
+    // the dedup window shuffles narrow columns only — the text column must
+    // not appear in any exchange (it dies inside the scan-side projection)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"exchange must not carry the text column: $l")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("seq_pack: no single-partition pass over docs; offsets broadcast; one text scan") {
     val p = plan("seq_pack")
     // the naive global-cumsum plan this operator exists to avoid

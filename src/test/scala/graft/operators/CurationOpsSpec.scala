@@ -12,6 +12,48 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpec {
   import org.apache.spark.sql.DataFrame
 
+  test("curation_pipeline: composed plan equals an independent in-memory recompute") {
+    // quality gate → keep-first dedup → train split → prefix-sum packing,
+    // rebuilt in plain Scala over the collected sf0.001 docs (same IEEE op
+    // order as the column expressions, java MD5 for fingerprint/split) —
+    // a stage-interaction bug in the one-plan composition diverges this
+    val got = Curation.curationPipeline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val stops = TextOps.stopwords.toSet
+    val surv = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+    val seenFp = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1) // keep-empties, Spark's split semantics
+      val n = toks.length.toDouble
+      val stop = toks.count(stops) / n
+      val ttr = toks.distinct.length / n
+      val meanLen = (text.length - toks.length + 1) / n
+      val q = 0.4 * stop + 0.4 * ttr + 0.2 * (math.min(meanLen, 8.0) / 8.0)
+      if (q >= 0.35) {
+        val fp = md5hex(toks.distinct.sorted.mkString(" "))
+        if (!seenFp.contains(fp)) { // keep-first claims the fp pre-split
+          seenFp += fp
+          if (md5hex(id.toString).substring(0, 2) < Sampling.TrainUpper)
+            surv += ((id, q, toks.length.toLong))
+        }
+      }
+    }
+    var acc = 0L
+    val want = surv.sortBy(_._1).map { case (id, q, nt) =>
+      val start = acc; acc += nt
+      (id, q, nt, start, start / Packing.SeqBudget)
+    }
+    assert(want.nonEmpty && want.length < docs.length,
+      "fixture must exercise both the filters and the survivors")
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("split_hash is stable under corpus growth and hits ~80/10/10") {
     val full = Sampling.splitHash(spark, "/root/testdata/sf0.01")
     val byId = full.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
