@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Declared key (`curation_pipeline`): one row per surviving document —
-    * its quality score, token count, and packed-sequence coordinates. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+  /** The composed pipeline over ANY (doc_id, text) frame — the library
+    * surface ([[curationPipeline]] is its declared-key binding; the scale
+    * probe `graft.Probe curation` runs it over a synthetic 1M-doc corpus
+    * with planted junk and duplicates). */
+  def curate(docs: DataFrame, budget: Int = Packing.SeqBudget,
+      bucketWidth: Long = Packing.BucketWidth): DataFrame = {
     // 1. quality gate — narrow, same columns the text_quality key emits
     val kept = TextOps.quality(docs).filter(col("verdict") === "keep")
     // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
@@ -53,9 +55,13 @@ object Curation {
       .filter(Sampling.hashBucket(col("doc_id")) < Sampling.TrainUpper)
       .select("doc_id", "quality", "n_tok")
     // 4. pack into training sequences
-    Packing.packSequences(train, "doc_id", "n_tok",
-        Packing.SeqBudget, Packing.BucketWidth)
+    Packing.packSequences(train, "doc_id", "n_tok", budget, bucketWidth)
       .select("doc_id", "quality", "n_tok", "start_tok", "seq_id")
-      .orderBy("doc_id")
   }
+
+  /** Declared key (`curation_pipeline`): one row per surviving document —
+    * its quality score, token count, and packed-sequence coordinates. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
 }
