@@ -81,6 +81,36 @@ class TablesSpec extends SparkSpec {
     assert(ns.head._2.getNano === 123456000)
   }
 
+  test("testdata contract: the columns the operators key on exist with workable types") {
+    // The r10 lesson generalized: when the driver regenerates testdata,
+    // drift should fail HERE with a named column, not as nine cryptic key
+    // errors. Type sets are permissive — they admit every encoding the
+    // loaders/operators handle (events.ts is asserted POST-loader, where
+    // both vintages normalize to NTZ; embeddings admit float or double
+    // because every consumer casts to array<double> itself).
+    import org.apache.spark.sql.types._
+    def check(table: String, df: org.apache.spark.sql.DataFrame,
+        req: Map[String, Set[DataType]]): Unit =
+      req.foreach { case (c, ok) =>
+        val f = df.schema.fields.find(_.name == c)
+        assert(f.isDefined, s"$table.$c missing — testdata contract drifted")
+        assert(ok.exists(t => DataType.equalsIgnoreNullability(t, f.get.dataType)),
+          s"$table.$c is ${f.get.dataType.simpleString}, operators handle " +
+            ok.map(_.simpleString).mkString("{", ", ", "}"))
+      }
+    val integral: Set[DataType] = Set(LongType, IntegerType)
+    check("documents", Tables.documents(spark, sf0001), Map(
+      "doc_id" -> integral, "text" -> Set(StringType), "lang" -> Set(StringType),
+      "n_chars" -> integral))
+    check("embeddings", Tables.embeddings(spark, sf0001), Map(
+      "vec_id" -> integral,
+      "embedding" -> Set(ArrayType(FloatType), ArrayType(DoubleType))))
+    check("events (post-loader)", Tables.events(spark, sf0001), Map(
+      "ts" -> Set(TimestampNTZType), "user_id" -> integral,
+      "event_type" -> Set(StringType), "value" -> Set(DoubleType),
+      "props" -> Set(StringType)))
+  }
+
   test("Tables.events loads the driver-generated file under an externally built session") {
     // the driver smoke path: a session Engine.session did NOT configure —
     // the loader's defensive confs must make the read succeed regardless of
