@@ -251,6 +251,10 @@ object Probe {
       s"prefix-sum: min=${sums.getLong(0)} max=${sums.getLong(1)} " +
       s"tot=${sums.getLong(2)}, chain violations $chainBad")
     out.unpersist()
+    // packSequences persists its bucketed frame under the documented
+    // "callers release via clearCache" contract (ADVICE r11: the probe
+    // held the ~1.1M-row cache for the rest of the process otherwise)
+    spark.catalog.clearCache()
     assert(badIds == 0, "quality gate or dedup leaked planted docs")
     assert(missing == 0 && nOut == expCount,
       "survivor set must be exactly the train shard of the base docs")

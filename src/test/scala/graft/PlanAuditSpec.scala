@@ -264,9 +264,24 @@ class PlanAuditSpec extends SparkSpec {
     // both packing phases read the post-split cached projection
     assert(count(p, "InMemoryTableScan") >= 2)
     // the dedup window shuffles narrow columns only — the text column must
-    // not appear in any exchange (it dies inside the scan-side projection)
-    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
-      assert(!l.contains("text#"), s"exchange must not carry the text column: $l")
+    // not appear in any exchange's attribute set (it dies inside the
+    // scan-side projection). toString's Exchange lines print only the
+    // partitioning EXPRESSIONS, never the node's carried attributes
+    // (ADVICE r11: asserting on them was vacuous), so parse the formatted
+    // explain, whose per-node detail blocks list `Input [n]: [...]`.
+    val formatted = SparkEntry.queries("curation_pipeline")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = formatted.split("\n\n")
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, "formatted explain must surface Exchange blocks")
+    // the guard is live: the dedup exchange really does carry the narrow
+    // projection (fp is in some exchange's attribute set)…
+    assert(exchanges.exists(_.contains("fp#")),
+      "expected the dedup exchange to carry the fingerprint column")
+    // …and none of them carries the text column
+    exchanges.foreach { b =>
+      assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
     }
     spark.catalog.clearCache()
   }
