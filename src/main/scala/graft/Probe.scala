@@ -36,7 +36,11 @@ object Probe {
           nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
           nDup = args.lift(2).map(_.toInt).getOrElse(50000),
           nJunk = args.lift(3).map(_.toInt).getOrElse(50000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation)")
+      case Some("substr") =>
+        substrProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
+          nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr)")
     }
     spark.stop()
   }
@@ -261,5 +265,43 @@ object Probe {
     assert(sums.getLong(0) == 0 && sums.getLong(1) == sums.getLong(2),
       "global prefix sum lost or double-counted tokens")
     assert(chainBad == 0, "non-contiguous packing offsets")
+  }
+
+  /** `substring_dedup` at scale with planted ground truth: `nDocs` docs of
+    * 60 tokens each (≈ 12M L-token windows at the defaults), every token
+    * GLOBALLY unique by construction ("d<doc>x<j>") so the base corpus
+    * contains zero duplicated windows; the first `2*nPlant` docs instead
+    * carry a 20-token passage shared pairwise ("p<pair>q<j>", tokens
+    * unique to the pair) at positions 21-40. Exactness means the operator
+    * must return EXACTLY one span per planted doc — (start 21, end 40,
+    * len 20) — and nothing else: recall AND precision 1, no epsilon. */
+  def substrProbe(spark: SparkSession, nDocs: Int, nPlant: Int): Unit = {
+    import graft.operators.SubstringDedup
+    val L = SubstringDedup.SpanL
+    require(nDocs >= 2 * nPlant)
+    val uniq = (lo: Int, hi: Int) => transform(sequence(lit(lo), lit(hi)),
+      j => concat(lit("d"), col("doc_id"), lit("x"), j))
+    val passage = transform(sequence(lit(21), lit(40)),
+      j => concat(lit("p"), expr("doc_id div 2"), lit("q"), j))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") < 2L * nPlant,
+          concat_ws(" ", concat(uniq(1, 20), passage, uniq(41, 60))))
+          .otherwise(concat_ws(" ", uniq(1, 60)))
+          .as("text"))
+    val out = timed(s"substring_dedup over $nDocs docs") {
+      val o = SubstringDedup.duplicatedSpans(docs)
+      o.cache().count()
+      o
+    }
+    val nOut = out.count()
+    val exact = out.filter(col("start_tok") === 21 && col("end_tok") === 40
+      && col("span_len") === 20 && col("doc_id") < 2L * nPlant).count()
+    val planted = out.select("doc_id").distinct().count()
+    println(s"[probe] substr: spans $nOut (expected ${2 * nPlant}), " +
+      s"exact-match $exact, docs-with-span $planted; L=$L")
+    out.unpersist()
+    assert(nOut == 2L * nPlant && exact == nOut && planted == nOut,
+      "planted spans must be recovered exactly — one (21,40) span per planted doc, nothing else")
   }
 }

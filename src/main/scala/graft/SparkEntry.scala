@@ -101,6 +101,11 @@ object SparkEntry {
       Similarity.kmeansAssign(s, d)),
     "seq_pack"          -> (Packing.seqPack _),
     "bloom_join"        -> (BloomJoin.bloomJoin _),
+    // §2.7 [EXT] r12 curation extensions: PII scrub, weighted domain
+    // mixing, and the exact suffix-array-family substring dedup
+    "redact"            -> (Redact.redactQuery _),
+    "domain_mix"        -> (DomainMix.domainMix _),
+    "substring_dedup"   -> (SubstringDedup.substringDedup _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -797,6 +802,97 @@ object SparkEntry {
          |SELECT doc_id, quality, n_tok, start_tok,
          |       start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // PII redaction: the oracle plants the identical synthetic PII by the
+    // identical modulus rule (constants + patterns interpolate from Redact
+    // — single source of truth; the patterns live in the Java-regex ∩ RE2
+    // common subset so both engines match the same spans), then recomputes
+    // the sequential email → IP → phone scrub. DuckDB's regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all.
+    "redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % ${Redact.EmailMod} = 0
+         |            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.IpMod} = 0
+         |            THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.PhoneMod} = 0
+         |            THEN ' call 555-01' || (doc_id % 10) || '-'
+         |                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS text
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |        len(regexp_extract_all(text, '${Redact.EmailRe}')) AS n_email,
+         |        regexp_replace(text, '${Redact.EmailRe}', '${Redact.EmailTag}', 'g') AS t1
+         |      FROM planted),
+         |i AS (SELECT doc_id, n_email,
+         |        len(regexp_extract_all(t1, '${Redact.Ipv4Re}')) AS n_ip,
+         |        regexp_replace(t1, '${Redact.Ipv4Re}', '${Redact.IpTag}', 'g') AS t2
+         |      FROM e),
+         |p AS (SELECT doc_id, n_email, n_ip,
+         |        len(regexp_extract_all(t2, '${Redact.PhoneRe}')) AS n_phone,
+         |        regexp_replace(t2, '${Redact.PhoneRe}', '${Redact.PhoneTag}', 'g') AS t3
+         |      FROM i)
+         |SELECT doc_id, n_email, n_ip, n_phone,
+         |       n_email + n_ip + n_phone AS n_redactions, md5(t3) AS clean_fp
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // weighted domain mixing: the oracle is the NAIVE per-domain global
+    // cumsum in hash order (exact integer arithmetic) — the Spark side
+    // must reproduce it from the two-phase (domain, skey-bucket) prefix
+    // sum, so a lost/double-counted bucket or a wrong selection order
+    // turns rows red. Budgets + salt interpolate from DomainMix.
+    "domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         md5(CAST(doc_id AS VARCHAR) || '${DomainMix.MixSalt}') AS skey
+         |  FROM documents),
+         |b AS (SELECT * FROM (VALUES ${DomainMix.Budgets.map {
+             case (d, n) => s"('$d', $n)" }.mkString(", ")}) AS v(lang, budget)),
+         |c AS (
+         |  SELECT t.lang, doc_id, n_tok, budget,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY t.lang ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS tok_start
+         |  FROM t JOIN b ON t.lang = b.lang)
+         |SELECT lang, doc_id, n_tok, tok_start FROM c
+         |WHERE tok_start < budget ORDER BY lang, doc_id""".stripMargin,
+    // exact substring dedup: the oracle recomputes the whole pipeline —
+    // L-token windows, digest grouping, duplicated marks, session-merge —
+    // over the same md5 window keys, so a regression in windowing, the
+    // duplicate mark, or the region merge turns rows red. L interpolates
+    // from SubstringDedup (single source of truth).
+    "substring_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${SubstringDedup.SpanL}),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${SubstringDedup.SpanL - 2})) AS pos,
+         |         toks
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id, pos,
+         |         md5(array_to_string(toks[pos:pos + ${SubstringDedup.SpanL - 1}], ' ')) AS gk
+         |  FROM g),
+         |d AS (
+         |  SELECT doc_id, pos FROM k
+         |  WHERE gk IN (SELECT gk FROM k GROUP BY gk HAVING COUNT(*) >= 2)),
+         |s AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > ${SubstringDedup.SpanL}
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+         |  FROM s)
+         |SELECT doc_id, MIN(pos) AS start_tok,
+         |       MAX(pos) + ${SubstringDedup.SpanL - 1} AS end_tok,
+         |       MAX(pos) + ${SubstringDedup.SpanL} - MIN(pos) AS span_len
+         |FROM r GROUP BY doc_id, region ORDER BY doc_id, start_tok""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
     // might_contain has no false negatives and the exact join removes its
     // false positives, so any divergence means the bloom dropped a real key

@@ -37,23 +37,45 @@ object Curation {
     * probe `graft.Probe curation` runs it over a synthetic 1M-doc corpus
     * with planted junk and duplicates). */
   def curate(docs: DataFrame, budget: Int = Packing.SeqBudget,
-      bucketWidth: Long = Packing.BucketWidth): DataFrame = {
+      bucketWidth: Long = Packing.BucketWidth,
+      redactPii: Boolean = false,
+      mixBudgets: Option[Seq[(String, Long)]] = None,
+      domainCol: String = "lang"): DataFrame = {
+    // 0. optional PII scrub (r12): [[Redact.clean]] is a stateless column
+    //    expression, so it fuses into the SAME narrow projection as the
+    //    quality score — everything downstream (quality, fingerprint,
+    //    token counts) sees the scrubbed text, which is the point: a
+    //    redacted duplicate must dedup against a redacted original
+    val input =
+      if (redactPii) docs.withColumn("text", Redact.clean(col("text")))
+      else docs
     // 1. quality gate — narrow, same columns the text_quality key emits
-    val kept = TextOps.quality(docs).filter(col("verdict") === "keep")
+    val kept = TextOps.quality(input).filter(col("verdict") === "keep")
     // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
     //    n_tok is computed HERE so the dedup exchange and everything after
-    //    it carry four narrow columns, not the text
+    //    it carry four narrow columns, not the text (plus the domain
+    //    column when a mix stage needs it downstream)
     val w = Window.partitionBy("fp").orderBy("doc_id")
+    val narrowCols = Seq(col("doc_id"), col("quality"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")) ++
+      (if (mixBudgets.isDefined) Seq(col(domainCol)) else Nil)
     val deduped = kept
-      .select(col("doc_id"), col("quality"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(narrowCols: _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     // 3. deterministic train shard (the split_hash discipline)
-    val train = deduped
+    val sharded = deduped
       .filter(Sampling.hashBucket(col("doc_id")) < Sampling.TrainUpper)
-      .select("doc_id", "quality", "n_tok")
+    // 3b. optional weighted domain mixing (r12): fill each domain's token
+    //     budget in [[DomainMix]] hash order — placed AFTER dedup/split so
+    //     budgets are filled with unique training-shard tokens only
+    val train = mixBudgets match {
+      case Some(budgets) =>
+        DomainMix.mix(sharded, domainCol, "n_tok", budgets)
+          .select("doc_id", "quality", "n_tok")
+      case None => sharded.select("doc_id", "quality", "n_tok")
+    }
     // 4. pack into training sequences
     Packing.packSequences(train, "doc_id", "n_tok", budget, bucketWidth)
       .select("doc_id", "quality", "n_tok", "start_tok", "seq_id")

@@ -286,6 +286,43 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("domain_mix: no single-partition doc pass; budgets + offsets broadcast; one text scan") {
+    val p = plan("domain_mix")
+    // the per-domain running sum must come from the two-phase form — a
+    // naive per-domain window is partitionBy(lang) over raw docs, which
+    // at few domains is the corpus through ~5 partitions (not literally
+    // SinglePartition, so also assert the window keys include the bucket)
+    assert(!p.contains("Exchange SinglePartition"),
+      "docs must never funnel through one partition")
+    assert(p.contains("hashpartitioning(lang#") && p.contains("bucket#"),
+      "phase-A windows must partition by (domain, skey bucket)")
+    // budget table and bucket offsets both join as broadcasts
+    assert(count(p, "BroadcastHashJoin") >= 2 && !p.contains("SortMergeJoin"))
+    // cache contract: both phases read the persisted keyed frame — the
+    // parquet text scan happens once, under the InMemoryRelation
+    assert(count(p, "Scan parquet") === count(p, "InMemoryRelation"),
+      "both phases must share one cached tokenize pass")
+    assert(count(p, "InMemoryTableScan") >= 2)
+    spark.catalog.clearCache()
+  }
+
+  test("substring_dedup: exchanges carry digests and positions, never the text") {
+    val formatted = SparkEntry.queries("substring_dedup")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = formatted.split("\n\n")
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty)
+    // the duplicate-mark shuffle keys on the 16-byte window digest…
+    assert(exchanges.exists(_.contains("hashpartitioning(g#")),
+      "expected the duplicate-mark exchange on the window digest")
+    // …and no exchange ships the document text (it dies in the scan-side
+    // projection that computes the digests)
+    exchanges.foreach { b =>
+      assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
+    }
+  }
+
   test("seq_pack: no single-partition pass over docs; offsets broadcast; one text scan") {
     val p = plan("seq_pack")
     // the naive global-cumsum plan this operator exists to avoid
