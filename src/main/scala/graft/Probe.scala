@@ -36,11 +36,13 @@ object Probe {
           nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
           nDup = args.lift(2).map(_.toInt).getOrElse(50000),
           nJunk = args.lift(3).map(_.toInt).getOrElse(50000))
+      case Some("streamcurate") =>
+        streamCurateProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(200000))
       case Some("substr") =>
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate)")
     }
     spark.stop()
   }
@@ -147,6 +149,55 @@ object Probe {
     println(s"[probe] streamdedup: kept $kept (expect $half), " +
       s"$distinctFps distinct fingerprints")
     assert(kept == half && distinctFps == half)
+  }
+
+  /** Composed streaming curation drain at scale: `nDocs` NDJSON docs drop
+    * through [[graft.streaming.StreamingOps.streamingCuration]] (quality
+    * gate + exact dedup as ONE stateful query) into the idempotent parquet
+    * sink — half originals (quality-keepers), a quarter exact clones of
+    * the first originals, a quarter junk the gate must drop BEFORE it
+    * reaches dedup state. Expected survivors: exactly the originals. */
+  def streamCurateProbe(spark: SparkSession, nDocs: Int): Unit = {
+    require(nDocs % 4 == 0, "nDocs must divide by 4 (half good, quarter dup, quarter junk)")
+    val nGood = nDocs / 2
+    val nDup = nDocs / 4
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scurate").toString
+    val (src, out, ck) = (s"$tmp/src", s"$tmp/out", s"$tmp/ck")
+    // good docs lead with a stopword so the quality gate keeps them (the
+    // curationProbe corpus shape); clones repeat original (id − nGood)'s
+    // text exactly; junk is the gate-dropped zz run
+    def body(key: org.apache.spark.sql.Column) = concat_ws(" ", lit("the"),
+      concat_ws(" ", transform(sequence(lit(0), lit(38)),
+        j => concat(lit("t"), pmod(xxhash64(key * 53 + j), lit(200000))))))
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        when(col("id") < nGood, body(col("id")))
+          .when(col("id") < nGood + nDup, body(col("id") - nGood))
+          .otherwise(concat_ws(" ", (0 until 40).map(_ => lit("zz")): _*))
+          .as("text"))
+      .repartition(32).write.json(src)
+    val q = graft.streaming.StreamingOps.foreachBatchParquetSink(
+      graft.streaming.StreamingOps.streamingCuration(
+        graft.streaming.StreamingOps.fileDropSource(
+          spark, src, "doc_id LONG, text STRING", maxFilesPerTrigger = 8)),
+      out, ck)
+    timed(s"streamingCuration drain of $nDocs docs (25% dups, 25% junk, 8-file batches)") {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val result = spark.read.parquet(out)
+    val kept = result.count()
+    // streaming dedup keeps the FIRST ARRIVAL per fingerprint — arrival
+    // order across micro-batches is not doc_id order, so either member of
+    // an original/clone pair may survive; what must hold is one survivor
+    // per distinct document (canonical id = doc_id mod nGood) and zero
+    // junk leaks
+    val junk = result.filter(col("doc_id") >= nGood + nDup).count()
+    val distinctFps = result.select("fp").distinct().count()
+    val distinctDocs = result.select(pmod(col("doc_id"), lit(nGood))).distinct().count()
+    println(s"[probe] streamcurate: kept $kept (expect $nGood), junk leaks $junk, " +
+      s"$distinctFps distinct fingerprints, $distinctDocs distinct canonical docs")
+    assert(kept == nGood && junk == 0 && distinctFps == nGood && distinctDocs == nGood)
   }
 
   /** `connectedComponents` at scale with transitive-only ground truth:

@@ -112,6 +112,33 @@ object StreamingOps {
     docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
       .dropDuplicates("fp")
 
+  /** [EXT] streaming curation — [[graft.operators.Curation.curate]]'s
+    * incremental stages composed as ONE streaming query: the stateless
+    * quality gate (the IDENTICAL [[graft.operators.TextOps.quality]]
+    * column expressions the batch key runs — batch/stream parity is the
+    * unified-API point) feeding exact dedup's fingerprint state. The
+    * narrow projection happens BEFORE the stateful op, so both the dedup
+    * state (one md5 per distinct doc) and every sink batch carry
+    * (doc_id, quality, n_tok, fp) — the text dies in the projection,
+    * exactly like the batch pipeline's dedup exchange. Split and pack
+    * stay batch steps over the materialized curated corpus (they are
+    * corpus-ORDER operations — a global prefix sum has no incremental
+    * form — which is the standard stream-ingest-then-batch-pack split in
+    * production pipelines).
+    *
+    * Composed-query semantics the spec pins: quality drops never reach
+    * dedup state; a duplicate whose original arrived BEFORE a restart is
+    * still suppressed after it (fingerprint state lives in the
+    * checkpoint); with the idempotent [[foreachBatchParquetSink]] the
+    * end-to-end guarantee is exactly-once. */
+  def streamingCuration(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.quality(docs)
+      .filter(col("verdict") === "keep")
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .select(col("doc_id"), col("quality"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), col("fp"))
+      .dropDuplicates("fp")
+
   /** Bounded-state variant: duplicates are only suppressed while their
     * fingerprint is within the watermark horizon
     * (`dropDuplicatesWithinWatermark`); state older than the horizon is

@@ -167,6 +167,49 @@ class StreamingSpec extends SparkSpec {
       "one emission per distinct fingerprint; dedup state survives restart")
   }
 
+  test("streaming curation: quality gate + dedup as one query, restart-safe exactly-once") {
+    // The composed streaming twin of the batch curation_pipeline's
+    // incremental stages (r12): junk must die at the quality gate WITHOUT
+    // entering dedup state, duplicates must emit once across micro-batches
+    // and a checkpoint restart, and the idempotent sink keeps the whole
+    // thing exactly-once. The operators are individually spec'd; what this
+    // pins is the COMPOSED stateful query + checkpoint.
+    val dropDir = tmpDir("scur-src")
+    val outDir  = tmpDir("scur-out")
+    val ckDir   = tmpDir("scur-ck")
+    val good1 = "the a cat sat on a mat"
+    val good2 = "the a bird flew over a tree"
+    def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+      val lines = docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingCuration(
+        StreamingOps.fileDropSource(spark, dropDir, "doc_id LONG, text STRING",
+          maxFilesPerTrigger = 1)),
+      outDir, ckDir)
+    drop("a.json", Seq((1L, good1), (2L, "zz zz zz zz")))          // keep, junk
+    drop("b.json", Seq((3L, "mat a the cat sat on a")))            // reordered dup of 1
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // while the query is DOWN: a dup of the pre-restart doc, a new good
+    // doc, and more junk
+    drop("c.json", Seq((4L, good1), (5L, good2), (6L, "qq qq qq qq")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L),
+      "survivors = first arrival per fingerprint among quality-keepers, across restart")
+    // the curated frame is the narrow batch contract — and the quality
+    // score matches the batch transform bit-for-bit (shared expressions)
+    // ("batch" is the sink's partition directory, not a query column)
+    assert(out.columns.filterNot(_ == "batch").sorted.toSeq
+      === Seq("doc_id", "fp", "n_tok", "quality"))
+    import spark.implicits._
+    val batchQ = graft.operators.TextOps.quality(
+      Seq((1L, good1)).toDF("doc_id", "text")).collect()(0).getAs[Double]("quality")
+    assert(out.filter(col("doc_id") === 1L).collect()(0).getAs[Double]("quality") === batchQ)
+  }
+
   test("streaming near-dup: MinHash bucket state pairs near-duplicates across restart") {
     // The fuzzy member of the streaming dedup family: doc 3 (a one-token
     // edit of doc 1) arrives in a LATER file, after a query restart — the
