@@ -106,6 +106,7 @@ object SparkEntry {
     "redact"            -> (Redact.redactQuery _),
     "domain_mix"        -> (DomainMix.domainMix _),
     "substring_dedup"   -> (SubstringDedup.substringDedup _),
+    "substring_drop"    -> (SubstringDedup.substringDrop _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -197,6 +198,41 @@ object SparkEntry {
       |           / len(string_split(text, ' ')))
       |  + 0.2 * (LEAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
       |                 / len(string_split(text, ' ')), 8.0) / 8.0)""".stripMargin
+
+  /** The exact-substring-dedup recomputation as shared CTEs (`r` = every
+    * duplicated window position with its merged-region id): L-token
+    * windows, md5 digest grouping, duplicate marks, session-merge flags.
+    * Shared by the `substring_dedup` oracle (region rows) and the
+    * `substring_drop` oracle (cut text digests), so both gates pin the
+    * same window/merge semantics. L interpolates from SubstringDedup. */
+  private val substrRegionCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${SubstringDedup.SpanL}),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, len(toks) - ${SubstringDedup.SpanL - 2})) AS pos,
+       |         toks
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, pos,
+       |         md5(array_to_string(toks[pos:pos + ${SubstringDedup.SpanL - 1}], ' ')) AS gk
+       |  FROM g),
+       |d AS (
+       |  SELECT doc_id, pos FROM k
+       |  WHERE gk IN (SELECT gk FROM k GROUP BY gk HAVING COUNT(*) >= 2)),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              > ${SubstringDedup.SpanL}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+       |  FROM s)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -862,37 +898,36 @@ object SparkEntry {
     // duplicate mark, or the region merge turns rows red. L interpolates
     // from SubstringDedup (single source of truth).
     "substring_dedup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE len(string_split(text, ' ')) >= ${SubstringDedup.SpanL}),
-         |g AS (
-         |  SELECT doc_id,
-         |         unnest(range(1, len(toks) - ${SubstringDedup.SpanL - 2})) AS pos,
-         |         toks
-         |  FROM t),
-         |k AS (
-         |  SELECT doc_id, pos,
-         |         md5(array_to_string(toks[pos:pos + ${SubstringDedup.SpanL - 1}], ' ')) AS gk
-         |  FROM g),
-         |d AS (
-         |  SELECT doc_id, pos FROM k
-         |  WHERE gk IN (SELECT gk FROM k GROUP BY gk HAVING COUNT(*) >= 2)),
-         |s AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |              > ${SubstringDedup.SpanL}
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM d),
-         |r AS (
-         |  SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
-         |  FROM s)
+      s"""WITH $substrRegionCtes
          |SELECT doc_id, MIN(pos) AS start_tok,
          |       MAX(pos) + ${SubstringDedup.SpanL - 1} AS end_tok,
          |       MAX(pos) + ${SubstringDedup.SpanL} - MIN(pos) AS span_len
          |FROM r GROUP BY doc_id, region ORDER BY doc_id, start_tok""".stripMargin,
+    // the cut half: regions (shared CTEs) expand to covered positions, an
+    // anti-join keeps the uncut tokens, and the cut text is pinned by its
+    // md5 digest — one row per INPUT document (fully-cut docs keep n_kept
+    // 0 and the empty-string digest; span-free docs pass through uncut)
+    "substring_drop" ->
+      s"""WITH $substrRegionCtes,
+         |reg AS (
+         |  SELECT doc_id, MIN(pos) AS rs, MAX(pos) + ${SubstringDedup.SpanL - 1} AS re
+         |  FROM r GROUP BY doc_id, region),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tok),
+         |cov AS (SELECT doc_id, unnest(range(rs, re + 1)) AS p FROM reg),
+         |kept AS (
+         |  SELECT pos.doc_id, pos.p, pos.toks FROM pos
+         |  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         md5(array_to_string(list(toks[p] ORDER BY p), ' ')) AS clean_fp
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tok.doc_id, CAST(len(tok.toks) AS BIGINT) AS n_tok,
+         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
+         |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         |ORDER BY tok.doc_id""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
     // might_contain has no false negatives and the exact join removes its
     // false positives, so any divergence means the bloom dropped a real key

@@ -95,4 +95,48 @@ object SubstringDedup {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_id", "start_tok")
+
+  /** The REMOVAL half of the operator (Lee et al.'s ExactSubstr-cut):
+    * excise every duplicated region from every document, keeping the
+    * out-of-region tokens in order. Removing ALL occurrences (not
+    * keep-one) is the well-defined exact policy: which copy to keep is a
+    * corpus-order question the caller owns (and the cut text survives in
+    * no copy only when every occurrence sat inside a duplicated region —
+    * the published tool's behavior too).
+    *
+    * Shape: [[duplicatedSpans]] (one text pass through the window
+    * digests) collapses to a per-doc span list — O(regions) rows, narrow
+    * — which joins back against the documents (the second and last text
+    * pass; the two-pass structure is inherent, the reference suffix-array
+    * tool also builds-then-cuts). The cut itself is a per-row HOF filter
+    * over token positions: O(n_tok × spans/doc) per document, no
+    * shuffle beyond the span join. Returns one row per INPUT document
+    * (span-free docs pass through uncut). */
+  def dropDuplicatedSpans(docs: DataFrame, spanL: Int = SpanL): DataFrame = {
+    val spans = duplicatedSpans(docs, spanL)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    val emptySpans = array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sp", coalesce(col("spans"), emptySpans))
+      .withColumn("kept", filter(
+        transform(sequence(lit(1), size(col("toks"))),
+          i => struct(i.cast("long").as("i"), element_at(col("toks"), i).as("t"))),
+        p => !exists(col("sp"), s =>
+          p.getField("i") >= s.getField("start_tok")
+            && p.getField("i") <= s.getField("end_tok"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", transform(col("kept"), p => p.getField("t")))).as("clean_fp"))
+  }
+
+  /** Declared key (`substring_drop`): the full detect + cut pipeline over
+    * the documents table — one row per document with original/kept token
+    * counts and the md5 of the cut text (the digest-not-payload oracle
+    * discipline). */
+  def substringDrop(spark: SparkSession, dir: String): DataFrame =
+    dropDuplicatedSpans(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
 }

@@ -112,6 +112,61 @@ class CurationExtSpec extends SparkSpec {
     assert(spans === Set((1L, 3L, 22L, 20L), (2L, 3L, 22L, 20L)))
   }
 
+  test("substring_drop: cut text keeps exactly the out-of-region tokens, in order") {
+    import spark.implicits._
+    // d1/d2 share a 10-token passage at positions 6..15; d3 has no dups;
+    // d4/d5 are exact duplicates → fully covered → everything cut
+    val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
+    val whole = (1 to 12).map(j => s"w$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $s10 v1 v2 v3 v4 v5"),
+      (2L, s"w1 w2 w3 w4 w5 $s10 x1 x2 x3 x4 x5"),
+      (3L, (1 to 10).map(j => s"n$j").mkString(" ")),
+      (4L, whole), (5L, whole)).toDF("doc_id", "text")
+    val got = SubstringDedup.dropDuplicatedSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((20L, 10L, fp("u1 u2 u3 u4 u5 v1 v2 v3 v4 v5"))))
+    assert(got(2L) === ((20L, 10L, fp("w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"))))
+    assert(got(3L) === ((10L, 10L, fp((1 to 10).map(j => s"n$j").mkString(" ")))),
+      "span-free docs must pass through uncut")
+    assert(got(4L) === ((12L, 0L, fp(""))) && got(5L) === got(4L),
+      "fully-duplicated docs cut to empty")
+  }
+
+  test("substring dedup randomized cross-check: operator spans equal brute-force recompute") {
+    import spark.implicits._
+    val L = SubstringDedup.SpanL
+    // small vocab + short docs force genuine cross/within-doc window
+    // collisions; the oracle here is an INDEPENDENT in-test recompute
+    // (hash-free window comparison, different merge implementation)
+    val rnd = new scala.util.Random(4242)
+    val corpus = (0 until 40).map { id =>
+      (id.toLong, Seq.fill(12 + rnd.nextInt(14))("t" + rnd.nextInt(6)).mkString(" "))
+    }
+    val got = SubstringDedup.duplicatedSpans(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force: all window occurrences by token-content key
+    val windows = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      (0 to toks.length - L).map(i => (toks.slice(i, i + L).toSeq, id, i + 1L))
+    }
+    val dupPos = windows.groupBy(_._1).filter(_._2.size >= 2).values.flatten
+      .map(w => (w._2, w._3)).toSet
+    val want = dupPos.groupBy(_._1).flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      // independent merge: fold positions into regions on the gap-L rule
+      sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, p) if acc.nonEmpty && p - acc.head._2 <= L =>
+          (acc.head._1, p) :: acc.tail
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => (id, s, e + L - 1, e + L - s) }
+    }.toSet
+    assert(got === want, s"operator=${got.size} brute=${want.size} spans")
+  }
+
   test("curate composition: redactPii dedups docs that differ only in PII") {
     import spark.implicits._
     val base = "the a the a b c d e f g"
