@@ -36,6 +36,8 @@ object Probe {
           nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
           nDup = args.lift(2).map(_.toInt).getOrElse(50000),
           nJunk = args.lift(3).map(_.toInt).getOrElse(50000))
+      case Some("domainmix") =>
+        domainMixProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(10000000))
       case Some("ivf") =>
         ivfProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -46,7 +48,7 @@ object Probe {
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix)")
     }
     spark.stop()
   }
@@ -153,6 +155,64 @@ object Probe {
     println(s"[probe] streamdedup: kept $kept (expect $half), " +
       s"$distinctFps distinct fingerprints")
     assert(kept == half && distinctFps == half)
+  }
+
+  /** `domain_mix` at scale — the case the two-phase form exists for: few
+    * domains, many documents. A naive per-domain running-sum window
+    * funnels the whole corpus through #domains partitions; the two-phase
+    * (domain, skey-bucket) form keeps 256 buckets per domain in flight.
+    * This probe runs BOTH over `nDocs` docs across 4 budgeted domains,
+    * times them, and asserts the selections are IDENTICAL row sets (the
+    * equivalence the spec pins at 5k rows, revalidated at scale) plus the
+    * budget invariants recomputed from scratch. */
+  def domainMixProbe(spark: SparkSession, nDocs: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.DomainMix
+    val doms = Seq("web", "code", "books", "wiki", "junkdom")
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        element_at(typedLit(doms), (pmod(col("id"), lit(doms.size)) + 1).cast("int")).as("dom"),
+        (pmod(xxhash64(col("id")), lit(400)) + 1).as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize so neither form pays generation
+    // budgets ≈ 1/4 of web's supply, tiny for code, over-supply for books,
+    // mid for wiki; junkdom unbudgeted (dropped)
+    val perDomToks = nDocs.toLong / doms.size * 200 // E[n_tok] ≈ 200.5
+    val budgets = Seq("web" -> perDomToks / 4, "code" -> perDomToks / 100,
+      "books" -> perDomToks * 2, "wiki" -> perDomToks / 2)
+    val twoPhase = timed(s"two-phase mix over $nDocs docs / ${doms.size} domains") {
+      val r = DomainMix.mix(docs, "dom", "n_tok", budgets)
+        .select("dom", "doc_id", "n_tok", "tok_start")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val naive = timed("naive per-domain window (the #domains-partition funnel)") {
+      import spark.implicits._
+      val w = Window.partitionBy("dom").orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = docs.join(broadcast(budgets.toDF("dom", "budget")), "dom")
+        .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(DomainMix.MixSalt))))
+        .withColumn("tok_start", sum("n_tok").over(w) - col("n_tok"))
+        .filter(col("tok_start") < col("budget"))
+        .select("dom", "doc_id", "n_tok", "tok_start")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val diff = twoPhase.exceptAll(naive).count() + naive.exceptAll(twoPhase).count()
+    val sums = twoPhase.groupBy("dom")
+      .agg(sum("n_tok").as("toks"), max("n_tok").as("big"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    println(s"[probe] domainmix: selected ${twoPhase.count()} docs, diff-vs-naive $diff, " +
+      s"per-domain " + budgets.map { case (d, b) =>
+        s"$d=${sums.get(d).map(_._1).getOrElse(0L)}/$b" }.mkString(" "))
+    assert(diff == 0, "two-phase selection must equal the naive per-domain cumsum at scale")
+    assert(!sums.contains("junkdom"), "unbudgeted domain leaked")
+    budgets.foreach { case (d, b) =>
+      val (toks, big, _) = sums(d)
+      assert(toks >= math.min(b, perDomToks * 9 / 10) && toks - big < b,
+        s"$d: budget fill/minimality violated ($toks vs $b)")
+    }
+    spark.catalog.clearCache()
   }
 
   /** IVF SERVING-PATH recall curve (VERDICT r11 #6): build the c-list
