@@ -107,6 +107,10 @@ object SparkEntry {
     "domain_mix"        -> (DomainMix.domainMix _),
     "substring_dedup"   -> (SubstringDedup.substringDedup _),
     "substring_drop"    -> (SubstringDedup.substringDrop _),
+    // §2.7 [EXT] incremental dedup: batch vs persisted fingerprint index
+    "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
+    // §2.7 [EXT] CCNet-style unigram-LM quality scoring (en-slice model)
+    "lm_score"          -> (LmScore.lmScore _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -928,6 +932,59 @@ object SparkEntry {
          |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
          |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
          |ORDER BY tok.doc_id""".stripMargin,
+    // incremental dedup: even doc_ids are the accumulated corpus (their
+    // distinct fingerprints are the index), odd doc_ids the arriving
+    // batch; survivors are in-batch keep-first minus index membership
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, lang, n_chars, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM f WHERE doc_id % 2 = 1)
+        |SELECT doc_id, fp, lang, n_chars FROM b
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
+        |ORDER BY doc_id""".stripMargin,
+    // CCNet LM scoring: the oracle retrains the same add-one unigram
+    // model (same top-K vocab with the same tie-break) and rescoring is
+    // exact because per-token log-probs are quantized to integer
+    // micro-log10 units before summation (see LmScore's scaladoc) — the
+    // oracle sums per-token ROWS where Spark folds the token ARRAY, and
+    // integer addition makes the two orders bit-equal
+    "lm_score" ->
+      s"""WITH cnt AS (
+         |  SELECT t, COUNT(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t
+         |    FROM documents WHERE lang = 'en')
+         |  GROUP BY t),
+         |vocab AS (
+         |  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt),
+         |model AS (SELECT t, c FROM vocab WHERE rk <= ${LmScore.VocabK}),
+         |s AS (
+         |  SELECT (SELECT SUM(c) FROM cnt) AS n,
+         |         (SELECT COUNT(*) FROM model) AS v),
+         |lp AS (
+         |  SELECT m.t,
+         |    CAST(ROUND(log10(CAST(m.c + 1 AS DOUBLE)
+         |      / CAST(s.n + s.v + 1 AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT) AS lp
+         |  FROM model m CROSS JOIN s),
+         |oov AS (
+         |  SELECT CAST(ROUND(log10(1.0 / CAST(n + v + 1 AS DOUBLE))
+         |    * ${LmScore.Micro}, 0) AS BIGINT) AS lp FROM s),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |docsum AS (
+         |  SELECT tok.doc_id, SUM(COALESCE(lp.lp, (SELECT lp FROM oov))) AS lpsum,
+         |         COUNT(*) AS n_tok
+         |  FROM tok LEFT JOIN lp ON tok.t = lp.t
+         |  GROUP BY tok.doc_id)
+         |SELECT d.doc_id, d.lang, CAST(ds.n_tok AS BIGINT) AS n_tok,
+         |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS lp_mean
+         |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
     // might_contain has no false negatives and the exact join removes its
     // false positives, so any divergence means the bloom dropped a real key
