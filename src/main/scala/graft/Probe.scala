@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reproducible scale probes behind the BASELINE.md experiment log.
@@ -48,7 +48,15 @@ object Probe {
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix)")
+      case Some("incdedup") =>
+        incDedupProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case Some("lm") =>
+        lmProbe(spark,
+          nRef = args.lift(1).map(_.toInt).getOrElse(100000),
+          nScore = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm)")
     }
     spark.stop()
   }
@@ -479,5 +487,128 @@ object Probe {
     out.unpersist()
     assert(nOut == 2L * nPlant && exact == nOut && planted == nOut,
       "planted spans must be recovered exactly — one (21,40) span per planted doc, nothing else")
+  }
+
+  /** `dedup_incremental` at scale: an `nIdx`-doc fingerprint index on
+    * disk, then one incremental step over an `nBatch`-doc batch that is
+    * 10% index clones (must die against the index), 10% in-batch pairs
+    * (one survivor each), 80% fresh (all survive). Every text is
+    * deterministic hash arithmetic, so expected survivor counts are exact
+    * — and the post-append index cardinality is checked too. */
+  def incDedupProbe(spark: SparkSession, nIdx: Int, nBatch: Int): Unit = {
+    import graft.operators.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    // 30 unique tokens per doc keyed by (prefix, seed)
+    def body(prefix: String, seed: Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)),
+        j => concat(lit(prefix), seed, lit("x"), j)))
+    val idxDocs = spark.range(nIdx)
+      .select(col("id").as("doc_id"), body("i", col("id")).as("text"))
+    timed(s"build fp index over $nIdx docs") {
+      IncrementalDedup.writeFpIndex(
+        IncrementalDedup.fingerprints(idxDocs).select("fp"), dir)
+    }
+    val nClone = nBatch / 10         // duplicate index docs 0..nClone
+    val nPairDocs = nBatch / 10      // nPairDocs/2 in-batch pairs
+    val base = nIdx.toLong
+    val batch = spark.range(nBatch).select((col("id") + base).as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") < base + nClone,
+          body("i", col("doc_id") - base))                // index clone
+        .when(col("doc_id") < base + nClone + nPairDocs,
+          // Spark `/` is float division — floor it so both pair members
+          // share one integer seed
+          body("p", floor((col("doc_id") - base - nClone) / 2).cast("long")))
+        .otherwise(body("f", col("doc_id")))              // fresh
+        .as("text"))
+    val out = timed(s"incremental step over $nBatch docs vs $nIdx-doc index") {
+      val o = IncrementalDedup.step(spark, batch, dir)
+      o.count()
+      o
+    }
+    val nOut = out.count()
+    val cloneLeaks = out.filter(col("doc_id") < base + nClone).count()
+    // pair survivors must be the EVEN offset (lower id) of each pair
+    val pairBad = out
+      .filter(col("doc_id") >= base + nClone &&
+        col("doc_id") < base + nClone + nPairDocs)
+      .filter(pmod(col("doc_id") - base - nClone, lit(2)) =!= 0).count()
+    val expect = nPairDocs / 2 + (nBatch - nClone - nPairDocs)
+    val idxCard = IncrementalDedup.readFpIndex(spark, dir)
+      .select("fp").distinct().count()
+    println(s"[probe] incdedup: survivors $nOut (expected $expect), " +
+      s"index-clone leaks $cloneLeaks, wrong-pair-member $pairBad, " +
+      s"index now $idxCard fps (expected ${nIdx + expect})")
+    assert(nOut == expect && cloneLeaks == 0 && pairBad == 0,
+      "incremental dedup must kill clones, keep pair winners, keep fresh")
+    assert(idxCard == nIdx + expect,
+      "append must add exactly the survivor fingerprints")
+  }
+
+  /** `lm_score` at scale: model trained on `nRef` 50-token docs over a
+    * 50k-token vocabulary (30k retained), then `nScore` docs scored in
+    * three classes — in-vocab, pure-OOV, and mixed. Verification is a
+    * full independent recomputation: the broadcast-fold score of EVERY
+    * document is compared against an explode → join-model → row-sum
+    * recomputation (the oracle's shape, distributed); the integer
+    * micro-log quantization makes the two addition orders bit-equal, so
+    * the comparison is exact, not epsilon. */
+  def lmProbe(spark: SparkSession, nRef: Int, nScore: Int): Unit = {
+    import graft.operators.LmScore
+    val vocab = 50000
+    def tok(seed: Column, j: Column) =
+      concat(lit("v"), pmod(xxhash64(seed * 31 + j), lit(vocab)))
+    val ref = spark.range(nRef).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        j => tok(col("id"), j))).as("text"))
+    val modelRow = LmScore.trainModel(ref, vocabK = 30000)
+    val (model, oovLp) = timed(s"train unigram model on $nRef docs") {
+      LmScore.collectModel(modelRow)
+    }
+    val docs = spark.range(nScore).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(3)) === 0,
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          j => tok(col("id"), j))))
+      .when(pmod(col("id"), lit(3)) === 1,
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          j => concat(lit("oovtok"), j))))
+      .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        j => when(j % 2 === 0, tok(col("id"), j))
+          .otherwise(concat(lit("oovtok"), j)))))
+      .as("text"))
+    val scored = timed(s"score $nScore docs (kernel, ${model.size}-entry vocab)") {
+      val s = LmScore.scoreKernel(docs, model, oovLp)
+        .select("doc_id", "text", "lp_mean")
+      s.cache().count()
+      s
+    }
+    // independent recomputation: per-token rows joined against the model
+    // ENTRIES (map exploded back to a frame), summed per doc — the
+    // DuckDB oracle's plan shape, here at probe scale
+    val entries = modelRow.select(explode(map_entries(col("model"))).as("e"))
+      .select(col("e.key").as("t"), col("e.value").as("lp"))
+    val oov = oovLp
+    val rowSum = scored
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .join(entries, Seq("t"), "left")
+      .groupBy("doc_id", "n_tok")
+      .agg(sum(coalesce(col("lp"), lit(oov))).as("lpsum"))
+      .select(col("doc_id"),
+        round(col("lpsum").cast("double") / LmScore.Micro / col("n_tok"), 6)
+          .as("want"))
+    val bad = scored.join(rowSum, "doc_id")
+      .filter(col("lp_mean") =!= col("want")).count()
+    // the CCNet ordering at scale: class means must separate strictly
+    val means = scored
+      .groupBy(pmod(col("doc_id"), lit(3)).as("cls")).agg(avg("lp_mean").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    println(s"[probe] lm: fold-vs-rowsum mismatches $bad; class means " +
+      f"in-vocab ${means(0L)}%.4f mixed ${means(2L)}%.4f oov ${means(1L)}%.4f")
+    scored.unpersist()
+    spark.catalog.clearCache()
+    assert(bad == 0, "broadcast fold must equal the row-sum recomputation bit-exactly")
+    assert(means(0L) > means(2L) && means(2L) > means(1L),
+      "class score ordering must be in-vocab > mixed > pure-OOV")
   }
 }

@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unigram_score"),
+      new ExpressionInfo(classOf[UnigramScoreExpr].getName, "graft_unigram_score"),
+      (children: Seq[Expression]) =>
+        UnigramScoreExpr(children(0), children(1), children(2))))
     // Spark's runtime-filter bloom expressions (codegen'd, mergeable
     // sketch aggregate) are internal-only — InjectRuntimeFilter uses them
     // but no SQL name is registered. Exposing them lets queries build a

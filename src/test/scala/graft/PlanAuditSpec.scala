@@ -340,4 +340,55 @@ class PlanAuditSpec extends SparkSpec {
       "both phases must share one cached tokenize pass")
     spark.catalog.clearCache()
   }
+
+  /** Formatted-explain Exchange blocks for a key (toString's Exchange
+    * lines print only partitioning expressions, never carried attributes
+    * — see the curation_pipeline audit). */
+  private def exchangeBlocks(key: String): Array[String] =
+    SparkEntry.queries(key)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("\n\n")
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+
+  test("lm_score: scoring is one narrow kernel projection; training caches the tokenize pass") {
+    // the declared key trains eagerly (driver-resident model, the IVF
+    // discipline), so its OWN plan is pure scoring: scan → kernel
+    // projection → final sort. No joins, no aggregation, no explode.
+    val p = plan("lm_score")
+    assert(p.contains("graft_unigram_score"),
+      "scoring must go through the codegen'd kernel (O(1) lookups)")
+    assert(!p.contains("Generate explode") && !p.contains("Join"),
+      "scoring must be a narrow projection, no per-token rows")
+    assert(count(p, "Exchange") === 1,
+      "the final orderBy range partition must be the only exchange")
+    // the training frame is audited separately: the counts frame feeds
+    // three consumers (model map, N, V) — every explode of the reference
+    // text must sit inside the cached relation's printout (unpersisted,
+    // Catalyst would plan the reference pass three times). Clear the
+    // cache first: the key above already trained once, and its registered
+    // counts cache would otherwise nest inside this frame's plan
+    spark.catalog.clearCache()
+    val t = graft.operators.LmScore.trainModel(
+      Tables.documents(spark, sf).filter(
+        org.apache.spark.sql.functions.col("lang") === "en"))
+      .queryExecution.executedPlan.toString
+    assert(count(t, "Generate explode") === count(t, "InMemoryRelation"),
+      "reference tokenize must be computed once under the cache")
+    assert(count(t, "InMemoryRelation") >= 3)
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_incremental: narrow fp exchanges; text never shuffles; anti-join against the index") {
+    val p = plan("dedup_incremental")
+    // in-batch keep-first windows on the fingerprint
+    assert(p.contains("Exchange hashpartitioning(fp#"))
+    // index membership is an anti-join (broadcast at sf; AQE picks the
+    // distributed form when the index outgrows the broadcast threshold)
+    assert(p.contains("LeftAnti"))
+    // both sides project the 32-byte fingerprint before any exchange —
+    // the document text must die in the scan-side projections
+    exchangeBlocks("dedup_incremental").foreach { b =>
+      assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
+    }
+  }
 }

@@ -52,6 +52,27 @@ class LmScoreSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("scoreKernel ≡ score (HOF fold) bit-exactly, including OOV-heavy and null-free paths") {
+    import spark.implicits._
+    val ref = Seq((1L, "a a a b b c d e f g"), (2L, "a b c h i j k l m n"))
+      .toDF("doc_id", "text")
+    val modelRow = LmScore.trainModel(ref)
+    val (m, oov) = LmScore.collectModel(modelRow)
+    val docs = (0L until 200L).map { i =>
+      val toks = (0 until 25).map { j =>
+        val r = (i * 31 + j * 7) % 20
+        if (r < 14) ('a' + r.toInt).toChar.toString else s"oov$r"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaKernel = LmScore.scoreKernel(docs, m, oov)
+      .select("doc_id", "n_tok", "lp_mean")
+    val viaFold = LmScore.score(docs, modelRow)
+      .select("doc_id", "n_tok", "lp_mean")
+    assert(viaKernel.exceptAll(viaFold).count() === 0)
+    assert(viaFold.exceptAll(viaKernel).count() === 0)
+  }
+
   test("declared key: en docs outscore non-en docs on average (the CCNet ordering)") {
     import spark.implicits._
     val scored = LmScore.lmScore(spark, sf0001)
