@@ -114,6 +114,9 @@ object SparkEntry {
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
+    // every optional stage live: redact + quality + dedup + split + mix +
+    // pack as one plan (r12)
+    "curation_full"     -> (Curation.curationFull _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -839,6 +842,63 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
          |      AS BIGINT) AS start_tok
          |  FROM train)
+         |SELECT doc_id, quality, n_tok, start_tok,
+         |       start_tok // ${Packing.SeqBudget} AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // the full macro: all six stages chained as CTEs — planting and scrub
+    // from the redact oracle, quality/dedup/split/pack from the
+    // curation_pipeline oracle, mix from the domain_mix oracle, each over
+    // the previous stage's output (cleaned text feeds EVERYTHING
+    // downstream; the mix window runs over post-split survivors only)
+    "curation_full" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang, text
+         |    || CASE WHEN doc_id % ${Redact.EmailMod} = 0
+         |            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.IpMod} = 0
+         |            THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.PhoneMod} = 0
+         |            THEN ' call 555-01' || (doc_id % 10) || '-'
+         |                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS text
+         |  FROM documents),
+         |cleaned AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Redact.EmailRe}', '${Redact.EmailTag}', 'g'),
+         |      '${Redact.Ipv4Re}', '${Redact.IpTag}', 'g'),
+         |      '${Redact.PhoneRe}', '${Redact.PhoneTag}', 'g') AS text
+         |  FROM planted),
+         |scored AS (
+         |  SELECT doc_id, lang, text, $qualitySqlExpr AS quality FROM cleaned),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.35),
+         |dd AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         |      ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |train AS (
+         |  SELECT doc_id, lang, quality, n_tok FROM dd
+         |  WHERE rn = 1
+         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |bud AS (SELECT * FROM (VALUES ${DomainMix.Budgets.map {
+             case (d, n) => s"('$d', $n)" }.mkString(", ")}) AS v(lang, budget)),
+         |mixc AS (
+         |  SELECT t.doc_id, t.quality, t.n_tok, budget,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY t.lang
+         |      ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '${DomainMix.MixSalt}'), t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS mix_start
+         |  FROM train t JOIN bud ON t.lang = bud.lang),
+         |mixed AS (SELECT doc_id, quality, n_tok FROM mixc WHERE mix_start < budget),
+         |c AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_tok
+         |  FROM mixed)
          |SELECT doc_id, quality, n_tok, start_tok,
          |       start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,

@@ -86,4 +86,20 @@ object Curation {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_id")
+
+  /** Declared key (`curation_full`): the macro with EVERY optional stage
+    * live — [[Redact.plantPii]] seeds the synthetic PII fixture (the
+    * corpus carries none), then redact → quality → dedup → split →
+    * domain-mix ([[DomainMix.Budgets]]) → pack runs as ONE plan. The
+    * oracle chains all six stage recomputations as CTEs, so a regression
+    * in any stage OR in how the stages hand off (redacted text must feed
+    * the quality score, the fingerprint, and the token counts; the mix
+    * must select over post-split survivors only) turns rows red. */
+  def curationFull(spark: SparkSession, dir: String): DataFrame =
+    curate(
+      Redact.plantPii(Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang")),
+      redactPii = true,
+      mixBudgets = Some(DomainMix.Budgets), domainCol = "lang")
+      .orderBy("doc_id")
 }

@@ -378,6 +378,21 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curation_full: the six-stage macro still never ships text through an exchange") {
+    // the composed plan's corpus-wide shuffles are the dedup window, the
+    // mix windows, and packing — all keyed on narrow columns; the
+    // (possibly PII-bearing) text must die in the scan-side projections
+    exchangeBlocks("curation_full").foreach { b =>
+      assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
+    }
+    val p = plan("curation_full")
+    assert(!p.contains("Exchange SinglePartition"),
+      "docs must never funnel through one partition")
+    // budgets and bucket offsets broadcast, never shuffled
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    spark.catalog.clearCache()
+  }
+
   test("dedup_incremental: narrow fp exchanges; text never shuffles; anti-join against the index") {
     val p = plan("dedup_incremental")
     // in-batch keep-first windows on the fingerprint
