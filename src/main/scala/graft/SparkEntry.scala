@@ -76,6 +76,9 @@ object SparkEntry {
     // §2.7 E2/E4 — IVF ANN reported as recall vs the exact baseline, and
     // the multimodal fixture queries: all hard oracle rows
     "ann_topk"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // PQ-ADC shortlist + exact rerank, reported as per-query recall vs
+    // the exact baseline (r12 — codebooks aren't DuckDB-expressible)
+    "pq_topk"       -> ((s: SparkSession, d: String) => ProductQuant.pqRecall(s, d)),
     "embed_dedup"   -> ((s: SparkSession, d: String) =>
       Similarity.embedDedupRecallCheck(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
@@ -517,6 +520,11 @@ object SparkEntry {
     // constants — the single source of truth the Spark side uses, so the
     // oracle cannot drift from what the queries compute
     "ann_topk" ->
+      s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
+    // same verdict pattern for the PQ pipeline: TRUE = "the ADC shortlist
+    // + exact rerank recovered ≥ minRecall of the exact top-k"
+    "pq_topk" ->
       s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
     // pair identities are xxhash64-derived (not DuckDB-expressible); the

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: the declared key is a recall-verdict gate at
+  * sf0.01; these specs pin the code/ADC algebra on exact invariants. */
+class ProductQuantSpec extends SparkSpec {
+
+  private def normEmb = {
+    val spark0 = spark
+    import spark0.implicits._
+    ProductQuant.normalized(
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+  }
+
+  test("encode: M codes per vector, every code in [0, Ks)") {
+    val emb = normEmb
+    val cbs = ProductQuant.trainCodebooks(spark, emb)
+    assert(cbs.size === ProductQuant.M)
+    assert(cbs.forall(_.size === ProductQuant.Ks))
+    val bad = ProductQuant.encode(emb, cbs)
+      .select(col("vec_id"), col("codes"))
+      .filter(size(col("codes")) =!= ProductQuant.M ||
+        exists(col("codes"),
+          c => c < 0 || c >= ProductQuant.Ks))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("ADC identity: table-lookup score == dot(q, PQ reconstruction)") {
+    val emb = normEmb
+    val cbs = ProductQuant.trainCodebooks(spark, emb)
+    val coded = ProductQuant.encode(emb, cbs)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Spark-side ADC for vec 0..4 scored against query vec 0
+    val q = vecs(0L)
+    val spark0 = spark
+    import spark0.implicits._
+    val qdf = Seq((0L, q)).toDF("q_id", "qv")
+      .withColumn("tbl", ProductQuant.adcTable(col("qv"), cbs))
+    val scored = emb.filter(col("vec_id") < 5)
+      .join(ProductQuant.encode(emb, cbs).select(col("vec_id"), col("codes")), "vec_id")
+      .crossJoin(broadcast(qdf.select("tbl")))
+      .select(col("vec_id"),
+        ProductQuant.adcScore(col("codes"), col("tbl"), ProductQuant.Ks).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference: dot(q, concatenated codewords)
+    val dsub = cbs.head.head.size
+    for (vid <- 0L until 5L) {
+      val recon = coded(vid).zipWithIndex.flatMap { case (c, mi) => cbs(mi)(c) }
+      val want = recon.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(scored(vid) - want) < 1e-9,
+        s"vec $vid: adc ${scored(vid)} vs reconstruction dot $want")
+      assert(recon.size === dsub * ProductQuant.M)
+    }
+  }
+
+  test("quantization is lossy but rank-preserving enough: declared key all-green at sf0.001") {
+    val rows = ProductQuant.pqRecall(spark, sf0001).collect()
+    assert(rows.length === Similarity.NumQueryVecs)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString(", "))
+    spark.catalog.clearCache()
+  }
+}
