@@ -48,6 +48,10 @@ object Probe {
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
+      case Some("pq") =>
+        pqProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(1000000),
+          c = args.lift(2).map(_.toInt).getOrElse(1024))
       case Some("incdedup") =>
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -487,6 +491,72 @@ object Probe {
     out.unpersist()
     assert(nOut == 2L * nPlant && exact == nOut && planted == nOut,
       "planted spans must be recovered exactly — one (21,40) span per planted doc, nothing else")
+  }
+
+  /** `pq_topk` at scale: the same clustered 1M × dim64 geometry as the
+    * IVF probe (centers + 0.25-amplitude noise — real-embedding cluster
+    * structure), PQ codebooks trained on a 100k SAMPLE (the production
+    * discipline: codebooks converge on a sample; encoding is the full
+    * corpus), the whole corpus encoded to 8×4-bit codes, then 20 queries
+    * ADC-shortlisted and exact-reranked. Ground truth = brute-force exact
+    * top-10 over the normalized vectors. Reported: encode throughput, ADC
+    * scan + rerank time, and recall@10 for shortlist ∈ {100, 1000}. */
+  def pqProbe(spark: SparkSession, n: Int, c: Int,
+      dim: Int = 64, nQ: Int = 20, k: Int = 10): Unit = {
+    import graft.operators.{ProductQuant, Similarity}
+    def comp(key: org.apache.spark.sql.Column) =
+      pmod(xxhash64(key), lit(1000)).cast("double") / 500.0 - 1.0
+    val cluster = pmod(xxhash64(col("vec_id")), lit(c.toLong))
+    val emb = ProductQuant.normalized(
+      spark.range(n).select(col("id").as("vec_id"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => comp(cluster * dim + j) + comp(col("vec_id") * dim + j + lit(7777777L)) * 0.25)
+            .as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    val cbs = timed(s"train codebooks on a ${n / 10}-vector sample") {
+      ProductQuant.trainCodebooks(spark, emb.filter(col("vec_id") % 10 === 0))
+    }
+    val coded = timed(s"encode $n vectors to ${ProductQuant.M}×4-bit codes") {
+      val cd = ProductQuant.encode(emb, cbs).select("vec_id", "codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cd.count(); cd
+    }
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = timed(s"exact baseline: $nQ queries × $n vectors brute force") {
+      val e = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotQ)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= k)
+        .select("q_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val recalls = Seq(100, 1000).map { sl =>
+      val t0 = System.nanoTime()
+      // coded is pre-persisted, so this times the ADC scan + rerank only
+      // (encode cost was measured above) — the serving-path shape
+      val approx = ProductQuant.pqSearch(emb, queries, cbs, k, shortlist = sl)
+        .select("q_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = hits.toDouble / (nQ.toLong * k)
+      println(f"[probe] pq: shortlist=$sl%4d recall@$k=$recall%.3f " +
+        f"($hits/${nQ * k} hits, $sec%.2f s)")
+      recall
+    }
+    emb.unpersist(); coded.unpersist(); exact.unpersist()
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must not degrade as the shortlist grows: $recalls")
+    assert(recalls.last >= 0.6,
+      s"shortlist=1000 of $n must recover ≥ 0.6 of the exact top-$k, got ${recalls.last}")
   }
 
   /** `dedup_incremental` at scale: an `nIdx`-doc fingerprint index on

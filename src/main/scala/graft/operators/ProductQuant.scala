@@ -128,27 +128,22 @@ object ProductQuant {
         (c, mi) => element_at(table, mi * ks + c + 1)),
       lit(0d), (s, x) => s + x)
 
-  /** PQ search: ADC shortlist over the coded corpus, exact rerank of the
-    * shortlist on full vectors. `emb` must be normalized (vec_id, v);
-    * queries are the first [[Similarity.NumQueryVecs]] corpus vectors
-    * (the declared fixture shape). */
-  def pqTopk(spark: SparkSession, dir: String, k: Int = Similarity.DefaultK,
+  /** PQ search over frames: ADC shortlist over the coded corpus, exact
+    * rerank of the shortlist on full vectors — the two-stage serving
+    * shape. `emb` must be a NORMALIZED (vec_id, v) frame; `queries` is
+    * any (q_id, qv) frame of normalized vectors. Self-matches
+    * (vec_id = q_id) are excluded, as in [[Similarity.ivfSearch]]. */
+  def pqSearch(emb: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int = Similarity.DefaultK,
       shortlist: Int = Shortlist): DataFrame = {
-    val emb = normalized(
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cbs = trainCodebooks(spark, emb)
-    val ks = cbs.head.size
-    val coded = encode(emb, cbs).select("vec_id", "codes")
-    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVecs)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("tbl", adcTable(col("qv"), cbs))
+    val ks = codebooks.head.size
+    val coded = encode(emb, codebooks).select("vec_id", "codes")
+    val q = queries.withColumn("tbl", adcTable(col("qv"), codebooks))
     // ADC scan: per-query shortlist over codes only (at cluster scale
     // this scan reads the 32×-compressed code column, IVF-pruned)
     val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
     val short = coded
-      .crossJoin(broadcast(queries.select("q_id", "tbl")))
+      .crossJoin(broadcast(q.select("q_id", "tbl")))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcScore(col("codes"), col("tbl"), ks))
       .withColumn("srn", row_number().over(wS))
@@ -160,11 +155,26 @@ object ProductQuant {
       lit(0d), (s, x) => s + x)
     val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     short.join(emb, "vec_id")
-      .join(broadcast(queries.select("q_id", "qv")), "q_id")
+      .join(broadcast(q.select("q_id", "qv")), "q_id")
       .withColumn("cos", dotQ) // normalized vectors: dot = cosine
       .withColumn("rn", row_number().over(wR))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The declared fixture shape: normalize the embeddings table, train,
+    * search with the first [[Similarity.NumQueryVecs]] vectors as
+    * queries. */
+  def pqTopk(spark: SparkSession, dir: String, k: Int = Similarity.DefaultK,
+      shortlist: Int = Shortlist): DataFrame = {
+    val emb = normalized(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = trainCodebooks(spark, emb)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    pqSearch(emb, queries, cbs, k, shortlist)
   }
 
   /** Declared key (`pq_topk`): per-query recall of the PQ shortlist +
