@@ -162,6 +162,42 @@ object ProductQuant {
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** The full serving composition — IVF partition pruning × PQ
+    * compression (IVFADC, Jégou et al. 2011 §IV): probe the nProbe
+    * nearest inverted lists per query ([[Similarity.probeCids]]), ADC-
+    * score ONLY the probed lists' codes, exact-rerank the shortlist.
+    * `assigned` is the inverted file with codes attached — (cid, vec_id,
+    * codes) from [[encode]] joined to [[Similarity.assignCids]]; `emb`
+    * is the full-vector frame the rerank re-joins by id. At cluster
+    * scale the probe join prunes cid partitions of the persisted index
+    * AND each candidate row is the 32×-compressed code column — the two
+    * pruning axes compose: nProbe/c of the corpus read, at 1/32 the
+    * bytes per row, floats touched only for the shortlist. */
+  def ivfPqSearch(assigned: DataFrame, emb: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int = Similarity.DefaultK, nProbe: Int = 2,
+      shortlist: Int = Shortlist): DataFrame = {
+    val ks = codebooks.head.size
+    val probes = Similarity.probeCids(queries, centroids, nProbe)
+      .withColumn("tbl", adcTable(col("qv"), codebooks))
+    val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = assigned.join(probes.select("q_id", "cid", "tbl"), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore(col("codes"), col("tbl"), ks))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select("q_id", "vec_id")
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    short.join(emb, "vec_id")
+      .join(broadcast(queries.select("q_id", "qv")), "q_id")
+      .withColumn("cos", dotQ)
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** The declared fixture shape: normalize the embeddings table, train,
     * search with the first [[Similarity.NumQueryVecs]] vectors as
     * queries. */

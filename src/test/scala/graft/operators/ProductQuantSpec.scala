@@ -59,6 +59,24 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearch with nProbe=c ≡ pqSearch (all lists probed = brute ADC scan)") {
+    val emb = normEmb.persist()
+    val c = 4
+    val centroids = Similarity.trainCentroids(spark, emb, c, lloydIters = 1)
+    val assigned = emb.join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+    val cbs = ProductQuant.trainCodebooks(spark, emb)
+    val coded = ProductQuant.encode(emb, cbs).select("vec_id", "codes")
+    val assignedCoded = assigned.select("cid", "vec_id").join(coded, "vec_id")
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val full = ProductQuant.ivfPqSearch(assignedCoded, emb, queries,
+      centroids, cbs, nProbe = c)
+    val brute = ProductQuant.pqSearch(emb, queries, cbs)
+    assert(full.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(full).count() === 0)
+    emb.unpersist()
+  }
+
   test("quantization is lossy but rank-preserving enough: declared key all-green at sf0.001") {
     val rows = ProductQuant.pqRecall(spark, sf0001).collect()
     assert(rows.length === Similarity.NumQueryVecs)
