@@ -63,24 +63,45 @@ object ProductQuant {
       transform(col("v"), x => x / nrm).as("v"))
   }
 
-  /** Train per-subspace codebooks: Lloyd iterations on each d/M-dim
-    * slice (delegating to [[Similarity.trainCentroids]] — the same
-    * seeding and mean-update used by IVF, applied per subspace).
+  /** Train per-subspace codebooks — ALL subspaces in one corpus pass per
+    * Lloyd iteration. Each subspace's Lloyd problem is independent, but
+    * training them with M separate per-slice jobs reads the corpus M
+    * times per iteration (and pays M× the driver round-trips — measured
+    * 21 s for the sf0.1 fixture key); instead each iteration runs ONE
+    * pass: [[encode]] assigns every subspace's code in a single narrow
+    * projection, then one (subspace, code, dim) mean aggregation
+    * (M·Ks·d/M ≈ 1k rows) collects to the driver. Seeding: codeword k of
+    * every subspace is the k-th lowest-id vector's slice (the
+    * [[Similarity.trainCentroids]] convention). An empty cluster keeps
+    * its previous codeword (standard Lloyd).
     * Returns codebooks(m)(k) = the k-th codeword of subspace m,
-    * driver-resident. An empty cluster (possible at tiny Ks) falls back
-    * to the lowest surviving codeword so code indices stay dense. */
+    * driver-resident. */
   def trainCodebooks(spark: SparkSession, emb: DataFrame, m: Int = M,
       ks: Int = Ks, lloydIters: Int = 2): Seq[Seq[Seq[Double]]] = {
     val d = emb.select(size(col("v"))).first().getInt(0)
     require(d % m == 0, s"dim $d must divide into $m subspaces")
     val dsub = d / m
-    (0 until m).map { mi =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("v"), mi * dsub + 1, dsub).as("v"))
-      val byCid = Similarity.trainCentroids(spark, sub, ks, lloydIters).toMap
-      val fallback = byCid(byCid.keys.min)
-      (0 until ks).map(k => byCid.getOrElse(k, fallback))
+    var cbs: Seq[Seq[Seq[Double]]] = {
+      val seeds = emb.orderBy("vec_id").limit(ks).collect()
+        .map(_.getSeq[Double](1))
+      (0 until m).map(mi =>
+        seeds.toSeq.map(s => s.slice(mi * dsub, mi * dsub + dsub)))
     }
+    for (_ <- 1 to lloydIters) {
+      val means = encode(emb, cbs)
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("mi", (col("pos") / dsub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("mi") + 1))
+        .groupBy("mi", "code", "pos").agg(avg("x").as("mu"))
+        .collect()
+        .map(r => (r.getInt(2), r.getInt(1)) -> r.getDouble(3)).toMap
+      cbs = (0 until m).map(mi => (0 until ks).map { k =>
+        (0 until dsub).map { j =>
+          means.getOrElse((mi * dsub + j, k), cbs(mi)(k)(j))
+        }.toSeq
+      })
+    }
+    cbs
   }
 
   /** Encode a (vec_id, v) frame against the codebooks: appends `codes`
