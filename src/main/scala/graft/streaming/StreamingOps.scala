@@ -112,6 +112,42 @@ object StreamingOps {
     docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
       .dropDuplicates("fp")
 
+  /** [EXT] streaming exact dedup SEEDED from a persisted batch index —
+    * the batch↔streaming hand-off of [[graft.operators.IncrementalDedup]]:
+    * the query's dedup state STARTS as the accumulated corpus's
+    * fingerprints (`indexFps`, e.g. `IncrementalDedup.readFpIndex`), so a
+    * stream document duplicating an already-curated corpus doc is
+    * suppressed even though the stream never saw the original. This is
+    * how a pipeline switches from batch backfill to streaming ingest
+    * without re-ingesting (or losing) the seen-set.
+    *
+    * `dropDuplicates` cannot take initial state, so the seen-set is
+    * explicit `flatMapGroupsWithState` state keyed by fingerprint — the
+    * same 32 B md5 per distinct doc `dropDuplicates` keeps internally,
+    * loaded once from the index frame at query start and checkpointed
+    * with the query thereafter. Emits (fp, doc_id): the lowest arriving
+    * doc_id on each fingerprint's first in-stream encounter. */
+  def streamingDocDedupSeeded(docs: DataFrame, indexFps: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val initial = indexFps.select(col("fp")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    docs.withColumn("fp", graft.operators.TextOps.fingerprint(col(textCol)))
+      .select(col("fp"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
+        (fp: String, arrivals: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((fp, arrivals.map(_._2).min))
+          }
+      }
+      .toDF("fp", "doc_id")
+  }
+
   /** [EXT] streaming curation — [[graft.operators.Curation.curate]]'s
     * incremental stages composed as ONE streaming query: the stateless
     * quality gate (the IDENTICAL [[graft.operators.TextOps.quality]]

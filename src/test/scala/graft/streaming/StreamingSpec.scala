@@ -167,6 +167,45 @@ class StreamingSpec extends SparkSpec {
       "one emission per distinct fingerprint; dedup state survives restart")
   }
 
+  test("seeded streaming dedup: batch-index fingerprints suppress stream dups; state survives restart") {
+    import org.apache.spark.sql.functions.col
+    // batch side: two docs curated into a persisted fingerprint index
+    val sparkS = spark
+    import sparkS.implicits._
+    val idxDir = tmpDir("seed-idx")
+    graft.operators.IncrementalDedup.writeFpIndex(
+      graft.operators.IncrementalDedup.fingerprints(
+        Seq((1L, "the cat sat"), (2L, "dogs bark loud")).toDF("doc_id", "text"))
+        .select("fp"),
+      idxDir, nBuckets = 4)
+    val index = graft.operators.IncrementalDedup.readFpIndex(spark, idxDir)
+    // streaming side: state seeded FROM the index
+    val dropDir = tmpDir("seed-src")
+    val outDir  = tmpDir("seed-out")
+    val ckDir   = tmpDir("seed-ck")
+    def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+      val lines = docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingDocDedupSeeded(
+        StreamingOps.fileDropSource(spark, dropDir, "doc_id LONG, text STRING",
+          maxFilesPerTrigger = 1), index),
+      outDir, ckDir)
+    // doc 10 normalizes to indexed doc 1 → suppressed WITHOUT the stream
+    // ever seeing doc 1; doc 11 is fresh → emitted
+    drop("a.json", Seq((10L, "sat the cat"), (11L, "fresh unique text")))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // across a restart: dup of the pre-restart STREAM doc and one new doc
+    drop("b.json", Seq((12L, "fresh unique text"), (13L, "entirely new words")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq === Seq(11L, 13L),
+      "index fps and checkpointed stream fps must both suppress")
+  }
+
   test("streaming curation: quality gate + dedup as one query, restart-safe exactly-once") {
     // The composed streaming twin of the batch curation_pipeline's
     // incremental stages (r12): junk must die at the quality gate WITHOUT
