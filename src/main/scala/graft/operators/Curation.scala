@@ -40,7 +40,8 @@ object Curation {
       bucketWidth: Long = Packing.BucketWidth,
       redactPii: Boolean = false,
       mixBudgets: Option[Seq[(String, Long)]] = None,
-      domainCol: String = "lang"): DataFrame = {
+      domainCol: String = "lang",
+      lmFilter: Option[(Map[String, Long], Long, Double)] = None): DataFrame = {
     // 0. optional PII scrub (r12): [[Redact.clean]] is a stateless column
     //    expression, so it fuses into the SAME narrow projection as the
     //    quality score — everything downstream (quality, fingerprint,
@@ -50,7 +51,21 @@ object Curation {
       if (redactPii) docs.withColumn("text", Redact.clean(col("text")))
       else docs
     // 1. quality gate — narrow, same columns the text_quality key emits
-    val kept = TextOps.quality(input).filter(col("verdict") === "keep")
+    val gated = TextOps.quality(input).filter(col("verdict") === "keep")
+    // 1b. optional CCNet LM filter (r12): keep docs whose mean log10
+    //     token probability under a reference model clears the cutoff
+    //     ([[LmScore.scoreKernel]] — a narrow codegen'd projection, so
+    //     like the heuristic gate it fuses into the same stage; the
+    //     (model, oov) pair is driver-resident, trained out-of-band via
+    //     [[LmScore.trainModel]]/[[LmScore.collectModel]]). Runs on the
+    //     scrubbed text, BEFORE dedup — the CCNet stage order
+    val kept = lmFilter match {
+      case Some((model, oov, cutoff)) =>
+        LmScore.scoreKernel(gated, model, oov)
+          .filter(col("lp_mean") >= cutoff)
+          .drop("n_tok", "lp_mean")
+      case None => gated
+    }
     // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
     //    n_tok is computed HERE so the dedup exchange and everything after
     //    it carry four narrow columns, not the text (plus the domain
