@@ -103,6 +103,7 @@ object SparkEntry {
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
     "seq_pack"          -> (Packing.seqPack _),
+    "seq_chunks"        -> (Packing.seqChunks _),
     "bloom_join"        -> (BloomJoin.bloomJoin _),
     // §2.7 [EXT] r12 curation extensions: PII scrub, weighted domain
     // mixing, and the exact suffix-array-family substring dedup
@@ -822,6 +823,28 @@ object SparkEntry {
          |      FROM t)
          |SELECT doc_id, n_tok, start_tok, start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the chunk half: the same global cumsum exploded into per-sequence
+    // segments by interval intersection — a doc straddling a budget
+    // boundary yields one row per overlapped sequence
+    "seq_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS start_tok
+         |      FROM t),
+         |e AS (SELECT doc_id, n_tok, start_tok,
+         |        unnest(range(start_tok // ${Packing.SeqBudget},
+         |                     (start_tok + n_tok - 1) // ${Packing.SeqBudget} + 1)) AS seq_id
+         |      FROM c)
+         |SELECT doc_id, seq_id,
+         |  GREATEST(start_tok, seq_id * ${Packing.SeqBudget}) - start_tok AS doc_from,
+         |  GREATEST(start_tok, seq_id * ${Packing.SeqBudget})
+         |    - seq_id * ${Packing.SeqBudget} AS seq_from,
+         |  LEAST(start_tok + n_tok, (seq_id + 1) * ${Packing.SeqBudget})
+         |    - GREATEST(start_tok, seq_id * ${Packing.SeqBudget}) AS seg_len
+         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
     // composed curation pipeline: the oracle chains the four stage oracles
     // as CTEs — the quality formula interpolates from qualitySqlExpr, the
     // fingerprint/split/packing shapes are the doc_dedup / split_hash /

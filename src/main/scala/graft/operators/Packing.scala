@@ -100,4 +100,48 @@ object Packing {
       .select("doc_id", "n_tok", "start_tok", "seq_id")
       .orderBy("doc_id")
   }
+
+  /** The CHUNK half of concat-and-chunk: [[packSequences]] gives each
+    * document its global token offset; this explodes each document into
+    * the per-sequence SEGMENTS a training-batch writer actually emits —
+    * GPT-style packing cuts the corpus concatenation every `budget`
+    * tokens, so a document straddling a boundary contributes a segment
+    * to EACH sequence it overlaps (`seq_pack`'s one `seq_id` per doc is
+    * only the sequence its first token lands in). One output row per
+    * (doc, overlapped sequence):
+    *
+    *   - `doc_from` — segment start within the document's tokens;
+    *   - `seq_from` — segment start within the sequence's budget;
+    *   - `seg_len` — segment length.
+    *
+    * Invariants (spec-asserted): segments of a doc tile `[0, n_tok)`;
+    * segments of a sequence tile `[0, budget)` exactly (the final
+    * sequence may be partial); both follow from interval-intersection
+    * arithmetic, which is all this is — a narrow explode over spanned
+    * sequence ids (≤ 1 + n_tok/budget rows per doc), no extra shuffle
+    * beyond [[packSequences]]'s own phases. */
+  def chunkSequences(packed: DataFrame, budget: Int): DataFrame = {
+    val segStart = greatest(col("start_tok"), col("seq_id") * budget)
+    val segEnd = least(col("start_tok") + col("n_tok"),
+      (col("seq_id") + 1) * budget)
+    packed
+      .drop("seq_id") // re-derived per overlapped sequence below
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $budget"),
+        expr(s"(start_tok + n_tok - 1) div $budget"))))
+      .withColumn("doc_from", segStart - col("start_tok"))
+      .withColumn("seq_from", segStart - col("seq_id") * budget)
+      .withColumn("seg_len", segEnd - segStart)
+  }
+
+  /** Declared key (`seq_chunks`): the per-sequence segment table over the
+    * documents corpus — doc_id → one row per overlapped sequence. */
+  def seqChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok(col("text")).as("n_tok"))
+    chunkSequences(
+      packSequences(t, "doc_id", "n_tok", SeqBudget, BucketWidth), SeqBudget)
+      .select("doc_id", "seq_id", "doc_from", "seq_from", "seg_len")
+      .orderBy("doc_id", "seq_id")
+  }
 }

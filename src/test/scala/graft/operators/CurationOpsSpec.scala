@@ -194,4 +194,53 @@ class CurationOpsSpec extends SparkSpec {
       spark.catalog.clearCache() // packSequences' documented cache contract
     }
   }
+
+  test("chunkSequences: segments tile every document and every sequence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xc40c)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(100)
+      // token counts spanning sub-budget to multi-budget docs so segments
+      // exercise 1-seq, boundary-straddling, and whole-seq-spanning cases
+      val budget = 50 + rnd.nextInt(200)
+      val rows = (0 until n).map(i =>
+        (i.toLong * 7, (rnd.nextInt(3 * budget) + 1).toLong))
+      val chunks = Packing.chunkSequences(
+          Packing.packSequences(rows.toDF("doc_id", "n_tok"),
+            "doc_id", "n_tok", budget, 16L), budget)
+        .select("doc_id", "n_tok", "seq_id", "doc_from", "seq_from", "seg_len")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      spark.catalog.clearCache()
+      val total = rows.map(_._2).sum
+      // per-doc tiling: ordered segments cover [0, n_tok) with no gaps
+      chunks.groupBy(_._1).foreach { case (id, segs) =>
+        val sorted = segs.sortBy(_._4).toSeq
+        assert(sorted.head._4 === 0L, s"doc $id first segment must start at 0")
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(a._4 + a._6 === b._4,
+            s"doc $id segments must abut: $a then $b")
+          case _ => ()
+        }
+        assert(sorted.map(_._6).sum === sorted.head._2,
+          s"doc $id segments must sum to n_tok")
+      }
+      // per-sequence tiling: every sequence except the last is packed to
+      // exactly `budget` tokens starting at seq_from 0 with no gaps
+      val lastSeq = (total - 1) / budget
+      chunks.groupBy(_._3).foreach { case (seq, segs) =>
+        val sorted = segs.sortBy(_._5).toSeq
+        assert(sorted.head._5 === 0L, s"seq $seq must start filled at 0")
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(a._5 + a._6 === b._5,
+            s"seq $seq segments must abut: $a then $b")
+          case _ => ()
+        }
+        val want = if (seq == lastSeq) total - lastSeq * budget else budget.toLong
+        assert(sorted.map(_._6).sum === want,
+          s"seq $seq must hold $want tokens (trial $trial budget=$budget)")
+      }
+    }
+  }
 }
