@@ -115,6 +115,9 @@ object SparkEntry {
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
     // §2.7 [EXT] CCNet-style unigram-LM quality scoring (en-slice model)
     "lm_score"          -> (LmScore.lmScore _),
+    // §2.7 [EXT] NB log-odds classifier (fastText-style quality filter,
+    // weakly supervised by the heuristic gate; same scoring kernel)
+    "nb_score"          -> (NbClassifier.nbScore _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -1074,6 +1077,48 @@ object SparkEntry {
          |  GROUP BY tok.doc_id)
          |SELECT d.doc_id, d.lang, CAST(ds.n_tok AS BIGINT) AS n_tok,
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS lp_mean
+         |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // NB log-odds classifier: the oracle re-derives the weak labels from
+    // the quality formula, retrains the same count-based model (same
+    // vocab cap/tie-break, same per-class-term micro quantization), and
+    // row-sums — bit-equal to the kernel fold by the integer contract
+    "nb_score" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, text, ($qualitySqlExpr) >= 0.35 AS pos FROM documents),
+         |tk AS (SELECT pos, unnest(string_split(text, ' ')) AS t FROM lab),
+         |cnt AS (
+         |  SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+         |  FROM tk GROUP BY t),
+         |vocab AS (
+         |  SELECT t, cp, cn,
+         |    ROW_NUMBER() OVER (ORDER BY (cp + cn) DESC, t) AS rk FROM cnt),
+         |model AS (SELECT t, cp, cn FROM vocab WHERE rk <= ${LmScore.VocabK}),
+         |s AS (
+         |  SELECT (SELECT SUM(cp) FROM cnt) AS np,
+         |         (SELECT SUM(cn) FROM cnt) AS nn,
+         |         (SELECT COUNT(*) FROM model) AS v),
+         |lp AS (
+         |  SELECT m.t,
+         |    CAST(ROUND(log10(CAST(m.cp + 1 AS DOUBLE)
+         |      / CAST(s.np + s.v + 1 AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT)
+         |    - CAST(ROUND(log10(CAST(m.cn + 1 AS DOUBLE)
+         |      / CAST(s.nn + s.v + 1 AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT) AS lp
+         |  FROM model m CROSS JOIN s),
+         |oov AS (
+         |  SELECT CAST(ROUND(log10(1.0 / CAST(np + v + 1 AS DOUBLE))
+         |           * ${LmScore.Micro}, 0) AS BIGINT)
+         |       - CAST(ROUND(log10(1.0 / CAST(nn + v + 1 AS DOUBLE))
+         |           * ${LmScore.Micro}, 0) AS BIGINT) AS lp FROM s),
+         |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |docsum AS (
+         |  SELECT dtok.doc_id, SUM(COALESCE(lp.lp, (SELECT lp FROM oov))) AS lpsum,
+         |         COUNT(*) AS n_tok
+         |  FROM dtok LEFT JOIN lp ON dtok.t = lp.t
+         |  GROUP BY dtok.doc_id)
+         |SELECT d.doc_id, d.lang, CAST(ds.n_tok AS BIGINT) AS n_tok,
+         |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS odds_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
