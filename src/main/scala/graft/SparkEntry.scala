@@ -118,6 +118,12 @@ object SparkEntry {
     // §2.7 [EXT] NB log-odds classifier (fastText-style quality filter,
     // weakly supervised by the heuristic gate; same scoring kernel)
     "nb_score"          -> (NbClassifier.nbScore _),
+    // §2.7 [EXT] r12 second wave: semantic dedup (SemDeDup — k-means
+    // shards the pair search), corpus-level line/paragraph dedup (CCNet
+    // §4.2 / C4), and hashed-ngram importance selection (DSIR)
+    "semdedup"          -> (SemDedup.semdedup _),
+    "line_dedup"        -> (LineDedup.lineDedup _),
+    "dsir_select"       -> (Dsir.dsirSelect _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -1121,6 +1127,98 @@ object SparkEntry {
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS odds_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // SemDeDup: the oracle recomputes planting, the kmeans_assign-form
+    // cluster argmin, the within-cluster pair cosines (the sim_topk
+    // index-order fold over precomputed norms), and the keep verdicts —
+    // a regression in assignment, pairing, or the ε-ball compare turns
+    // rows red. Constants interpolate from SemDedup/Similarity.
+    "semdedup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM base
+         |      UNION ALL
+         |      SELECT vec_id + ${Similarity.PlantIdOffset}, v FROM base
+         |      WHERE vec_id < ${Similarity.PlantCount}),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+         |      WHERE vec_id < ${Similarity.KmeansSeedC}),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+         |                   FOR i IN generate_series(1, len(v)) ]) AS d2
+         |      FROM e, c),
+         |r AS (SELECT vec_id, cid,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         |a AS (SELECT e.vec_id, r.cid, e.v,
+         |        sqrt(list_sum([ v[i] * v[i] FOR i IN generate_series(1, len(v)) ])) AS nrm
+         |      FROM e JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+         |p AS (SELECT y.vec_id, CAST(COUNT(*) AS BIGINT) AS n_near
+         |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |      WHERE list_sum([ x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v)) ])
+         |              / (x.nrm * y.nrm) >= ${SemDedup.Tau}
+         |      GROUP BY y.vec_id)
+         |SELECT a.vec_id, a.cid, CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near,
+         |       p.n_near IS NULL AS keep
+         |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+    // corpus-level line dedup: the oracle recomputes the deterministic
+    // restructuring (chunk lines + planted boilerplate), the md5-keyed
+    // corpus-wide keep-first, and the ordered reassembly digest
+    "line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |built AS (
+         |  SELECT doc_id,
+         |    list_concat(list_concat(
+         |      [ array_to_string(toks[i:i+${LineDedup.LineLen - 1}], ' ')
+         |        FOR i IN range(1, len(toks) + 1, ${LineDedup.LineLen}) ],
+         |      CASE WHEN doc_id % ${LineDedup.Boiler1Mod} = 0
+         |           THEN ['${LineDedup.Boiler1}'] ELSE CAST([] AS VARCHAR[]) END),
+         |      CASE WHEN doc_id % ${LineDedup.Boiler2Mod} = 0
+         |           THEN ['${LineDedup.Boiler2}'] ELSE CAST([] AS VARCHAR[]) END) AS lines
+         |  FROM t),
+         |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS idx, lines FROM built),
+         |x AS (SELECT doc_id, idx, lines[idx] AS line FROM l),
+         |k AS (SELECT doc_id, idx, line,
+         |        ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+         |      FROM x),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |          md5(array_to_string(list(line ORDER BY idx), chr(10))) AS clean_fp
+         |        FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines,
+         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
+         |FROM built b LEFT JOIN agg ON b.doc_id = agg.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    // DSIR: the oracle retrains both hashed-ngram bucket models (one
+    // corpus pass, target flag as a column), re-derives the per-bucket
+    // micro-log10 importance weights, and row-sums — bit-equal to the
+    // kernel's array fold by the integer-quantization contract
+    "dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |fb AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(
+         |      list_concat(toks,
+         |        [ array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks)) ]),
+         |      f -> substr(md5(f), 1, 2)) AS buckets
+         |  FROM t),
+         |ex AS (SELECT lang = 'en' AS tgt, unnest(buckets) AS b FROM fb),
+         |cnt AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |               COUNT(*) AS cr
+         |        FROM ex GROUP BY b),
+         |s AS (SELECT (SELECT SUM(ct) FROM cnt) AS nt,
+         |             (SELECT SUM(cr) FROM cnt) AS nr),
+         |lw AS (SELECT cnt.b,
+         |         CAST(ROUND(log10(CAST(cnt.ct + 1 AS DOUBLE)
+         |           / CAST(s.nt + ${Dsir.NumBuckets} AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT)
+         |       - CAST(ROUND(log10(CAST(cnt.cr + 1 AS DOUBLE)
+         |           / CAST(s.nr + ${Dsir.NumBuckets} AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT) AS lw
+         |       FROM cnt CROSS JOIN s),
+         |dtok AS (SELECT doc_id, unnest(buckets) AS b FROM fb),
+         |ds AS (SELECT dtok.doc_id, SUM(lw.lw) AS lw_sum, COUNT(*) AS n_feat
+         |       FROM dtok JOIN lw ON dtok.b = lw.b GROUP BY dtok.doc_id)
+         |SELECT f2.doc_id, f2.lang, CAST(ds.n_feat AS BIGINT) AS n_feat,
+         |       ROUND(CAST(ds.lw_sum AS DOUBLE) / ${LmScore.Micro} / ds.n_feat, 6) AS lw_mean,
+         |       ds.lw_sum > 0 AS selected
+         |FROM fb f2 JOIN ds ON f2.doc_id = ds.doc_id
+         |ORDER BY f2.doc_id""".stripMargin,
     // bloom-pruned join: the oracle is the SAME join WITHOUT the bloom —
     // might_contain has no false negatives and the exact join removes its
     // false positives, so any divergence means the bloom dropped a real key

@@ -126,10 +126,10 @@ object Similarity {
     if (df.sparkSession.catalog.functionExists("graft_vec_simhash")) simhash(v, bits)
     else hofSimhash(v, bits)
 
-  private def dotFor(df: DataFrame, a: Column, b: Column): Column =
+  private[operators] def dotFor(df: DataFrame, a: Column, b: Column): Column =
     if (df.sparkSession.catalog.functionExists("graft_dot")) dot(a, b) else hofDot(a, b)
 
-  private def cosineFor(df: DataFrame, a: Column, b: Column): Column =
+  private[operators] def cosineFor(df: DataFrame, a: Column, b: Column): Column =
     dotFor(df, a, b) / (sqrt(dotFor(df, a, a)) * sqrt(dotFor(df, b, b)))
 
   def embedDedup(emb: DataFrame, threshold: Double = 0.95, prefixBits: Int = 8): DataFrame = {

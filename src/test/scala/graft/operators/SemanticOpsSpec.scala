@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** r12 second-wave curation operators: SemDeDup semantic dedup, CCNet/C4
+  * corpus-level line dedup, and DSIR importance selection. The declared
+  * keys are oracle-gated at sf0.01; these specs pin semantics on crafted
+  * inputs where ground truth is hand-checkable. */
+class SemanticOpsSpec extends SparkSpec {
+
+  test("semdedup: within-cluster near-dups drop keep-first; cross-cluster near-dups both keep") {
+    import spark.implicits._
+    // seeds: vec 0 → cluster 0 at [1,0], vec 1 → cluster 1 at [0,1]
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),   // seed/centroid 0
+      (1L, Seq(0.0, 1.0)),   // seed/centroid 1
+      (2L, Seq(1.0, 0.01)),  // cluster 0, cos(2,0) ≈ 0.99995 ≥ τ → drop
+      (3L, Seq(0.0, 5.0)),   // cluster 1, cos(3,1) = 1 → drop
+      (4L, Seq(0.70, 0.71)), // cluster 1 (d2 smaller), cos(4,1) ≈ 0.712 < τ → keep
+      (5L, Seq(0.71, 0.70))  // cluster 0; cos(5,4) ≈ 0.9998 ≥ τ BUT other cluster → keep
+    ).toDF("vec_id", "v")
+    val r = SemDedup.prune(emb, c = 2).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(0L) === ((0, 0L, true)) && r(1L) === ((1, 0L, true)))
+    assert(r(2L) === ((0, 1L, false)), "near-dup of lower-id cluster-mate must drop")
+    assert(r(3L) === ((1, 1L, false)), "colinear cluster-mate must drop")
+    assert(r(4L)._3 && r(4L)._1 === 1, "sub-threshold mate must keep")
+    assert(r(5L) === ((0, 0L, true)),
+      "cross-cluster near-dup must keep — the pair search is cluster-sharded by design")
+  }
+
+  test("semdedup key: exactly the planted twins drop, originals all keep") {
+    val out = SemDedup.semdedup(spark, sf0001)
+    val drops = out.filter(!col("keep")).select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(drops.length === Similarity.PlantCount)
+    assert(drops.forall(_ >= Similarity.PlantIdOffset), "only planted ids may drop")
+    assert(out.filter(col("keep")).count() === out.count() - Similarity.PlantCount)
+  }
+
+  test("line_dedup: corpus-wide keep-first with document reassembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nshared boiler"),
+      (2L, "shared boiler\ngamma delta"), // boiler already seen in doc 1
+      (3L, "alpha beta\nepsilon zeta"),   // first line already seen in doc 1
+      (4L, "alpha beta\nshared boiler")   // fully duplicated → empty
+    ).toDF("doc_id", "text")
+    val r = LineDedup.dedupLines(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) === ((2L, 2L, md5Hex("alpha beta\nshared boiler"))))
+    assert(r(2L) === ((2L, 1L, md5Hex("gamma delta"))))
+    assert(r(3L) === ((2L, 1L, md5Hex("epsilon zeta"))))
+    assert(r(4L) === ((2L, 0L, md5Hex(""))), "fully-deduped doc keeps the empty digest")
+  }
+
+  test("line_dedup: toLines chunking and boilerplate planting") {
+    import spark.implicits._
+    val toks = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = Seq((28L, toks), (5L, toks)).toDF("doc_id", "text")
+    val r = LineDedup.toLines(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1).split("\n").toSeq).toMap
+    // 25 tokens → chunks of 12, 12, 1; doc 28 ≡ 0 mod 4 AND mod 7 → both boilerplates
+    assert(r(28L).length === 5 && r(5L).length === 3)
+    assert(r(28L)(3) === LineDedup.Boiler1 && r(28L)(4) === LineDedup.Boiler2)
+    assert(r(28L)(2) === "t25" && r(28L)(0).startsWith("t1 t2 "))
+    assert(r(5L) === r(28L).take(3))
+  }
+
+  test("dsir: target-vocab docs select, off-target docs reject; weights sum exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "learn to reason and write and reason well"),
+      (2L, "en", "reason write learn reason write learn again"),
+      (3L, "zz", "buy cheap pills buy cheap pills now"),
+      (4L, "zz", "cheap pills cheap pills cheap pills sale")
+    ).toDF("doc_id", "lang", "text")
+    val (model, oov) = Dsir.trainWeights(
+      docs.select((col("lang") === "en").as("is_target"), col("text")))
+    val r = Dsir.score(docs, model, oov).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_feat"), x.getAs[Double]("lw_mean"), x.getAs[Boolean]("selected"))).toMap
+    assert(r(1L)._3 && r(2L)._3, "target-vocab docs must select")
+    assert(!r(3L)._3 && !r(4L)._3, "off-target docs must reject")
+    // n_feat = unigrams + bigrams = 2n − 1 for an n-token doc
+    assert(r(1L)._1 === 15L)
+    // the model is bucket-complete over the raw corpus: scoring any corpus
+    // doc never hits the oov constant, and weights are symmetric enough
+    // that target mean > 0 > junk mean
+    assert(r(1L)._2 > 0 && r(3L)._2 < 0)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
