@@ -60,7 +60,18 @@ object Probe {
         lmProbe(spark,
           nRef = args.lift(1).map(_.toInt).getOrElse(100000),
           nScore = args.lift(2).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm)")
+      case Some("semdedup") =>
+        semdedupProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(1000000),
+          c = args.lift(2).map(_.toInt).getOrElse(8192),
+          nGroups = args.lift(3).map(_.toInt).getOrElse(10000))
+      case Some("linededup") =>
+        lineDedupProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nClone = args.lift(2).map(_.toInt).getOrElse(50000))
+      case Some("dsir") =>
+        dsirProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir)")
     }
     spark.stop()
   }
@@ -680,5 +691,158 @@ object Probe {
     assert(bad == 0, "broadcast fold must equal the row-sum recomputation bit-exactly")
     assert(means(0L) > means(2L) && means(2L) > means(1L),
       "class score ordering must be in-vocab > mixed > pure-OOV")
+  }
+
+  /** `semdedup` at scale with planted ground truth: `n` vectors (dim 64),
+    * the first `n − 4·nGroups` are unique uniform-hash singletons (at dim
+    * 64 random cosines concentrate at 0 ± 0.13, so a ≥ 0.95 natural pair
+    * is a > 7σ event — none exist across the ~10⁸ within-cluster pairs),
+    * the last `4·nGroups` form `nGroups` semantic groups of 4 BIT-IDENTICAL
+    * vectors each (identical → same cluster by construction, cosine 1).
+    * Seeds are the first `c` singletons — all distinct, so the cluster
+    * partition is non-degenerate. Exact verdict: every group drops exactly
+    * its 3 non-minimal ids, no singleton drops — recall AND precision 1. */
+  def semdedupProbe(spark: SparkSession, n: Int, c: Int, nGroups: Int): Unit = {
+    import graft.operators.{SemDedup, Similarity}
+    val dim = 64
+    val nSingle = n - 4 * nGroups
+    require(nSingle > c, "need more singletons than seed centroids")
+    def comp(key: Column) =
+      pmod(xxhash64(key), lit(1000)).cast("double") / 500.0 - 1.0
+    val singles = spark.range(nSingle).select(col("id").as("vec_id"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)),
+        j => comp(col("vec_id") * dim + j)).as("v"))
+    // group member m of group g = the group base vector, bit-identical
+    // (floor-divided group id: a plain / on longs is DOUBLE division and
+    // would give each member a different fractional g → distinct vectors)
+    val members = spark.range(4L * nGroups)
+      .select((col("id") + nSingle).as("vec_id"), floor(col("id") / 4).as("g"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)),
+        j => comp(col("g") * dim + j + lit(333333333L))).as("v"))
+    val emb = singles.unionByName(members.select("vec_id", "v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assignment via the math-expanded scale form (assignCids — the
+    // 1M×1024 BASELINE discipline; the declared key's zip_with diff form
+    // exists for oracle IEEE parity, not for n×c probe volumes), then the
+    // operator's own pair-search half over the assigned frame
+    val centroids = emb.filter(col("vec_id") < c).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val out = timed(s"semdedup: $n × dim$dim, c=$c, $nGroups groups of 4") {
+      val assigned = emb
+        .select(col("vec_id"), col("v"),
+          sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"))
+        .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val o = SemDedup.pruneAssigned(assigned)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.count(); o
+    }
+    val drops = out.filter(!col("keep"))
+    val nDrops = drops.count()
+    val badDrops = drops.filter(col("vec_id") < nSingle).count()
+    // per group, exactly the 3 non-minimal member ids must drop
+    val groupBad = out.filter(col("vec_id") >= nSingle)
+      .withColumn("g", floor((col("vec_id") - nSingle) / 4))
+      .groupBy("g").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+        min(when(col("keep"), col("vec_id"))).as("kept_id"),
+        min(col("vec_id")).as("min_id"))
+      .filter(col("nk") =!= 1L || col("kept_id") =!= col("min_id")).count()
+    println(s"[probe] semdedup: drops $nDrops (expected ${3 * nGroups}), " +
+      s"singleton drops $badDrops, group violations $groupBad")
+    out.unpersist()
+    spark.catalog.clearCache()
+    assert(badDrops == 0, "no singleton may drop — a natural ≥ τ pair appeared")
+    assert(nDrops == 3L * nGroups && groupBad == 0,
+      "each group must keep exactly its minimal id")
+  }
+
+  /** `line_dedup` at scale: `nDocs` base documents of 5 globally-unique
+    * 3-token lines each (tokens keyed by (doc, line, slot) — no natural
+    * collisions), a planted boilerplate line on every doc_id % 4 == 0, and
+    * `nClone` clone docs (ids above the base range) repeating base doc
+    * lines verbatim. Exact global invariants: Σ n_kept = #distinct lines
+    * (keep-first keeps exactly one occurrence of each), every clone keeps
+    * 0 lines, every boilerplate carrier except doc 0 keeps exactly its 5
+    * own lines. */
+  def lineDedupProbe(spark: SparkSession, nDocs: Int, nClone: Int): Unit = {
+    import graft.operators.LineDedup
+    require(nClone <= nDocs, "clones copy base docs")
+    def linesOf(src: Column) = transform(sequence(lit(0), lit(4)),
+      j => concat_ws(" ", (0 until 3).map(s =>
+        concat(lit("w"), xxhash64(src * 16 + j * 3 + s))): _*))
+    val base = spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), concat_ws("\n", concat(
+        linesOf(col("doc_id")),
+        when(col("doc_id") % 4 === 0, array(lit(LineDedup.Boiler1)))
+          .otherwise(typedLit(Array.empty[String])))).as("text"))
+    val clones = spark.range(nClone)
+      .select((col("id") + nDocs).as("doc_id"),
+        concat_ws("\n", linesOf(col("id"))).as("text"))
+    val out = timed(s"line_dedup: $nDocs base + $nClone clones (~${nDocs * 5L} lines)") {
+      val o = LineDedup.dedupLines(base.unionByName(clones))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.count(); o
+    }
+    val sums = out.agg(sum("n_kept").as("k"), sum("n_lines").as("t")).collect()(0)
+    val cloneLeak = out.filter(col("doc_id") >= nDocs && col("n_kept") =!= 0).count()
+    val boilerBad = out.filter(
+      col("doc_id") % 4 === 0 && col("doc_id") =!= 0 && col("doc_id") < nDocs
+        && col("n_kept") =!= 5).count()
+    val distinctLines = nDocs * 5L + 1L // base lines all unique + one boilerplate
+    println(s"[probe] line_dedup: kept ${sums.getLong(0)} of ${sums.getLong(1)} " +
+      s"lines (expected $distinctLines), clone leaks $cloneLeak, " +
+      s"boilerplate violations $boilerBad")
+    out.unpersist()
+    spark.catalog.clearCache()
+    assert(sums.getLong(0) == distinctLines,
+      "kept-line total must equal the distinct-line count (keep-first exactness)")
+    assert(cloneLeak == 0 && boilerBad == 0,
+      "clones must fully dedup; boilerplate must survive only in doc 0")
+  }
+
+  /** `dsir_select` at scale: `nDocs` docs, evens draw 40 tokens from a
+    * 40-word target vocabulary, odds from a disjoint 40-word junk
+    * vocabulary; target = the even class. Unigram buckets are then
+    * class-exclusive (up to 256-bucket collisions), so the importance
+    * weights must separate the classes: the verdict requires the class
+    * MEANS strictly ordered around 0 and ≤ 0.1 % per-doc sign violations
+    * (bigram buckets mix classes by the pigeonhole — ~1600 bigrams per
+    * class over 256 buckets — so a rare doc can sit near the boundary;
+    * the sf0.01 oracle gates exactness, this probes direction + scale). */
+  def dsirProbe(spark: SparkSession, nDocs: Int): Unit = {
+    import graft.operators.Dsir
+    def tok(cls: Column, seed: Column) =
+      concat(when(cls === 0, "a").otherwise("b"),
+        pmod(xxhash64(seed), lit(40)))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("cls"))
+      .select(col("doc_id"), col("cls"), concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          j => tok(col("cls"), col("doc_id") * 47 + j))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val (model, oov) = timed(s"dsir train: $nDocs docs, one corpus pass") {
+      Dsir.trainWeights(docs.select((col("cls") === 0).as("is_target"), col("text")))
+    }
+    val scored = timed(s"dsir score: $nDocs docs through the kernel") {
+      val s = Dsir.score(docs, model, oov)
+        .select("doc_id", "cls", "lw_mean", "selected")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.count(); s
+    }
+    val means = scored.groupBy("cls").agg(avg("lw_mean").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viol = scored.filter(
+      (col("cls") === 0 && !col("selected")) ||
+      (col("cls") === 1 && col("selected"))).count()
+    println(f"[probe] dsir: class means target ${means(0L)}%.4f junk ${means(1L)}%.4f, " +
+      s"sign violations $viol / $nDocs")
+    docs.unpersist(); scored.unpersist()
+    spark.catalog.clearCache()
+    assert(means(0L) > 0 && means(1L) < 0,
+      "class mean importance weights must separate around 0")
+    assert(viol <= nDocs / 1000,
+      s"per-doc selection must match class for ≥ 99.9%: $viol violations")
   }
 }

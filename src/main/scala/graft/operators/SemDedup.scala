@@ -78,6 +78,18 @@ object SemDedup {
         sqrt(Similarity.dotFor(emb, col("v"), col("v"))).as("nrm"))
       .join(cids, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruneAssigned(assigned, tau)
+  }
+
+  /** The pair-search + verdict half over an ALREADY-ASSIGNED frame
+    * (vec_id, v, nrm, cid) — the [[Similarity.ivfSearch]] split: large
+    * corpora build the assignment through the math-expanded
+    * [[Similarity.assignCids]] (whose zip_with-free per-row cost is what
+    * the 1M×1024 BASELINE probe measures) or read it back from a persisted
+    * cid-partitioned index, then prune through this. Callers own the
+    * persist lifecycle of `assigned` (it is consumed three times: both
+    * join sides and the verdict left-join). */
+  def pruneAssigned(assigned: DataFrame, tau: Double = Tau): DataFrame = {
     // within-cluster pair search: equi-join on cid only — the SemDeDup
     // shard; candidates are Σ|cluster|² and the shuffle key is cid
     val near = assigned.as("a").join(assigned.as("b"),
