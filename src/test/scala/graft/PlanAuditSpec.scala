@@ -406,4 +406,54 @@ class PlanAuditSpec extends SparkSpec {
       assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
     }
   }
+
+  test("semdedup: one centroid fan-out, map-side argmin collapse, cid-keyed pair search") {
+    val p = plan("semdedup")
+    // the ONLY nested-loop is the ×c broadcast centroid fan-out (the
+    // kmeans_assign shape) inside the cached assignment — toString
+    // re-renders the InMemoryRelation's plan at every InMemoryTableScan,
+    // so the count is per-rendering, not per-join; no cartesian anywhere
+    assert(count(p, "BroadcastNestedLoopJoin") === count(p, "InMemoryRelation")
+      && !p.contains("CartesianProduct"))
+    // the fan-out collapses map-side BEFORE the argmin exchange — the
+    // shuffle carries one narrow (vec_id, sc) row per vector, not ×c rows
+    assert(p.contains("partial_min"),
+      "argmin must partial-aggregate before its exchange")
+    // the pair search is an equi-join keyed on the cluster id — the
+    // SemDeDup shard; never an all-pairs condition
+    assert(p.contains("hashpartitioning(cid#"),
+      "pair search must co-locate by cluster id")
+  }
+
+  test("line_dedup: keep-first keys on the line hash with a partial group limit; no cartesian") {
+    val p = plan("line_dedup")
+    // the corpus-wide keep-first window hash-partitions on md5(line) —
+    // projected to _w0 by Catalyst; pin both the exchange key and the
+    // projection that defines it
+    assert(p.contains("hashpartitioning(_w0#") && p.contains("md5(cast(line#"),
+      "keep-first must shuffle on the line fingerprint")
+    // rn = 1 plans as a PARTIAL WindowGroupLimit before the exchange:
+    // each map task forwards at most one candidate per line hash, so the
+    // shuffle carries survivors-per-partition, not every occurrence —
+    // free map-side combining for the keep-first idiom
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "keep-first must group-limit map-side before the exchange")
+    assert(!p.contains("Exchange SinglePartition"),
+      "lines must never funnel through one partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dsir_select: the scoring pass is one narrow projection — no joins, no hash exchange") {
+    // trainWeights collects the 256-bucket model BEFORE the scoring plan
+    // is built (the IVF-centroid discipline), so the declared key's plan
+    // is the scoring pass alone: scan → kernel projection → output sort.
+    // Any Join or hashpartitioning here means scoring regressed to a
+    // shuffle (e.g. a model re-join), which breaks the scan-bound contract.
+    val p = plan("dsir_select")
+    assert(!p.contains("Join"), "scoring must not join — the model is a literal")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scoring must be shuffle-free up to the output sort")
+    assert(p.contains("rangepartitioning") || p.contains("Sort"),
+      "only the deterministic output order may exchange")
+  }
 }
