@@ -97,6 +97,8 @@ object SparkEntry {
     "split_hash"        -> (Sampling.splitHash _),
     "sample_stratified" -> ((s: SparkSession, d: String) =>
       Sampling.sampleStratified(s, d)),
+    "sample_weighted"   -> ((s: SparkSession, d: String) =>
+      Sampling.sampleWeighted(s, d)),
     "bm25_topk"         -> ((s: SparkSession, d: String) =>
       Ranking.bm25Topk(s, d)),
     "contamination"     -> (Contamination.contamination _),
@@ -767,6 +769,34 @@ object SparkEntry {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '${Sampling.StratSalt}'), doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= ${Sampling.StratumN} ORDER BY lang, rn""".stripMargin,
+    // A-ES weighted sampling: the oracle recomputes the hash uniform
+    // (explicit hex-digit polynomial — the one hex→int both engines
+    // spell identically), the micro-quantized log10(u)/w key, and the
+    // per-stratum top-k; rank compares are integer, so no float flake
+    "sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(CAST(doc_id AS VARCHAR) || '${Sampling.WeightedSalt}') AS h
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang, n_tok,
+         |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS hi
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST(ROUND(log10(CAST(hi + 1 AS DOUBLE) / 65537.0) / n_tok
+         |      * ${LmScore.Micro}, 0) AS BIGINT) AS key_micro
+         |  FROM u),
+         |r AS (SELECT lang, doc_id, n_tok, key_micro,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY key_micro DESC, doc_id) AS rn
+         |      FROM k)
+         |SELECT lang, rn, doc_id, n_tok, key_micro FROM r
+         |WHERE rn <= ${Sampling.WeightedN} ORDER BY lang, rn""".stripMargin,
     // BM25: per-term tf/df columns and the scoring expression are GENERATED
     // from Ranking.QueryTerms / Ranking.termScoreSql (single source of
     // truth), so the oracle's arithmetic is association-identical to the

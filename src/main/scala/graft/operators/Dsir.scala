@@ -93,15 +93,20 @@ object Dsir {
     * `selected` (positive total weight). Kernel when the session has
     * GraftExtensions, bit-equal HOF fold otherwise (the engine-wide
     * catalog-fallback contract). */
-  def score(docs: DataFrame, model: Map[String, Long], oov: Long): DataFrame = {
-    val hasKernel =
-      docs.sparkSession.catalog.functionExists("graft_unigram_score")
+  def score(docs: DataFrame, model: Map[String, Long], oov: Long): DataFrame =
+    scoreWith(docs, model, oov,
+      useKernel = docs.sparkSession.catalog.functionExists("graft_unigram_score"))
+
+  /** Both scoring formulations behind one switch so the spec can assert
+    * their bit-equality (the engine-wide kernel≡HOF contract). */
+  private[operators] def scoreWith(docs: DataFrame, model: Map[String, Long],
+      oov: Long, useKernel: Boolean): DataFrame = {
     val withFeats = docs
       .withColumn("toks", split(col("text"), " ")) // own projection — see trainWeights
       .withColumn("feats", bucketsOfToks(col("toks")))
       .withColumn("n_feat", size(col("feats")).cast("long"))
     val lwSum =
-      if (hasKernel)
+      if (useKernel)
         call_function("graft_unigram_score", col("feats"), typedLit(model), lit(oov))
       else
         aggregate(col("feats"), lit(0L),

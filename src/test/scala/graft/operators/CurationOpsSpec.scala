@@ -83,6 +83,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted: exact per-stratum counts, deterministic, biased toward token mass") {
+    val s1 = Sampling.sampleWeighted(spark, "/root/testdata/sf0.01").collect()
+    val s2 = Sampling.sampleWeighted(spark, "/root/testdata/sf0.01").collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "not deterministic")
+    val perLang = s1.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ === Sampling.WeightedN), s"per-stratum counts $perLang")
+    // the A-ES property this operator exists for: with weight = token
+    // count, the sample over-represents long documents — its mean n_tok
+    // must exceed the corpus mean (deterministic given the fixture)
+    val corpusMean = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))))
+      .collect()(0).getDouble(0)
+    val sampleMean = s1.map(_.getLong(3)).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.1f must exceed corpus mean $corpusMean%.1f")
+    // A-ES keys are strictly negative (log10 of a (0,1) uniform over w)
+    assert(s1.forall(_.getLong(4) < 0))
+  }
+
   test("bm25 ranks a term-dense short doc above a diluted long one, omits non-matches") {
     import spark.implicits._
     val docs = Seq(

@@ -90,6 +90,18 @@ class SemanticOpsSpec extends SparkSpec {
     assert(r(1L)._2 > 0 && r(3L)._2 < 0)
   }
 
+  test("dsir: kernel fold ≡ map-literal HOF fold bit-exactly on the corpus") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val (model, oov) = Dsir.trainWeights(
+      docs.select((col("lang") === "en").as("is_target"), col("text")))
+    val k = Dsir.scoreWith(docs, model, oov, useKernel = true)
+      .select("doc_id", "n_feat", "lw_mean", "selected")
+    val h = Dsir.scoreWith(docs, model, oov, useKernel = false)
+      .select("doc_id", "n_feat", "lw_mean", "selected")
+    assert(k.exceptAll(h).isEmpty && h.exceptAll(k).isEmpty,
+      "the two scoring formulations must be row-for-row identical")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
