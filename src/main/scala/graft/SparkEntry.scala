@@ -117,6 +117,9 @@ object SparkEntry {
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
     // §2.7 [EXT] CCNet-style unigram-LM quality scoring (en-slice model)
     "lm_score"          -> (LmScore.lmScore _),
+    // §2.7 [EXT] the CCNet percentile cut: exact global rank via the
+    // two-phase bucketed prefix sum (never a corpus-wide single sort)
+    "ccnet_buckets"     -> (GlobalRank.ccnetBuckets _),
     // §2.7 [EXT] NB log-odds classifier (fastText-style quality filter,
     // weakly supervised by the heuristic gate; same scoring kernel)
     "nb_score"          -> (NbClassifier.nbScore _),
@@ -255,6 +258,39 @@ object SparkEntry {
        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
        |  FROM s)""".stripMargin
+
+  /** CCNet unigram-LM scoring CTEs (train the en-slice model, score every
+    * document to integer micro-log10 sums — see LmScore's exactness
+    * contract). Shared by the `lm_score` oracle (raw scores) and the
+    * `ccnet_buckets` oracle (scores → global rank → terciles), so both
+    * gates pin the same model/scoring semantics. */
+  private val lmScoreCtes: String =
+    s"""cnt AS (
+       |  SELECT t, COUNT(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t
+       |    FROM documents WHERE lang = 'en')
+       |  GROUP BY t),
+       |vocab AS (
+       |  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt),
+       |model AS (SELECT t, c FROM vocab WHERE rk <= ${LmScore.VocabK}),
+       |s AS (
+       |  SELECT (SELECT SUM(c) FROM cnt) AS n,
+       |         (SELECT COUNT(*) FROM model) AS v),
+       |lp AS (
+       |  SELECT m.t,
+       |    CAST(ROUND(log10(CAST(m.c + 1 AS DOUBLE)
+       |      / CAST(s.n + s.v + 1 AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT) AS lp
+       |  FROM model m CROSS JOIN s),
+       |oov AS (
+       |  SELECT CAST(ROUND(log10(1.0 / CAST(n + v + 1 AS DOUBLE))
+       |    * ${LmScore.Micro}, 0) AS BIGINT) AS lp FROM s),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |docsum AS (
+       |  SELECT tok.doc_id, SUM(COALESCE(lp.lp, (SELECT lp FROM oov))) AS lpsum,
+       |         COUNT(*) AS n_tok
+       |  FROM tok LEFT JOIN lp ON tok.t = lp.t
+       |  GROUP BY tok.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1085,36 +1121,32 @@ object SparkEntry {
     // oracle sums per-token ROWS where Spark folds the token ARRAY, and
     // integer addition makes the two orders bit-equal
     "lm_score" ->
-      s"""WITH cnt AS (
-         |  SELECT t, COUNT(*) AS c FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS t
-         |    FROM documents WHERE lang = 'en')
-         |  GROUP BY t),
-         |vocab AS (
-         |  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt),
-         |model AS (SELECT t, c FROM vocab WHERE rk <= ${LmScore.VocabK}),
-         |s AS (
-         |  SELECT (SELECT SUM(c) FROM cnt) AS n,
-         |         (SELECT COUNT(*) FROM model) AS v),
-         |lp AS (
-         |  SELECT m.t,
-         |    CAST(ROUND(log10(CAST(m.c + 1 AS DOUBLE)
-         |      / CAST(s.n + s.v + 1 AS DOUBLE)) * ${LmScore.Micro}, 0) AS BIGINT) AS lp
-         |  FROM model m CROSS JOIN s),
-         |oov AS (
-         |  SELECT CAST(ROUND(log10(1.0 / CAST(n + v + 1 AS DOUBLE))
-         |    * ${LmScore.Micro}, 0) AS BIGINT) AS lp FROM s),
-         |tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |docsum AS (
-         |  SELECT tok.doc_id, SUM(COALESCE(lp.lp, (SELECT lp FROM oov))) AS lpsum,
-         |         COUNT(*) AS n_tok
-         |  FROM tok LEFT JOIN lp ON tok.t = lp.t
-         |  GROUP BY tok.doc_id)
+      s"""WITH $lmScoreCtes
          |SELECT d.doc_id, d.lang, CAST(ds.n_tok AS BIGINT) AS n_tok,
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS lp_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // CCNet tercile cut: the oracle computes the NAIVE global rank — one
+    // ROW_NUMBER over the whole corpus — which the Spark side must
+    // reproduce from the two-phase bucketed rank, so a lost or
+    // double-counted score bucket turns rows red (the seq_pack/domain_mix
+    // adversarial-oracle pattern, applied to ranking)
+    "ccnet_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |scored AS (
+         |  SELECT d.doc_id, d.lang,
+         |    ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS lp_mean
+         |  FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id),
+         |r AS (
+         |  SELECT doc_id, lang, lp_mean,
+         |    ROW_NUMBER() OVER (ORDER BY lp_mean DESC, doc_id) AS rank
+         |  FROM scored),
+         |nn AS (SELECT COUNT(*) AS n FROM scored)
+         |SELECT doc_id, lang, lp_mean, rank,
+         |  CASE WHEN rank * 3 <= n THEN 'head'
+         |       WHEN rank * 3 <= n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin,
     // NB log-odds classifier: the oracle re-derives the weak labels from
     // the quality formula, retrains the same count-based model (same
     // vocab cap/tie-break, same per-class-term micro quantization), and

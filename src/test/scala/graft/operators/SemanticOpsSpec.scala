@@ -102,6 +102,40 @@ class SemanticOpsSpec extends SparkSpec {
       "the two scoring formulations must be row-for-row identical")
   }
 
+  test("global rank: two-phase bucketed rank ≡ naive global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    // 5000 rows with colliding scores (ties broken by id) spanning the
+    // negative range ccnet scores live in
+    val df = spark.range(5000).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(400)).cast("double") / -100.0).as("score"))
+    val got = GlobalRank.rankByScore(df, col("score"), col("id"))
+      .select("id", "rank")
+    val want = df.withColumn("rank",
+      row_number().over(Window.partitionBy(pmod(col("id"), lit(1)))
+        .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "rank")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucketed rank must equal the naive global row_number")
+  }
+
+  test("ccnet_buckets: terciles partition the corpus by exact rank") {
+    val out = GlobalRank.ccnetBuckets(spark, sf0001)
+    val n = out.count()
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.values.sum === n)
+    assert(byBucket("head") === n / 3, s"head must be floor(n/3) of $n: $byBucket")
+    // ranks are a permutation of 1..n
+    assert(out.agg(min("rank"), max("rank"), countDistinct("rank")).collect()(0)
+      .toSeq === Seq(1L, n, n))
+    // the cut is monotone: every head score ≥ every tail score
+    val minHead = out.filter(col("bucket") === "head")
+      .agg(min("lp_mean")).collect()(0).getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail")
+      .agg(max("lp_mean")).collect()(0).getDouble(0)
+    assert(minHead >= maxTail)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
