@@ -443,6 +443,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ccnet_buckets: rank never single-partitions the corpus; offsets and N broadcast") {
+    val p = plan("ccnet_buckets")
+    // the naive form this operator exists to avoid — a corpus-wide
+    // row_number is an Exchange SinglePartition over all documents; the
+    // two-phase form's windows run over the bounded bucket frame (pmod
+    // partitioning → hashpartitioning). The ONE permitted SinglePartition
+    // is the global count(*) FINAL, which consumes one partial_count row
+    // per partition — assert every occurrence is that shape
+    var i = p.indexOf("Exchange SinglePartition")
+    while (i >= 0) {
+      assert(p.substring(i, math.min(p.length, i + 300)).contains("partial_count"),
+        "a SinglePartition exchange may only finalize the global count")
+      i = p.indexOf("Exchange SinglePartition", i + 1)
+    }
+    // per-bucket counts partial-aggregate map-side before their exchange
+    assert(p.contains("partial_count"),
+      "bucket counts must combine map-side")
+    // bucket offsets and the 1-row corpus count both come back as
+    // broadcasts, never shuffle joins
+    assert(count(p, "BroadcastHashJoin") >= 1 && !p.contains("SortMergeJoin"))
+  }
+
   test("dsir_select: the scoring pass is one narrow projection — no joins, no hash exchange") {
     // trainWeights collects the 256-bucket model BEFORE the scoring plan
     // is built (the IVF-centroid discipline), so the declared key's plan
