@@ -128,6 +128,7 @@ object SparkEntry {
     // §4.2 / C4), and hashed-ngram importance selection (DSIR)
     "semdedup"          -> (SemDedup.semdedup _),
     "line_dedup"        -> (LineDedup.lineDedup _),
+    "line_dedup_incremental" -> (LineDedup.lineDedupIncremental _),
     "dsir_select"       -> (Dsir.dsirSelect _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
@@ -291,6 +292,27 @@ object SparkEntry {
        |         COUNT(*) AS n_tok
        |  FROM tok LEFT JOIN lp ON tok.t = lp.t
        |  GROUP BY tok.doc_id)""".stripMargin
+
+  /** Line-restructuring CTEs (chunk lines + planted boilerplate → one
+    * (doc_id, idx, line) row per line — the [[graft.operators.LineDedup
+    * .toLines]] recomputation). Shared by the `line_dedup` oracle
+    * (corpus-wide keep-first) and the `line_dedup_incremental` oracle
+    * (parity-split index + batch), so both gates pin the same
+    * restructuring. */
+  private val lineBuildCtes: String =
+    s"""lt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |built AS (
+       |  SELECT doc_id,
+       |    list_concat(list_concat(
+       |      [ array_to_string(toks[i:i+${LineDedup.LineLen - 1}], ' ')
+       |        FOR i IN range(1, len(toks) + 1, ${LineDedup.LineLen}) ],
+       |      CASE WHEN doc_id % ${LineDedup.Boiler1Mod} = 0
+       |           THEN ['${LineDedup.Boiler1}'] ELSE CAST([] AS VARCHAR[]) END),
+       |      CASE WHEN doc_id % ${LineDedup.Boiler2Mod} = 0
+       |           THEN ['${LineDedup.Boiler2}'] ELSE CAST([] AS VARCHAR[]) END) AS lines
+       |  FROM lt),
+       |ll AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS idx, lines FROM built),
+       |lx AS (SELECT doc_id, idx, lines[idx] AS line FROM ll)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1224,22 +1246,10 @@ object SparkEntry {
     // restructuring (chunk lines + planted boilerplate), the md5-keyed
     // corpus-wide keep-first, and the ordered reassembly digest
     "line_dedup" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |built AS (
-         |  SELECT doc_id,
-         |    list_concat(list_concat(
-         |      [ array_to_string(toks[i:i+${LineDedup.LineLen - 1}], ' ')
-         |        FOR i IN range(1, len(toks) + 1, ${LineDedup.LineLen}) ],
-         |      CASE WHEN doc_id % ${LineDedup.Boiler1Mod} = 0
-         |           THEN ['${LineDedup.Boiler1}'] ELSE CAST([] AS VARCHAR[]) END),
-         |      CASE WHEN doc_id % ${LineDedup.Boiler2Mod} = 0
-         |           THEN ['${LineDedup.Boiler2}'] ELSE CAST([] AS VARCHAR[]) END) AS lines
-         |  FROM t),
-         |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS idx, lines FROM built),
-         |x AS (SELECT doc_id, idx, lines[idx] AS line FROM l),
+      s"""WITH $lineBuildCtes,
          |k AS (SELECT doc_id, idx, line,
          |        ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
-         |      FROM x),
+         |      FROM lx),
          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |          md5(array_to_string(list(line ORDER BY idx), chr(10))) AS clean_fp
          |        FROM k WHERE rn = 1 GROUP BY doc_id)
@@ -1248,6 +1258,28 @@ object SparkEntry {
          |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
          |FROM built b LEFT JOIN agg ON b.doc_id = agg.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    // incremental line dedup: even docs' distinct line hashes are the
+    // index, odd docs the batch — batch keep-first minus index membership,
+    // then the same ordered reassembly (the dedup_incremental parity
+    // harness, one level down)
+    "line_dedup_incremental" ->
+      s"""WITH $lineBuildCtes,
+         |ifp AS (SELECT DISTINCT md5(line) AS fp FROM lx WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id, idx, line FROM lx WHERE doc_id % 2 = 1),
+         |k AS (SELECT doc_id, idx, line,
+         |        ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+         |      FROM b),
+         |kept AS (SELECT doc_id, idx, line FROM k
+         |         WHERE rn = 1 AND md5(line) NOT IN (SELECT fp FROM ifp)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |          md5(array_to_string(list(line ORDER BY idx), chr(10))) AS clean_fp
+         |        FROM kept GROUP BY doc_id)
+         |SELECT bb.doc_id, CAST(len(bb.lines) AS BIGINT) AS n_lines,
+         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
+         |FROM built bb LEFT JOIN agg ON bb.doc_id = agg.doc_id
+         |WHERE bb.doc_id % 2 = 1
+         |ORDER BY bb.doc_id""".stripMargin,
     // DSIR: the oracle retrains both hashed-ngram bucket models (one
     // corpus pass, target flag as a column), re-derives the per-bucket
     // micro-log10 importance weights, and row-sums — bit-equal to the

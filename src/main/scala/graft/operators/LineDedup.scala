@@ -98,4 +98,76 @@ object LineDedup {
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
     dedupLines(toLines(Tables.documents(spark, dir).select("doc_id", "text")))
       .orderBy("doc_id")
+
+  // --------------------------------------------- incremental / batch-arrival
+
+  /** The INCREMENTAL form — the [[IncrementalDedup]] operating mode one
+    * level down: the accumulated corpus is represented by its line-hash
+    * index (32 B md5 per DISTINCT LINE — boilerplate collapses to one
+    * entry no matter how many billions of pages carry it), and an
+    * arriving batch drops (a) lines already in the index and (b) batch
+    * duplicates beyond the first occurrence, then reassembles. This is
+    * how CCNet's paragraph dedup actually runs over a rolling crawl: the
+    * hash set persists between snapshots.
+    *
+    * Returns the same per-document shape as [[dedupLines]]. The kept
+    * lines' fingerprints are recomputable by the caller for the index
+    * append ([[stepLines]] does both). */
+  def dedupLinesAgainst(docs: DataFrame, indexFps: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val w = Window.partitionBy(md5(col("line"))).orderBy("doc_id", "idx")
+    val kept = lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("fp", md5(col("line")))
+      .join(indexFps.select("fp"), Seq("fp"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line"))).as("clean"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+  }
+
+  /** One full incremental step against a persisted line-fp index (the
+    * [[IncrementalDedup.step]] discipline — same bucket-partitioned
+    * layout, same localCheckpoint-before-append guard against
+    * refreshByPath invalidating the lazy survivor plan). Returns the
+    * per-document survivors frame. */
+  def stepLines(spark: SparkSession, batch: DataFrame, path: String,
+      nBuckets: Int = IncrementalDedup.IndexBuckets): DataFrame = {
+    val out = dedupLinesAgainst(batch,
+        IncrementalDedup.readFpIndex(spark, path).select("fp"))
+      .localCheckpoint(true)
+    // the surviving lines' fingerprints: recompute from the batch joined
+    // to the survivor set — only docs with n_kept > 0 contribute
+    val keptFps = batch
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(md5(col("line")).as("fp")).distinct()
+      .join(IncrementalDedup.readFpIndex(spark, path).select("fp"),
+        Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    IncrementalDedup.writeFpIndex(keptFps, path, nBuckets, append = true)
+    out
+  }
+
+  /** Declared key (`line_dedup_incremental`): the parity harness — even
+    * doc_ids play the accumulated corpus (their distinct line hashes are
+    * the index), odd doc_ids the arriving batch; [[toLines]] supplies the
+    * line structure. Batch survivors keep only lines never seen in the
+    * corpus nor earlier in the batch. */
+  def lineDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val lined = toLines(Tables.documents(spark, dir).select("doc_id", "text"))
+    val index = lined.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(md5(col("line")).as("fp")).distinct()
+    dedupLinesAgainst(lined.filter(col("doc_id") % 2 === 1), index)
+      .orderBy("doc_id")
+  }
 }

@@ -67,6 +67,27 @@ class SemanticOpsSpec extends SparkSpec {
     assert(r(5L) === r(28L).take(3))
   }
 
+  test("line_dedup incremental: persisted line index accumulates across steps") {
+    import spark.implicits._
+    val dir = tmpDir("graft-lineidx")
+    // seed the index with corpus lines A, B
+    IncrementalDedup.writeFpIndex(
+      Seq("line aa", "line bb").toDF("line").select(md5(col("line")).as("fp")), dir)
+    // step 1: a batch carrying one indexed line, one in-batch dup, one new
+    val b1 = Seq(
+      (10L, "line aa\nline cc"),
+      (11L, "line cc\nline dd")).toDF("doc_id", "text")
+    val r1 = LineDedup.stepLines(spark, b1, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r1(10L) === ((2L, 1L)), "indexed line must drop, new line cc keeps")
+    assert(r1(11L) === ((2L, 1L)), "cc already kept by doc 10; dd keeps")
+    // step 2: everything from step 1 is now in the index
+    val r2 = LineDedup.stepLines(spark,
+        Seq((20L, "line cc\nline dd\nline ee")).toDF("doc_id", "text"), dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2(20L) === ((3L, 1L)), "only the never-seen line ee may keep")
+  }
+
   test("dsir: target-vocab docs select, off-target docs reject; weights sum exactly") {
     import spark.implicits._
     val docs = Seq(
