@@ -41,7 +41,8 @@ object Curation {
       redactPii: Boolean = false,
       mixBudgets: Option[Seq[(String, Long)]] = None,
       domainCol: String = "lang",
-      lmFilter: Option[(Map[String, Long], Long, Double)] = None): DataFrame = {
+      lmFilter: Option[(Map[String, Long], Long, Double)] = None,
+      dsirFilter: Option[(Map[String, Long], Long)] = None): DataFrame = {
     // 0. optional PII scrub (r12): [[Redact.clean]] is a stateless column
     //    expression, so it fuses into the SAME narrow projection as the
     //    quality score — everything downstream (quality, fingerprint,
@@ -59,12 +60,26 @@ object Curation {
     //     (model, oov) pair is driver-resident, trained out-of-band via
     //     [[LmScore.trainModel]]/[[LmScore.collectModel]]). Runs on the
     //     scrubbed text, BEFORE dedup — the CCNet stage order
-    val kept = lmFilter match {
+    val lmKept = lmFilter match {
       case Some((model, oov, cutoff)) =>
         LmScore.scoreKernel(gated, model, oov)
           .filter(col("lp_mean") >= cutoff)
           .drop("n_tok", "lp_mean")
       case None => gated
+    }
+    // 1c. optional DSIR importance selection (r12): keep docs whose hashed
+    //     n-gram features are likelier under the target model than the raw
+    //     model ([[Dsir.score]] — like the LM filter, a narrow kernel
+    //     projection over a driver-resident model, so it fuses into the
+    //     same stage; weights train out-of-band via [[Dsir.trainWeights]]).
+    //     Paper placement: selection runs on the cleaned, quality-gated
+    //     crawl BEFORE dedup (Xie et al. 2023 §3)
+    val kept = dsirFilter match {
+      case Some((weights, oov)) =>
+        Dsir.score(lmKept, weights, oov)
+          .filter(col("selected"))
+          .drop("n_feat", "lw_mean", "selected")
+      case None => lmKept
     }
     // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
     //    n_tok is computed HERE so the dedup exchange and everything after

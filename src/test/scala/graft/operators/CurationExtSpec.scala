@@ -196,6 +196,35 @@ class CurationExtSpec extends SparkSpec {
     assert(filtered.toSeq === Seq(11L), "the off-model doc must die at the LM filter")
   }
 
+  test("curate composition: dsirFilter keeps target-like docs, drops off-target ones") {
+    import spark.implicits._
+    // target model trained on function-word-heavy reference text; the
+    // raw corpus is the union of target-like and junk-vocabulary docs
+    // junk class = keyword-list spam with no function words, so the
+    // function-word buckets stay target-leaning under add-one smoothing
+    // (at this fixture size the +B smoothing term dominates raw counts;
+    // the 1M-doc probe covers the large-count regime)
+    val corpus = Seq(
+      (true, "the a alpha beta gamma delta the a epsilon zeta"),
+      (true, "a the alpha delta beta epsilon the a gamma zeta"),
+      (false, "qq ww ee rr tt yy qq ww uu ii"),
+      (false, "ww rr qq tt ii uu ee yy qq ww"))
+      .toDF("is_target", "text")
+    val (weights, oov) = Dsir.trainWeights(corpus)
+    // both docs pass the heuristic gate and sit in the train shard (ids
+    // 11/20 — the lmFilter spec's choice); 20's vocabulary is junk-class
+    val docs = Seq(
+      (11L, "the a alpha beta gamma delta epsilon zeta the a"),
+      (20L, "the a qq ww ee rr tt yy uu ii"))
+      .toDF("doc_id", "text")
+    val gateOnly = Curation.curate(docs).select("doc_id").as[Long].collect().sorted
+    assert(gateOnly.toSeq === Seq(11L, 20L), "both must pass the heuristic gate")
+    val selected = Curation.curate(docs, dsirFilter = Some((weights, oov)))
+      .select("doc_id").as[Long].collect().sorted
+    spark.catalog.clearCache()
+    assert(selected.toSeq === Seq(11L), "the off-target doc must die at the DSIR stage")
+  }
+
   test("curate composition: redactPii dedups docs that differ only in PII") {
     import spark.implicits._
     val base = "the a the a b c d e f g"
