@@ -130,6 +130,10 @@ object SparkEntry {
     "line_dedup"        -> (LineDedup.lineDedup _),
     "line_dedup_incremental" -> (LineDedup.lineDedupIncremental _),
     "dsir_select"       -> (Dsir.dsirSelect _),
+    // §2.7 [EXT] BPE tokenizer: learn the merge table (one corpus pass +
+    // bounded-vocabulary rounds), re-tokenize the corpus through it
+    "bpe_train"         -> (Bpe.bpeTrain _),
+    "bpe_encode"        -> (Bpe.bpeEncode _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -313,6 +317,38 @@ object SparkEntry {
        |  FROM lt),
        |ll AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS idx, lines FROM built),
        |lx AS (SELECT doc_id, idx, lines[idx] AS line FROM ll)""".stripMargin
+
+  /** BPE training CTEs, GENERATED round by round — the oracle unrolls the
+    * same [[graft.operators.Bpe]] algorithm (word counts → seq-strings →
+    * R × (pair counts, argmax, merge-replace)) as chained CTEs, so the
+    * generator loop IS the specification both engines implement. Shared
+    * by `bpe_train` (the merge table) and `bpe_encode` (re-tokenization
+    * through the same merges). */
+  private def bpeTrainCtes: Seq[String] = {
+    val base = Seq(
+      """wc AS (SELECT w, COUNT(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)""".stripMargin,
+      """s0 AS (SELECT w, c,
+        |  ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> substr(w, i, 1)), '  ') || ' ' AS seq FROM wc)""".stripMargin)
+    base ++ (1 to Bpe.Merges).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+           |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(c) AS BIGINT) AS cnt
+           |  FROM (SELECT c, unnest(list_transform(range(1, len(syms)),
+           |          i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+           |        FROM (SELECT c, string_split(trim(seq), '  ') AS syms FROM s${r - 1}))
+           |  GROUP BY pr.l, pr.r)""".stripMargin,
+        s"""b$r AS (
+           |  SELECT l, r, cnt FROM (
+           |    SELECT l, r, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rn FROM p$r)
+           |  WHERE rn = 1)""".stripMargin,
+        s"""s$r AS (
+           |  SELECT w, c, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS seq
+           |  FROM s${r - 1} CROSS JOIN b$r b)""".stripMargin)
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1211,6 +1247,40 @@ object SparkEntry {
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS odds_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // BPE training: the oracle unrolls the identical merge rounds (see
+    // bpeTrainCtes) — a divergence in pair counting, the argmax
+    // tie-break, or the merge-replace semantics turns rows red
+    "bpe_train" -> {
+      val sel = (1 to Bpe.Merges).map(r =>
+        s"SELECT $r AS rk, l AS lhs, r AS rhs, l || r AS merged, cnt FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeTrainCtes.mkString(",\n")}
+         |SELECT * FROM ($sel) ORDER BY rk""".stripMargin
+    },
+    // BPE encoding: the corpus re-tokenized through the same learned
+    // merges — boundary symbols keep merges word-local
+    "bpe_encode" -> {
+      val enc0 =
+        s"""enc0 AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           |  CAST(len(text) AS INT) AS n_chars,
+           |  ' ' || array_to_string(list_transform(string_split(text, ' '), t ->
+           |      array_to_string(list_transform(range(1, len(t) + 1),
+           |        i -> substr(t, i, 1)), '  ')), '  ${Bpe.Boundary}  ') || ' ' AS seq
+           |  FROM documents)""".stripMargin
+      val encs = (1 to Bpe.Merges).map(r =>
+        s"""enc$r AS (SELECT doc_id, n_ws, n_chars,
+           |  replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS seq
+           |  FROM enc${r - 1} CROSS JOIN b$r b)""".stripMargin)
+      s"""WITH ${(bpeTrainCtes ++ (enc0 +: encs)).mkString(",\n")}
+         |SELECT doc_id, n_ws,
+         |  CAST(len(string_split(trim(seq), '  ')) - (n_ws - 1) AS INT) AS n_sym,
+         |  n_chars,
+         |  ROUND(CAST(n_chars AS DOUBLE)
+         |    / (len(string_split(trim(seq), '  ')) - (n_ws - 1)), 6) AS chars_per_sym
+         |FROM enc${Bpe.Merges} ORDER BY doc_id""".stripMargin
+    },
     // SemDeDup: the oracle recomputes planting, the kmeans_assign-form
     // cluster argmin, the within-cluster pair cosines (the sim_topk
     // index-order fold over precomputed norms), and the keep verdicts —

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding (SURVEY.md §2.7 [EXT] —
+  * Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units": iteratively merge the most frequent adjacent symbol
+  * pair). [[TextOps.tokenCount]] *counts* BPE-ish tokens with a fixed
+  * regex; this operator *learns* the merge table from the corpus and
+  * re-tokenizes with it — the actual vocabulary-construction step of an
+  * LLM data pipeline.
+  *
+  * Scale shape (why this is corpus-size-independent after one pass):
+  * training runs on the WORD-COUNT dictionary, not the corpus — one
+  * corpus pass aggregates (word, count), and every merge round is an
+  * aggregation over the VOCABULARY frame (bounded: ~millions of rows at
+  * 100 TB, weighted by counts), exactly how production BPE trainers
+  * (subword-nmt, HuggingFace tokenizers) structure it. Each round
+  * collects ONE row (the argmax pair) to the driver — the IVF-centroid
+  * discipline; R rounds = R tiny collects.
+  *
+  * Cross-engine exactness trick — the seq-string encoding: a word's
+  * symbol sequence is one string, symbols joined by DOUBLE spaces with
+  * single-space ends: `' a  b  c '`. Applying merge (a,b) is then the
+  * LITERAL string replace `' a  b ' → ' ab '`, which both engines
+  * implement with identical left-to-right non-overlapping semantics:
+  * the pattern's outer single spaces consume one space from each
+  * neighboring joint and the replacement restores them, so consecutive
+  * merge sites chain correctly in one pass (`' a  b  a  b '` →
+  * `' ab  ab '`) and a run merges left-first (`'aaa'` → `'(aa)a'`) —
+  * the BPE convention. Pair counting is the plain adjacent count
+  * (overlap-agnostic), the subword-nmt convention; argmax ties break on
+  * (pair) lexicographically.
+  *
+  * Encoding applies the learned merges to text IN TRAINING ORDER, one
+  * global replace per merge — the classic implementation shortcut
+  * (documented simplification vs. the lowest-rank-first loop; identical
+  * on this merge table by construction, and the oracle recomputes the
+  * same definition). Word boundaries are a reserved `#` symbol that can
+  * never appear inside a merge, so a document encodes as ONE string and
+  * merges cannot bridge words.
+  */
+object Bpe {
+
+  /** Number of merge rounds for the declared keys. */
+  val Merges = 8
+
+  /** Reserved word-boundary symbol (the corpus is lowercase a-z words —
+    * TESTDATA — so `#` collides with nothing). */
+  val Boundary = "#"
+
+  /** Seq-string of a word: chars joined by double spaces, single-space
+    * ends: "abc" → " a  b  c ". */
+  private[operators] def seqStr(w: Column): Column =
+    concat(lit(" "),
+      concat_ws("  ", transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))),
+      lit(" "))
+
+  /** One merge application on a seq-string column. */
+  private[operators] def applyMerge(seq: Column, l: String, r: String): Column =
+    call_function("replace", seq, lit(s" $l  $r "), lit(s" ${l}${r} "))
+
+  /** Train `merges` rounds on any (doc_id, text) frame. Returns the merge
+    * table in training order: (rk, left, right, merged, cnt). */
+  def train(docs: DataFrame, merges: Int = Merges): Seq[(Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    // THE one corpus pass: word counts
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"), seqStr(col("w")).as("seq"))
+      .persist()
+    wc.count()
+    var vocab = wc
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rk <- 1 to merges) {
+      // adjacent symbol pairs over the vocabulary, weighted by word count
+      val syms = split(trim(col("seq")), "  ")
+      // guard fully-merged 1-symbol words: sequence(1, 0) runs DESCENDING
+      // in Spark ([1, 0]), so an unguarded transform would index past the
+      // single element
+      val pairList = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val pairs = vocab
+        .select(col("c"), explode(pairList).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("cnt"))
+      // deterministic argmax: count desc, then pair lexicographic
+      val best = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(length(col("l")), lit(1)))
+            .orderBy(col("cnt").desc, col("l"), col("r"))))
+        .filter(col("rn") === 1)
+        .collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((rk, l, r, cnt))
+      vocab = vocab.select(col("w"), col("c"),
+        applyMerge(col("seq"), l, r).as("seq"))
+        // cut the one-projection-per-round lineage so R rounds stay flat
+        .localCheckpoint(true)
+    }
+    wc.unpersist()
+    out.toSeq
+  }
+
+  /** Declared key (`bpe_train`): the learned merge table over the corpus. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(Tables.documents(spark, dir).select("doc_id", "text"))
+      .toDF("rk", "lhs", "rhs", "cnt")
+      .select(col("rk"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+      .orderBy("rk")
+  }
+
+  /** Encode a text column with a learned merge table: the document
+    * becomes one seq-string with `#` boundary symbols between words, the
+    * merges apply in training order, and the symbol count excludes the
+    * boundaries. Pure chained string expressions — narrow, codegen'd,
+    * scan-bound at any corpus size. */
+  def encodeSymCount(text: Column, merges: Seq[(Int, String, String, Long)]): Column = {
+    val toks = split(text, " ")
+    val docSeq = concat(lit(" "),
+      concat_ws(s"  $Boundary  ",
+        transform(toks, t => concat_ws("  ",
+          transform(sequence(lit(1), length(t)), i => substring(t, i, lit(1)))))),
+      lit(" "))
+    val merged = merges.foldLeft(docSeq: Column) {
+      case (s, (_, l, r, _)) => applyMerge(s, l, r)
+    }
+    size(split(trim(merged), "  ")) - (size(toks) - 1)
+  }
+
+  /** Declared key (`bpe_encode`): train on the corpus, re-tokenize every
+    * document, report whitespace vs learned-BPE symbol counts and the
+    * chars-per-symbol ratio (the corpus-budgeting number the tokenizer
+    * exists to improve). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val merges = train(docs)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        encodeSymCount(col("text"), merges).as("n_sym"),
+        length(col("text")).as("n_chars"))
+      .withColumn("chars_per_sym",
+        round(col("n_chars").cast("double") / col("n_sym"), 6))
+      .orderBy("doc_id")
+  }
+}

@@ -123,6 +123,37 @@ class SemanticOpsSpec extends SparkSpec {
       "the two scoring formulations must be row-for-row identical")
   }
 
+  test("bpe: learns the most frequent pair first; merges chain and stay word-local") {
+    import spark.implicits._
+    // 'ab' dominates (3 words × high counts), then 'abc' builds on it
+    val docs = Seq(
+      (1L, "abc abc abd abd abd xy"),
+      (2L, "abc abc abc abd xy xy")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, merges = 3)
+    // pair (a,b) appears in every abc/abd token: count = 9; (x,y) = 3
+    assert(merges.head._2 === "a" && merges.head._3 === "b" && merges.head._4 === 9L)
+    // round 2: ab+c (5 abc) vs ab+d (4 abd) — c wins on count
+    assert(merges(1)._2 === "ab" && merges(1)._3 === "c" && merges(1)._4 === 5L)
+    assert(merges(2)._2 === "ab" && merges(2)._3 === "d" && merges(2)._4 === 4L)
+    // encode: every abc/abd is one symbol, xy stays two ('x','y' merged?
+    // (x,y) count 3 < 4 — NOT merged in 3 rounds), boundaries excluded
+    val enc = docs.select(col("doc_id"),
+      Bpe.encodeSymCount(col("text"), merges).as("n_sym")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(enc(1L) === 5 + 2, "doc 1: abc,abc,abd,abd,abd = 5 syms + xy = 2")
+    assert(enc(2L) === 4 + 4, "doc 2: abc×3,abd = 4 syms + xy,xy = 4")
+  }
+
+  test("bpe: run merges left-first — 'aaa' becomes '(aa)a'") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, merges = 1)
+    assert(merges.head._2 === "a" && merges.head._3 === "a")
+    val enc = docs.select(Bpe.encodeSymCount(col("text"), merges).as("n"))
+      .collect()(0).getInt(0)
+    assert(enc === 4, "each 'aaa' must merge to (aa)(a) = 2 symbols")
+  }
+
   test("global rank: two-phase bucketed rank ≡ naive global row_number") {
     import org.apache.spark.sql.expressions.Window
     // 5000 rows with colliding scores (ties broken by id) spanning the
