@@ -71,6 +71,11 @@ object Probe {
           nClone = args.lift(2).map(_.toInt).getOrElse(50000))
       case Some("dsir") =>
         dsirProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
+      case Some("bpe") =>
+        bpeProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
+          vocab = args.lift(2).map(_.toInt).getOrElse(100000),
+          merges = args.lift(3).map(_.toInt).getOrElse(16))
       case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir)")
     }
     spark.stop()
@@ -844,5 +849,63 @@ object Probe {
       "class mean importance weights must separate around 0")
     assert(viol <= nDocs / 1000,
       s"per-doc selection must match class for ≥ 99.9%: $viol violations")
+  }
+
+  /** `bpe_train`/`bpe_encode` at scale: `nDocs` 30-token docs drawn from a
+    * `vocab`-word synthetic vocabulary (6-letter words from hash
+    * arithmetic, so character statistics are non-trivial), `merges`
+    * training rounds, full-corpus re-encode. The claims probed: training
+    * cost after the one word-count pass is VOCABULARY-bounded (the rounds
+    * never touch the corpus), retraining is bit-deterministic, and
+    * encoding strictly compresses (mean chars/sym above the 1.0 of
+    * char-level) while never emitting more symbols than characters. */
+  def bpeProbe(spark: SparkSession, nDocs: Int, vocab: Int, merges: Int): Unit = {
+    import graft.operators.Bpe
+    // skewed letter distribution (index = 26·u², u uniform): P('a') ≈ 0.2,
+    // long tail — uniform letters have no pair skew for BPE to exploit
+    // (measured: 8 merges bought 1.2 % on uniform text; real text is
+    // Zipfian and so is this generator)
+    def word(seed: Column) = concat_ws("",
+      (0 until 6).map { k =>
+        val u = pmod(xxhash64(seed * 7 + k), lit(1000)).cast("double") / 1000.0
+        substring(lit("abcdefghijklmnopqrstuvwxyz"),
+          (u * u * 25.999).cast("int") + 1, lit(1))
+      }: _*)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 30).map(j => word(pmod(xxhash64(col("doc_id") * 31 + j),
+          lit(vocab.toLong)))): _*).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val table = timed(s"bpe train: $nDocs docs, ~$vocab-word vocab, $merges rounds") {
+      Bpe.train(docs, merges)
+    }
+    val table2 = Bpe.train(docs, merges)
+    assert(table == table2, "retraining must reproduce the merge table exactly")
+    println(s"[probe] bpe: first merges " +
+      table.take(5).map(m => s"${m._2}+${m._3}(${m._4})").mkString(", "))
+    val enc = timed(s"bpe encode: $nDocs docs through $merges chained replaces") {
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_chars"),
+        size(split(col("text"), " ")).as("n_ws"),
+        Bpe.encodeSymCount(col("text"), table).as("n_sym"))
+        .agg(sum("n_chars").as("chars"), sum("n_sym").as("syms"),
+          sum(when(col("n_sym") > col("n_chars") - col("n_ws") + 1, 1L)
+            .otherwise(0L)).as("over"))
+        .collect()(0)
+    }
+    // letters only (spaces excluded): chars − 29 spaces per 30-token doc
+    val letters = enc.getLong(0) - 29L * nDocs
+    val ratio = letters.toDouble / enc.getLong(1)
+    println(f"[probe] bpe: corpus letters $letters → syms ${enc.getLong(1)}, " +
+      f"letters/sym $ratio%.3f, over-segmented docs ${enc.getLong(2)}")
+    docs.unpersist()
+    spark.catalog.clearCache()
+    assert(enc.getLong(2) == 0,
+      "no document may emit more symbols than its letter count")
+    // early merges buy ~1 %/round on this distribution, declining — scale
+    // the floor with the round count rather than pinning one constant
+    assert(ratio > 1.0 + 0.006 * merges,
+      s"merges must compress beyond char-level: $ratio at $merges rounds")
   }
 }
