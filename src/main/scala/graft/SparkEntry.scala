@@ -134,6 +134,8 @@ object SparkEntry {
     // bounded-vocabulary rounds), re-tokenize the corpus through it
     "bpe_train"         -> (Bpe.bpeTrain _),
     "bpe_encode"        -> (Bpe.bpeEncode _),
+    // §2.7 [EXT] char-entropy quality signal (gibberish/noise detector)
+    "char_entropy"      -> (TextOps.charEntropy _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -1247,6 +1249,29 @@ object SparkEntry {
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS odds_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // char entropy: the oracle's unnest+GROUP BY recomputation row-sums
+    // the same integer micro terms the narrow run-length fold accumulates
+    // — bit-equal by the integer contract; the final entropy expression
+    // is the same IEEE op chain on both engines
+    "char_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, c FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(text) + 1),
+         |        i -> substr(text, i, 1))) AS c
+         |    FROM documents)
+         |  WHERE c != ' '),
+         |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+         |agg AS (SELECT doc_id,
+         |          SUM(CAST(ROUND(log10(CAST(n AS DOUBLE)) * n * ${LmScore.Micro}, 0)
+         |            AS BIGINT)) AS acc,
+         |          SUM(n) AS nn,
+         |          CAST(COUNT(*) AS INT) AS nd
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, CAST(nn AS INT) AS n_chars_ns, nd AS n_distinct,
+         |  ROUND((log10(CAST(nn AS DOUBLE)) - CAST(acc AS DOUBLE) / ${LmScore.Micro} / nn)
+         |    / log10(2.0), 6) AS entropy_bits
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // BPE training: the oracle unrolls the identical merge rounds (see
     // bpeTrainCtes) — a divergence in pair counting, the argmax
     // tie-break, or the merge-replace semantics turns rows red

@@ -351,6 +351,70 @@ object TextOps {
   def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =
     winnowPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  // --------------------------------------------------------- char entropy
+
+  /** Character-entropy quality signal (the gibberish/binary-noise
+    * detector in Gopher/RefinedWeb-style filter stacks): Shannon entropy
+    * in bits over the document's non-space character distribution. Very
+    * low entropy = repeated-character junk; very high = random noise —
+    * both are drop signals real pipelines threshold on.
+    *
+    * Exactness contract: per-character-class terms `n_c·log10(n_c)` are
+    * quantized to integer micro units ([[graft.operators.LmScore.Micro]])
+    * before summation — order-independent integer arithmetic, so the
+    * oracle's per-group row sum is bit-equal to this one-pass
+    * run-length fold. The final `(log10(n) − Σ/n)/log10(2)` is a chain
+    * of single IEEE ops on identical doubles.
+    *
+    * Scale shape: a pure narrow fold per document — sort the char array,
+    * one `aggregate` pass accumulating run terms (the [[maxMultiplicity]]
+    * pattern) — no explode, no shuffle, embarrassingly parallel. The
+    * oracle's unnest+GROUP BY form is the harness, not the plan. */
+  def charEntropyBits(text: Column): Column = {
+    val chars = array_sort(filter(
+      transform(sequence(lit(1), length(text)), i => substring(text, i, lit(1))),
+      c => c =!= " "))
+    // run = 0 at the first element (initial state): log10(0) is -Inf and
+    // 0·(-Inf) is NaN, which would null the whole accumulator — guard it
+    def term(run: Column): Column =
+      when(run > 0,
+        round(log10(run.cast("double")) * run * LmScore.Micro, 0).cast("long"))
+        .otherwise(lit(0L))
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("acc"))
+    val folded = aggregate(
+      chars, init,
+      (a, x) => {
+        val same = x.eqNullSafe(a.getField("prev"))
+        struct(
+          x.as("prev"),
+          when(same, a.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, a.getField("acc"))
+            .otherwise(a.getField("acc") + term(a.getField("run"))).as("acc"))
+      },
+      a => a.getField("acc") + term(a.getField("run")))
+    val n = size(chars)
+    round(
+      (log10(n.cast("double")) - folded.cast("double") / LmScore.Micro / n)
+        / log10(lit(2.0)), 6)
+  }
+
+  /** Declared key (`char_entropy`): per-document character entropy with
+    * the char count, distinct-char count, and a coarse verdict band. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nonSpace = filter(
+      transform(sequence(lit(1), length(col("text"))),
+        i => substring(col("text"), i, lit(1))),
+      c => c =!= " ")
+    docs
+      .select(col("doc_id"),
+        size(nonSpace).as("n_chars_ns"),
+        size(array_distinct(nonSpace)).as("n_distinct"),
+        charEntropyBits(col("text")).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- language ID
 
   /** Character-trigram profiles for a few languages, built from small public

@@ -123,6 +123,22 @@ class SemanticOpsSpec extends SparkSpec {
       "the two scoring formulations must be row-for-row identical")
   }
 
+  test("char entropy: hand-checkable values; junk sits at the extremes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),            // one class → 0 bits
+      (2L, "ab ab"),           // two equiprobable classes → 1 bit
+      (3L, "abcd"),            // four equiprobable → 2 bits
+      (4L, "aaaa aaab")        // 7×a + 1×b → 8 chars, H = 3 − 7·log2(7)/8
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), TextOps.charEntropyBits(col("text")).as("h"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) === 0.0 && r(2L) === 1.0 && r(3L) === 2.0)
+    val want4 = BigDecimal(3.0 - 7.0 * (math.log(7) / math.log(2)) / 8.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(4L) - want4) < 2e-6, s"${r(4L)} vs $want4")
+  }
+
   test("bpe: learns the most frequent pair first; merges chain and stay word-local") {
     import spark.implicits._
     // 'ab' dominates (3 words × high counts), then 'abc' builds on it
