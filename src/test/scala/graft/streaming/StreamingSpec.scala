@@ -480,6 +480,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch/stream parity: DSIR and LM scoring run unchanged over a stream") {
+    // the model-based filters are stateless kernel projections over
+    // driver-resident models, so the SAME function objects score a
+    // readStream frame row-for-row like a bounded one — the property that
+    // lets Curation's optional stages compose into streaming pipelines
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val train = Seq(
+      (true, "the a alpha beta gamma delta the a epsilon zeta"),
+      (false, "qq ww ee rr tt yy qq ww uu ii")).toDF("is_target", "text")
+    val (weights, oov) = graft.operators.Dsir.trainWeights(train)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the a"),
+      (2L, "qq ww ee rr tt yy"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Dsir
+      .score(in.toDF().toDF("doc_id", "text"), weights, oov)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("lw_mean"),
+          r.getAs[Boolean]("selected"))).sortBy(_._1)
+      val batch = graft.operators.Dsir.score(docs.toDF("doc_id", "text"), weights, oov)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("lw_mean"),
+          r.getAs[Boolean]("selected"))).sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_._3).toSet === Set(true, false),
+        "fixture must exercise both selection outcomes")
+    } finally q.stop()
+  }
+
   test("T1/T3/K3: noop sink starts and stop() cancels cleanly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
