@@ -118,6 +118,23 @@ object Bpe {
       .orderBy("rk")
   }
 
+  /** Merge-table PERSISTENCE — the "train once, encode every corpus
+    * snapshot" production shape (the IVF-index discipline: tokenizers are
+    * trained rarely and applied to every batch forever after; retraining
+    * per job would also silently change the vocabulary). One tiny parquet
+    * of (rk, lhs, rhs, cnt); read restores training order by rk. */
+  def writeMergeTable(spark: SparkSession, path: String,
+      merges: Seq[(Int, String, String, Long)]): Unit = {
+    import spark.implicits._
+    merges.toDF("rk", "lhs", "rhs", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readMergeTable(spark: SparkSession, path: String): Seq[(Int, String, String, Long)] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
   /** Encode a text column with a learned merge table: the document
     * becomes one seq-string with `#` boundary symbols between words, the
     * merges apply in training order, and the symbol count excludes the

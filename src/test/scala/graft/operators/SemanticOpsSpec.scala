@@ -160,6 +160,20 @@ class SemanticOpsSpec extends SparkSpec {
     assert(enc(2L) === 4 + 4, "doc 2: abc×3,abd = 4 syms + xy,xy = 4")
   }
 
+  test("bpe: merge table round-trips through parquet in training order") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abd xy")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, merges = 3)
+    val dir = tmpDir("graft-bpe-idx")
+    Bpe.writeMergeTable(spark, dir, merges)
+    val back = Bpe.readMergeTable(spark, dir)
+    assert(back === merges, "persisted table must restore order and values exactly")
+    // encoding through the restored table ≡ encoding through the fresh one
+    val a = docs.select(Bpe.encodeSymCount(col("text"), merges)).collect()(0).getInt(0)
+    val b = docs.select(Bpe.encodeSymCount(col("text"), back)).collect()(0).getInt(0)
+    assert(a === b)
+  }
+
   test("bpe: run merges left-first — 'aaa' becomes '(aa)a'") {
     import spark.implicits._
     val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
