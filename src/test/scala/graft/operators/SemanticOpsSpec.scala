@@ -30,6 +30,28 @@ class SemanticOpsSpec extends SparkSpec {
       "cross-cluster near-dup must keep — the pair search is cluster-sharded by design")
   }
 
+  test("semdedup serves from a persisted IVF index — one assignment, two consumers") {
+    import spark.implicits._
+    // the index built for ANN is the same (vec_id, v, cid) assignment
+    // SemDeDup's pair search shards on; pruneAssigned only adds norms
+    val base = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.8, 0.6)), (3L, Seq(0.6, 0.8)), // cos to their seeds 0.8 < τ
+      (10L, Seq(0.8, 0.6)) // bit-identical twin of 2 → must drop
+    ).toDF("vec_id", "v")
+    val dir = tmpDir("graft-semivf")
+    Similarity.writeIvfIndex(spark, dir, base, c = 2, lloydIters = 0)
+    val (assigned, _) = Similarity.readIvfIndex(spark, dir)
+    val withNrm = assigned.withColumn("nrm",
+      sqrt(Similarity.hofDot(col("v"), col("v"))))
+      .persist()
+    val r = SemDedup.pruneAssigned(withNrm).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    withNrm.unpersist()
+    assert(r(10L) === false && Seq(0L, 1L, 2L, 3L).forall(r(_)),
+      s"only the planted twin may drop: $r")
+  }
+
   test("semdedup key: exactly the planted twins drop, originals all keep") {
     val out = SemDedup.semdedup(spark, sf0001)
     val drops = out.filter(!col("keep")).select("vec_id").collect().map(_.getLong(0)).sorted
