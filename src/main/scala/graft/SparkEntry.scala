@@ -136,6 +136,9 @@ object SparkEntry {
     "bpe_encode"        -> (Bpe.bpeEncode _),
     // §2.7 [EXT] char-entropy quality signal (gibberish/noise detector)
     "char_entropy"      -> (TextOps.charEntropy _),
+    // §2.7 [EXT] the Gopher rule battery as one conjunctive filter with
+    // per-rule attribution booleans
+    "gopher_rules"      -> (TextOps.gopherRulesQuery _),
     // §2.7 [EXT] the north-star pipeline composed end-to-end in ONE plan:
     // quality gate → exact dedup → train split → sequence packing
     "curation_pipeline" -> (Curation.curationPipeline _),
@@ -1249,6 +1252,39 @@ object SparkEntry {
          |       ROUND(CAST(ds.lpsum AS DOUBLE) / ${LmScore.Micro} / ds.n_tok, 6) AS odds_mean
          |FROM documents d JOIN docsum ds ON d.doc_id = ds.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Gopher rules: the oracle recomputes all four rule booleans — the
+    // length/stopword arithmetic from the text_stats shapes, the
+    // repetition gate from the doc_repetition counter CTEs; thresholds
+    // interpolate from TextOps (single source of truth)
+    "gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |             len(text) AS len FROM documents),
+         |st AS (SELECT doc_id, len(toks) AS n_tok,
+         |         CAST(len - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_tok_len,
+         |         len(list_filter(toks, t -> ${TextOps.stopwords
+             .map(s => s"t = '$s'").mkString(" OR ")})) > 0 AS has_stop
+         |       FROM d),
+         |g2 AS (SELECT doc_id, unnest([ array_to_string(toks[i:i+1], ' ')
+         |                               FOR i IN range(1, len(toks)) ]) AS gram
+         |       FROM d WHERE len(toks) >= 2),
+         |u2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2, MAX(c) AS top2
+         |       FROM u2 GROUP BY 1),
+         |r AS (SELECT st.doc_id, st.n_tok, st.mean_tok_len,
+         |        st.n_tok >= ${TextOps.GopherMinTok}
+         |          AND st.n_tok <= ${TextOps.GopherMaxTok} AS r_wordcount,
+         |        st.mean_tok_len >= ${TextOps.GopherMinMeanLen}
+         |          AND st.mean_tok_len <= ${TextOps.GopherMaxMeanLen} AS r_meanlen,
+         |        st.has_stop AS r_stopword,
+         |        s2.n2 < ${TextOps.RepetitionMinGrams}
+         |          OR CAST(s2.top2 AS DOUBLE) / s2.n2 <= ${TextOps.RepetitionTau}
+         |          AS r_repetition
+         |      FROM st JOIN s2 ON st.doc_id = s2.doc_id)
+         |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, mean_tok_len,
+         |  r_wordcount, r_meanlen, r_stopword, r_repetition,
+         |  CASE WHEN r_wordcount AND r_meanlen AND r_stopword AND r_repetition
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
     // char entropy: the oracle's unnest+GROUP BY recomputation row-sums
     // the same integer micro terms the narrow run-length fold accumulates
     // — bit-equal by the integer contract; the final entropy expression

@@ -118,35 +118,38 @@ object TextOps {
     * stateless column expressions, so the identical function runs over a
     * bounded table or a readStream frame (the [[quality]] contract).
     * Documents with fewer than 2 tokens have no 2-grams and are dropped. */
+  /** Raw (n2, d2, top2, n3, d3) repetition counters per document — via the
+    * codegen'd graft_repetition_stats kernel when the session has
+    * GraftExtensions (one char scan + hash counts per doc), the HOF form
+    * otherwise (the Contamination.shingled fallback contract); both
+    * produce identical longs (bit-equality asserted in VectorExprSpec).
+    * Shared by [[repetition]] and [[gopherRules]]. */
+  private[operators] def repetitionCounters(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.catalog.functionExists("graft_repetition_stats"))
+      docs.select(col("doc_id"),
+        call_function("graft_repetition_stats", col("text")).as("s"))
+        .select(col("doc_id"), col("s.n2").as("n2"), col("s.d2").as("d2"),
+          col("s.top2").as("top2"), col("s.n3").as("n3"), col("s.d3").as("d3"))
+    else
+      // materialize toks as its own projection: a lambda body
+      // re-evaluates non-attribute subexpressions PER ELEMENT, so passing
+      // split(text) straight into gramsOfToks' transform() would re-split
+      // the whole document for every gram position — O(n²) splits per doc
+      // (measured ~10× on this key at sf0.1)
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          gramsOfToks(col("toks"), 2).as("g2"),
+          gramsOfToks(col("toks"), 3).as("g3"))
+        .select(col("doc_id"),
+          size(col("g2")).cast("long").as("n2"),
+          size(array_distinct(col("g2"))).cast("long").as("d2"),
+          maxMultiplicity(col("g2")).as("top2"),
+          size(col("g3")).cast("long").as("n3"),
+          size(array_distinct(col("g3"))).cast("long").as("d3"))
+
   def repetition(docs: DataFrame): DataFrame = {
-    // counters via the codegen'd graft_repetition_stats kernel when the
-    // session has GraftExtensions (one char scan + hash counts per doc),
-    // the HOF form otherwise — the Contamination.shingled fallback
-    // contract; both produce identical (n2,d2,top2,n3,d3) longs
-    // (bit-equality asserted in VectorExprSpec)
-    val counters =
-      if (docs.sparkSession.catalog.functionExists("graft_repetition_stats"))
-        docs.select(col("doc_id"),
-          call_function("graft_repetition_stats", col("text")).as("s"))
-          .select(col("doc_id"), col("s.n2").as("n2"), col("s.d2").as("d2"),
-            col("s.top2").as("top2"), col("s.n3").as("n3"), col("s.d3").as("d3"))
-      else
-        // materialize toks as its own projection: a lambda body
-        // re-evaluates non-attribute subexpressions PER ELEMENT, so passing
-        // split(text) straight into gramsOfToks' transform() would re-split
-        // the whole document for every gram position — O(n²) splits per doc
-        // (measured ~10× on this key at sf0.1)
-        docs
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"),
-            gramsOfToks(col("toks"), 2).as("g2"),
-            gramsOfToks(col("toks"), 3).as("g3"))
-          .select(col("doc_id"),
-            size(col("g2")).cast("long").as("n2"),
-            size(array_distinct(col("g2"))).cast("long").as("d2"),
-            maxMultiplicity(col("g2")).as("top2"),
-            size(col("g3")).cast("long").as("n3"),
-            size(array_distinct(col("g3"))).cast("long").as("d3"))
+    val counters = repetitionCounters(docs)
     counters
       .filter(col("n2") > 0)
       .select(col("doc_id"),
@@ -161,6 +164,54 @@ object TextOps {
 
   def docRepetition(spark: SparkSession, dir: String): DataFrame =
     repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // --------------------------------------------------------- Gopher rules
+
+  /** Gopher rule thresholds (Rae et al. 2021 §A.1.1, bounds adapted to
+    * this corpus's 30-80-token documents — the paper uses 50..100k words
+    * and mean word length 3..10). Interpolated into the oracle SQL. */
+  val GopherMinTok = 15
+  val GopherMaxTok = 10000
+  val GopherMinMeanLen = 2.5
+  val GopherMaxMeanLen = 8.0
+
+  /** The Gopher quality-rule battery as ONE declared operator (the paper
+    * applies them as a single conjunctive filter): word-count bounds,
+    * mean-word-length bounds, stopword presence, and the repetition gate,
+    * each emitted as its own boolean so downstream analysis can attribute
+    * drops to rules — the standard observability shape for filter stacks.
+    * Two narrow per-doc frames (length stats; repetition counters via the
+    * kernel) joined on doc_id — the join ships a handful of longs, never
+    * text. Every term is exact-int arithmetic or a single IEEE compare,
+    * so the oracle recomputes all four rules bit-identically. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stats = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        length(col("text")).as("len"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        ((col("len") - size(col("toks")) + 1).cast("double") / size(col("toks")))
+          .as("mean_tok_len"),
+        (size(filter(col("toks"), t => t.isin(stopwords: _*))) > 0).as("has_stop"))
+    stats.join(repetitionCounters(docs), "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
+        (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
+          .as("r_wordcount"),
+        (col("mean_tok_len") >= GopherMinMeanLen
+          && col("mean_tok_len") <= GopherMaxMeanLen).as("r_meanlen"),
+        col("has_stop").as("r_stopword"),
+        (col("n2") < RepetitionMinGrams
+          || col("top2").cast("double") / col("n2") <= RepetitionTau)
+          .as("r_repetition"))
+      .withColumn("verdict",
+        when(col("r_wordcount") && col("r_meanlen") && col("r_stopword")
+          && col("r_repetition"), "keep").otherwise("drop"))
+  }
+
+  /** Declared key (`gopher_rules`). */
+  def gopherRulesQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token list.
     * Reorderings and exact duplicates collapse to one fingerprint; md5

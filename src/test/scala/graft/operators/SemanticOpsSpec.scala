@@ -145,6 +145,28 @@ class SemanticOpsSpec extends SparkSpec {
       "the two scoring formulations must be row-for-row identical")
   }
 
+  test("gopher rules: each rule drops its own violation class, attribution visible") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (1L, good),                                        // passes all four
+      (2L, "the cat sat on a mat"),                      // too short → r_wordcount
+      (3L, ("the " + Seq.fill(20)("encyclopaedically incomprehensibilities").mkString(" "))), // mean len → r_meanlen
+      (4L, Seq.fill(20)("zz yy xx ww vv").mkString(" ")), // no stopwords → r_stopword
+      (5L, "the a " + Seq.fill(30)("spam ham").mkString(" "))) // boilerplate → r_repetition
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("r_wordcount"), x.getAs[Boolean]("r_meanlen"),
+          x.getAs[Boolean]("r_stopword"), x.getAs[Boolean]("r_repetition"),
+          x.getAs[String]("verdict"))).toMap
+    assert(r(1L) === ((true, true, true, true, "keep")))
+    assert(!r(2L)._1 && r(2L)._5 === "drop")
+    assert(!r(3L)._2 && r(3L)._5 === "drop")
+    assert(!r(4L)._3 && r(4L)._5 === "drop")
+    assert(!r(5L)._4 && r(5L)._5 === "drop")
+  }
+
   test("char entropy: hand-checkable values; junk sits at the extremes") {
     import spark.implicits._
     val docs = Seq(
