@@ -249,6 +249,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 1L).collect()(0).getAs[Double]("quality") === batchQ)
   }
 
+  test("streaming curation with the DSIR stage: off-target docs die before dedup state") {
+    // the streaming twin of Curation.curate's optional model-based
+    // stages: DSIR weights trained out-of-band, the filter runs as a
+    // stateless kernel projection inside the stateful query, BEFORE the
+    // fingerprint state — off-target docs never cost dedup state
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val train = Seq(
+      (true, "the a cat sat on a mat with a hat"),
+      (true, "the a bird flew over a tree at dawn"),
+      (false, "qq ww ee rr tt yy qq ww uu ii")).toDF("is_target", "text")
+    val (weights, oov) = graft.operators.Dsir.trainWeights(train)
+    val in = MemoryStream[(Long, String)]
+    val outDir = tmpDir("scurd-out"); val ckDir = tmpDir("scurd-ck")
+    val q2 = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingCurationWith(
+        in.toDF().toDF("doc_id", "text"), dsirFilter = Some((weights, oov))),
+      outDir, ckDir)
+    try {
+      in.addData(
+        (1L, "the a cat sat on a mat with a hat"),   // target-like → keep
+        (2L, "the a qq ww ee rr tt yy uu ii"),       // off-target → DSIR drop
+        (3L, "mat a the cat sat on a with a hat"))   // reordered dup of 1 → dedup
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(out.toSeq === Seq(1L),
+        "only the first target-like doc may survive gate + DSIR + dedup")
+    } finally q2.stop()
+  }
+
   test("streaming near-dup: MinHash bucket state pairs near-duplicates across restart") {
     // The fuzzy member of the streaming dedup family: doc 3 (a one-token
     // edit of doc 1) arrives in a LATER file, after a query restart — the
