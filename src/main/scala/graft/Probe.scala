@@ -76,6 +76,8 @@ object Probe {
           nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
           vocab = args.lift(2).map(_.toInt).getOrElse(100000),
           merges = args.lift(3).map(_.toInt).getOrElse(16))
+      case Some("rank") =>
+        rankProbe(spark, n = args.lift(1).map(_.toInt).getOrElse(10000000))
       case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir)")
     }
     spark.stop()
@@ -907,5 +909,40 @@ object Probe {
     // the floor with the round count rather than pinning one constant
     assert(ratio > 1.0 + 0.006 * merges,
       s"merges must compress beyond char-level: $ratio at $merges rounds")
+  }
+
+  /** `ccnet_buckets`' rank core at scale: `n` rows with hash-derived
+    * scores (~700 distinct values — heavy ties, the realistic
+    * quantized-score regime) ranked by the two-phase bucketed form AND by
+    * the naive global window. Verdict: bit-identical ranks on every row;
+    * the wall-clock pair is the record — the naive form funnels all `n`
+    * rows through ONE partition's sort while the two-phase form keeps
+    * every exchange keyed. */
+  def rankProbe(spark: SparkSession, n: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
+    val df = spark.range(n).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(700)).cast("double") / -100.0).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    val two = timed(s"two-phase bucketed rank over $n rows") {
+      val t = GlobalRank.rankByScore(df, col("score"), col("id"))
+        .select(col("id"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count(); t
+    }
+    val naive = timed(s"naive single-partition row_number over $n rows") {
+      val nv = df.withColumn("rank",
+        row_number().over(Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rank").as("want"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nv.count(); nv
+    }
+    val bad = two.join(naive, "id").filter(col("rank") =!= col("want")).count()
+    println(s"[probe] rank: mismatches $bad / $n")
+    df.unpersist(); two.unpersist(); naive.unpersist()
+    spark.catalog.clearCache()
+    assert(bad == 0, "two-phase rank must equal the naive global row_number on every row")
   }
 }
