@@ -40,6 +40,14 @@ case class BandedDocTs(band: Int, sig: Long, doc_id: Long, mh: Seq[Long],
     ts: java.sql.Timestamp)
 case class TimedBucketDocs(docs: List[(Long, Seq[Long], Long)])
 
+/** Rows/state for [[StreamingOps.streamingWeightedSample]] — the A-ES
+  * reservoir: per stratum, the current k largest keys; `version` counts
+  * state updates so consumers can pick each stratum's LATEST emission. */
+case class WeightedArrival(stratum: String, doc_id: Long, n_tok: Long, key_micro: Long)
+case class WeightedReservoir(rows: List[(Long, Long, Long)], version: Long)
+case class WeightedSampleOut(stratum: String, version: Long,
+    doc_id: Long, n_tok: Long, key_micro: Long)
+
 /** Per-key running state for [[StreamingOps.statefulSessions]]. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 case class KeyedEvent(key: String, ts: java.sql.Timestamp)
@@ -202,6 +210,55 @@ object StreamingOps {
       .select(col("doc_id"), col("quality"),
         size(split(col("text"), " ")).cast("long").as("n_tok"), col("fp"))
       .dropDuplicates("fp")
+  }
+
+  /** [EXT] Streaming weighted sampling without replacement — the
+    * continuously-arriving twin of `Sampling.sampleWeighted`: maintain,
+    * per stratum, the k rows with the largest deterministic A-ES keys
+    * (`log10(u)/w` micro-quantized, u from the md5 hash — the batch
+    * operator's exact key expression, shared) as the stream drains.
+    * Because the keys are pure hashes, the reservoir after draining any
+    * prefix of the stream IS the batch sample of that prefix — asserted
+    * against `Sampling.sampleWeighted`'s selection in StreamingSpec —
+    * and state is k rows × #strata, bounded regardless of stream length.
+    * Each state change emits the stratum's full current sample tagged
+    * with a monotone `version`; consumers keep each stratum's max
+    * version (the standard changelog-consumption shape for streaming
+    * top-k).
+    * @param docs columns (stratum: String, doc_id: Long, n_tok: Long)
+    */
+  def streamingWeightedSample(docs: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[WeightedSampleOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Sampling
+    docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit(Sampling.WeightedSalt))))
+      .withColumn("u", (Sampling.hexHead4(col("h")) + 1).cast("double") / 65537.0d)
+      .select(col("stratum"), col("doc_id"), col("n_tok"),
+        Sampling.aesKeyMicro(col("u"), col("n_tok")).as("key_micro"))
+      .as[WeightedArrival]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[WeightedReservoir, WeightedSampleOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, arrivals: Iterator[WeightedArrival],
+            state: GroupState[WeightedReservoir]) =>
+          val prev = state.getOption.getOrElse(WeightedReservoir(Nil, 0L))
+          // replay-safe merge: dedupe by doc_id, keep the k largest keys
+          // with the batch operator's (key desc, doc_id asc) order
+          val merged = (prev.rows ++ arrivals.map(a => (a.doc_id, a.n_tok, a.key_micro)))
+            .distinctBy(_._1)
+            .sortBy { case (id, _, key) => (-key, id) }
+            .take(k)
+          if (merged == prev.rows) Iterator.empty
+          else {
+            val next = WeightedReservoir(merged, prev.version + 1)
+            state.update(next)
+            merged.iterator.map { case (id, nt, key) =>
+              WeightedSampleOut(stratum, next.version, id, nt, key) }
+          }
+      }
   }
 
   /** Bounded-state variant: duplicates are only suppressed while their

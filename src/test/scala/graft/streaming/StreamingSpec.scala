@@ -279,6 +279,45 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming weighted sample: drained reservoir equals the batch A-ES selection") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingWeightedSample(
+        in.toDF().toDF("stratum", "doc_id", "n_tok"), k = 3)
+      .writeStream.format("memory").queryName("wsample").outputMode("append").start()
+    val batch1 = (1L to 10L).map(i => ("a", i, i * 3)) ++ (1L to 4L).map(i => ("b", 100 + i, 5L))
+    val batch2 = (11L to 20L).map(i => ("a", i, 7L))
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      // consumer shape: keep each stratum's max-version emission
+      val out = spark.table("wsample")
+      val latest = out.withColumn("maxv",
+          max("version").over(Window.partitionBy("stratum")))
+        .filter(col("version") === col("maxv"))
+        .select("stratum", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // batch truth: the same A-ES key expression over ALL drained rows,
+      // per-stratum top-3 by (key desc, doc_id)
+      val all = (batch1 ++ batch2).toDF("stratum", "doc_id", "n_tok")
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+          lit(graft.operators.Sampling.WeightedSalt))))
+        .withColumn("u", (graft.operators.Sampling.hexHead4(col("h")) + 1)
+          .cast("double") / 65537.0d)
+        .withColumn("key_micro",
+          graft.operators.Sampling.aesKeyMicro(col("u"), col("n_tok")))
+      val want = all.withColumn("rn", row_number().over(
+          Window.partitionBy("stratum").orderBy(col("key_micro").desc, col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select("stratum", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(latest === want,
+        s"drained reservoir must equal the batch selection: $latest vs $want")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: MinHash bucket state pairs near-duplicates across restart") {
     // The fuzzy member of the streaming dedup family: doc 3 (a one-token
     // edit of doc 1) arrives in a LATER file, after a query restart — the
