@@ -465,6 +465,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 1 && !p.contains("SortMergeJoin"))
   }
 
+  test("char_entropy: one narrow fold per document — no joins, no hash exchange") {
+    val p = plan("char_entropy")
+    assert(!p.contains("Join"), "the entropy fold must not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the fold is per-row — only the output sort may exchange")
+  }
+
+  test("bpe_encode: scoring is chained narrow replaces — no joins, no hash exchange") {
+    // training collects the merge table to the driver BEFORE this plan is
+    // built (the IVF-centroid discipline); the declared key's plan is the
+    // encode pass alone: scan → chained literal replaces → output sort
+    val p = plan("bpe_encode")
+    assert(!p.contains("Join"), "encoding must not join — merges are literals")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "encoding is per-row — only the output sort may exchange")
+  }
+
+  test("gopher_rules: the rule join ships longs and booleans, never the text") {
+    val p = plan("gopher_rules")
+    // two narrow per-doc frames meet on doc_id; no cartesian anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    exchangeBlocks("gopher_rules").foreach { b =>
+      assert(!b.contains("text#"), s"exchange must not carry the text column:\n$b")
+    }
+  }
+
   test("dsir_select: the scoring pass is one narrow projection — no joins, no hash exchange") {
     // trainWeights collects the 256-bucket model BEFORE the scoring plan
     // is built (the IVF-centroid discipline), so the declared key's plan
