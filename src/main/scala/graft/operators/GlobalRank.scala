@@ -40,9 +40,15 @@ object GlobalRank {
   /** Exact global rank of every row by (`score` DESC, `idCol` ASC),
     * without a corpus-wide single-partition sort. Appends `rank`. */
   def rankByScore(df: DataFrame, score: Column, idCol: Column): DataFrame = {
+    // Cache contract ([[graft.Caching]], the [[DomainMix.mix]] discipline):
+    // both phases read the scored frame — without the persist the score
+    // expression (for `ccnet_buckets`, the LM kernel over the full corpus)
+    // evaluates twice. Callers release via `spark.catalog.clearCache()`
+    // once the result is materialized (Verify and Bench both do).
     val bucketed = df
       .withColumn("_s", score)
       .withColumn("_b", floor(score * BucketScale).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase B: per-bucket counts (map-side combined) → DESC cumulative
     // offsets over the bounded bucket frame (pmod keeps WindowExec's
     // no-partition warning quiet — the Ranking/Packing trick; the window
