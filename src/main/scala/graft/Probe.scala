@@ -78,7 +78,7 @@ object Probe {
           merges = args.lift(3).map(_.toInt).getOrElse(16))
       case Some("rank") =>
         rankProbe(spark, n = args.lift(1).map(_.toInt).getOrElse(10000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank)")
     }
     spark.stop()
   }

@@ -1276,10 +1276,10 @@ object SparkEntry {
          |        st.mean_tok_len >= ${TextOps.GopherMinMeanLen}
          |          AND st.mean_tok_len <= ${TextOps.GopherMaxMeanLen} AS r_meanlen,
          |        st.has_stop AS r_stopword,
-         |        s2.n2 < ${TextOps.RepetitionMinGrams}
+         |        COALESCE(s2.n2, 0) < ${TextOps.RepetitionMinGrams}
          |          OR CAST(s2.top2 AS DOUBLE) / s2.n2 <= ${TextOps.RepetitionTau}
          |          AS r_repetition
-         |      FROM st JOIN s2 ON st.doc_id = s2.doc_id)
+         |      FROM st LEFT JOIN s2 ON st.doc_id = s2.doc_id)
          |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, mean_tok_len,
          |  r_wordcount, r_meanlen, r_stopword, r_repetition,
          |  CASE WHEN r_wordcount AND r_meanlen AND r_stopword AND r_repetition

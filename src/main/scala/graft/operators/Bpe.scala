@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer training + encoding (SURVEY.md §2.7 [EXT] —
@@ -76,7 +75,9 @@ object Bpe {
     wc.count()
     var vocab = wc
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (rk <- 1 to merges) {
+    var rk = 1
+    var exhausted = false
+    while (rk <= merges && !exhausted) {
       // adjacent symbol pairs over the vocabulary, weighted by word count
       val syms = split(trim(col("seq")), "  ")
       // guard fully-merged 1-symbol words: sequence(1, 0) runs DESCENDING
@@ -90,19 +91,27 @@ object Bpe {
         .select(col("c"), explode(pairList).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("c").as("cnt"))
-      // deterministic argmax: count desc, then pair lexicographic
-      val best = pairs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(pmod(length(col("l")), lit(1)))
-            .orderBy(col("cnt").desc, col("l"), col("r"))))
-        .filter(col("rn") === 1)
-        .collect()(0)
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      out += ((rk, l, r, cnt))
-      vocab = vocab.select(col("w"), col("c"),
-        applyMerge(col("seq"), l, r).as("seq"))
-        // cut the one-projection-per-round lineage so R rounds stay flat
-        .localCheckpoint(true)
+      // deterministic argmax: count desc, then pair lexicographic.
+      // orderBy+limit(1) plans as TakeOrderedAndProject — per-partition
+      // size-1 heaps merged on the driver — so a web-scale pair frame
+      // (~|vocab| rows) never sorts on one task (a single-partition
+      // row_number here would).
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // vocabulary fully merged before the requested rounds (tiny corpus
+        // or merges > available pairs): return the merges learned so far
+        exhausted = true
+      } else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rk, l, r, cnt))
+        vocab = vocab.select(col("w"), col("c"),
+          applyMerge(col("seq"), l, r).as("seq"))
+          // cut the one-projection-per-round lineage so R rounds stay flat
+          .localCheckpoint(true)
+        rk += 1
+      }
     }
     wc.unpersist()
     out.toSeq
@@ -135,6 +144,36 @@ object Bpe {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
 
+  /** Where the served merge table for a given corpus dir lives (one table
+    * per corpus, like the IVF index layout keys on its corpus). The path
+    * also carries a cheap staleness fingerprint — total bytes of the
+    * documents table's files — so a regenerated corpus retrains instead of
+    * serving a merge table learned from the old data. */
+  def mergeTablePath(dir: String): String = {
+    val docs = new java.io.File(s"$dir/documents.parquet")
+    val files = Option(docs.listFiles()).map(_.toSeq)
+      .getOrElse(if (docs.isFile) Seq(docs) else Seq.empty)
+    val bytes = files.filter(_.isFile).map(_.length()).sum
+    "target/fixtures/bpe_merges_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + bytes
+  }
+
+  /** Train-once/serve-forever accessor: read the persisted merge table for
+    * `dir` if one exists, else train it once and persist. Every subsequent
+    * call (and every later encode job over the same corpus) serves from
+    * the artifact — the production tokenizer shape, where retraining per
+    * job would both waste a corpus pass and silently drift the vocabulary. */
+  def servedMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val path = mergeTablePath(dir)
+    if (new java.io.File(path, "_SUCCESS").exists) readMergeTable(spark, path)
+    else {
+      val merges = train(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      writeMergeTable(spark, path, merges)
+      merges
+    }
+  }
+
   /** Encode a text column with a learned merge table: the document
     * becomes one seq-string with `#` boundary symbols between words, the
     * merges apply in training order, and the symbol count excludes the
@@ -153,13 +192,16 @@ object Bpe {
     size(split(trim(merged), "  ")) - (size(toks) - 1)
   }
 
-  /** Declared key (`bpe_encode`): train on the corpus, re-tokenize every
-    * document, report whitespace vs learned-BPE symbol counts and the
+  /** Declared key (`bpe_encode`): re-tokenize every document with the
+    * PERSISTED merge table ([[servedMerges]] — trained at most once per
+    * corpus, then served from the parquet artifact like the IVF index),
+    * reporting whitespace vs learned-BPE symbol counts and the
     * chars-per-symbol ratio (the corpus-budgeting number the tokenizer
-    * exists to improve). */
+    * exists to improve). The returned plan is the serve path only: chained
+    * literal replaces over the scan — no training aggregation in it. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val merges = train(docs)
+    val merges = servedMerges(spark, dir)
     docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).as("n_ws"),

@@ -40,11 +40,12 @@ object GlobalRank {
   /** Exact global rank of every row by (`score` DESC, `idCol` ASC),
     * without a corpus-wide single-partition sort. Appends `rank`. */
   def rankByScore(df: DataFrame, score: Column, idCol: Column): DataFrame = {
-    // Cache contract ([[graft.Caching]], the [[DomainMix.mix]] discipline):
-    // both phases read the scored frame — without the persist the score
-    // expression (for `ccnet_buckets`, the LM kernel over the full corpus)
-    // evaluates twice. Callers release via `spark.catalog.clearCache()`
-    // once the result is materialized (Verify and Bench both do).
+    // Cache contract ([[graft.Caching]]): both phases read the scored
+    // frame — without the persist the score expression (for
+    // `ccnet_buckets`, the LM kernel over the full corpus) evaluates
+    // twice. The cache is released INSIDE the operator (below) after the
+    // ranked result is materialized, so composed pipelines and long-lived
+    // sessions don't accumulate stale cached assignments across calls.
     val bucketed = df
       .withColumn("_s", score)
       .withColumn("_b", floor(score * BucketScale).cast("long"))
@@ -61,11 +62,17 @@ object GlobalRank {
       .select("_b", "_boff")
     // phase A: within-bucket ranks in parallel across buckets
     val wIn = Window.partitionBy("_b").orderBy(col("_s").desc, idCol)
-    bucketed
+    val ranked = bucketed
       .withColumn("_rn", row_number().over(wIn))
       .join(broadcast(offsets), "_b")
       .withColumn("rank", col("_boff") + col("_rn"))
       .drop("_s", "_b", "_rn", "_boff")
+    // materialize (the ranked frame is df + one long — callers pass narrow
+    // scored frames here, never raw text) and release the phase cache so
+    // repeated calls in one session don't leak cached score frames
+    val out = ranked.localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    out
   }
 
   /** Declared key (`ccnet_buckets`): score the corpus with the en-slice

@@ -78,7 +78,14 @@ object SemDedup {
         sqrt(Similarity.dotFor(emb, col("v"), col("v"))).as("nrm"))
       .join(cids, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pruneAssigned(assigned, tau)
+    // The verdict frame is narrow (vec_id, cid, n_near, keep — no vectors),
+    // so materializing it via localCheckpoint and releasing the cached
+    // assignment INSIDE the operator is cheap and keeps long-lived /
+    // composed-pipeline sessions from accumulating stale cached assignments
+    // across calls (callers no longer need spark.catalog.clearCache()).
+    val out = pruneAssigned(assigned, tau).localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** The pair-search + verdict half over an ALREADY-ASSIGNED frame

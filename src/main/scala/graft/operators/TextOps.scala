@@ -461,10 +461,15 @@ object TextOps {
   }
 
   /** Declared key (`char_entropy`): per-document character entropy with
-    * the char count, distinct-char count, and a coarse verdict band. */
+    * the char count, distinct-char count, and a coarse verdict band.
+    * Degenerate docs (empty / all-space text) are dropped on BOTH engines:
+    * entropy is undefined at n=0 (Spark's log10(0) would emit NULL while
+    * the oracle's char-unnest CTE drops the doc entirely), so the filter
+    * pins the two sides to the same row set. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), sortedChars(col("text")).as("cs"))
+      .filter(size(col("cs")) > 0)
       .select(col("doc_id"),
         size(col("cs")).as("n_chars_ns"),
         size(array_distinct(col("cs"))).as("n_distinct"),
