@@ -78,7 +78,11 @@ object Probe {
           merges = args.lift(3).map(_.toInt).getOrElse(16))
       case Some("rank") =>
         rankProbe(spark, n = args.lift(1).map(_.toInt).getOrElse(10000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank)")
+      case Some("phash") =>
+        phashProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(200000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(10000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash)")
     }
     spark.stop()
   }
@@ -149,6 +153,55 @@ object Probe {
     }
     println(s"[probe] media: $bad decode violations over $n payloads")
     assert(bad == 0L)
+  }
+
+  /** [[graft.operators.ImagePhash]] at scale: `n` distinct real PNGs
+    * (full zlib streams, per-row filters cycling all five types) plus
+    * `nTwin` RE-ENCODED twins of the first `nTwin` images (same pixels,
+    * different filters/compression/IDAT split → different bytes), written
+    * to parquet, then the production path timed in its two stages:
+    * decode+dHash (the per-image pixel work — reported as images/s and
+    * decoded MB/s) and the banded-Hamming dedup over the 16-byte hash
+    * frame. Verdict is exact: every planted twin drops onto its base and
+    * not one of the `n` distinct images pairs spuriously. */
+  def phashProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.ImagePhash
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    val twinOff = n.toLong // twin ids sit above every base id
+    val gen = spark.range(n).map { id =>
+      val (w, h, px) = ImagePhash.basePixels(id)
+      (id.longValue, ImagePhash.Png.encode(w, h, px,
+        filterFor = r => ((id + r) % 5).toInt, level = 6))
+    }.union(spark.range(nTwin).map { i =>
+      val (w, h, px) = ImagePhash.basePixels(i)
+      (twinOff + i,
+        ImagePhash.Png.encode(w, h, px,
+          filterFor = r => ((r * 2 + 1) % 5).toInt, level = 9, idatChunk = 512))
+    }).toDF("media_id", "payload")
+    timed(s"phash corpus write ($n base + $nTwin re-encoded twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    val df = spark.read.parquet(tmp)
+    val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
+    val hashes = ImagePhash.phashFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val decoded = hashes.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] phash decode+hash: $decoded imgs in $sec%.2f s " +
+      f"(${decoded / sec}%.0f imgs/s, ${mb / sec}%.1f MB/s of PNG)")
+    assert(decoded == n.toLong + nTwin)
+    val verdicts = timed(s"banded-Hamming dedup over $decoded hashes") {
+      ImagePhash.phashDedup(hashes)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    hashes.unpersist(blocking = false)
+    val exact = verdicts.count(r => r.getLong(0) - twinOff == r.getLong(1))
+    println(s"[probe] phash verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect $nTwin/$nTwin, zero spurious)")
+    assert(verdicts.length == nTwin && exact == nTwin)
   }
 
   /** [[graft.streaming.StreamingOps.streamingDocDedup]] at scale: `nDocs`

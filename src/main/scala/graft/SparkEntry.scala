@@ -84,6 +84,9 @@ object SparkEntry {
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
     "payload_dedup" -> (Multimodal.payloadDedupQuery _),
     "media_dims"    -> (Multimodal.mediaDimsQuery _),
+    // §2.7 E4 content level: real PNG pixel decode (pure-JVM inflate +
+    // unfilter) → dHash → banded-Hamming perceptual near-dup
+    "media_phash"   -> (ImagePhash.mediaPhashQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -119,14 +122,14 @@ object SparkEntry {
     "lm_score"          -> (LmScore.lmScore _),
     // §2.7 [EXT] the CCNet percentile cut: exact global rank via the
     // two-phase bucketed prefix sum (never a corpus-wide single sort)
-    "ccnet_buckets"     -> (GlobalRank.ccnetBuckets _),
+    "ccnet_buckets"     -> ((s: SparkSession, d: String) => GlobalRank.ccnetBuckets(s, d)),
     // §2.7 [EXT] NB log-odds classifier (fastText-style quality filter,
     // weakly supervised by the heuristic gate; same scoring kernel)
     "nb_score"          -> (NbClassifier.nbScore _),
     // §2.7 [EXT] r12 second wave: semantic dedup (SemDeDup — k-means
     // shards the pair search), corpus-level line/paragraph dedup (CCNet
     // §4.2 / C4), and hashed-ngram importance selection (DSIR)
-    "semdedup"          -> (SemDedup.semdedup _),
+    "semdedup"          -> ((s: SparkSession, d: String) => SemDedup.semdedup(s, d)),
     "line_dedup"        -> (LineDedup.lineDedup _),
     "line_dedup_incremental" -> (LineDedup.lineDedupIncremental _),
     "dsir_select"       -> (Dsir.dsirSelect _),
@@ -719,6 +722,18 @@ object SparkEntry {
          |         ROW_NUMBER() OVER (PARTITION BY payload ORDER BY media_id) AS rn
          |  FROM read_parquet('${Multimodal.fixturePath}/*.parquet'))
          |WHERE rn = 1 ORDER BY media_id""".stripMargin,
+    // Spark decodes PIXELS from the payload bytes (full PNG inflate +
+    // unfilter), dHashes them, and recovers the near-dup structure via
+    // banded Hamming LSH; the oracle answers from the fixture's PLANTED
+    // twin_of ground-truth column, which the Spark plan never reads —
+    // equality certifies the whole perceptual pipeline: decode across all
+    // five filter types, hash invariance under re-encoding, the Hamming
+    // tolerance catching every perturbed twin, and zero false pairs
+    // among the distinct base images.
+    "media_phash" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${ImagePhash.fixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
     // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
     // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the
     // fixture's METADATA columns — equality certifies the byte parse, and

@@ -38,8 +38,11 @@ object GlobalRank {
   val BucketScale = 100
 
   /** Exact global rank of every row by (`score` DESC, `idCol` ASC),
-    * without a corpus-wide single-partition sort. Appends `rank`. */
-  def rankByScore(df: DataFrame, score: Column, idCol: Column): DataFrame = {
+    * without a corpus-wide single-partition sort. Appends `rank`.
+    * `materialize = false` returns the LAZY two-phase plan and leaves the
+    * scored frame cached for the caller to release — the plan-audit hook. */
+  def rankByScore(df: DataFrame, score: Column, idCol: Column,
+      materialize: Boolean = true): DataFrame = {
     // Cache contract ([[graft.Caching]]): both phases read the scored
     // frame — without the persist the score expression (for
     // `ccnet_buckets`, the LM kernel over the full corpus) evaluates
@@ -70,9 +73,12 @@ object GlobalRank {
     // materialize (the ranked frame is df + one long — callers pass narrow
     // scored frames here, never raw text) and release the phase cache so
     // repeated calls in one session don't leak cached score frames
-    val out = ranked.localCheckpoint(true)
-    bucketed.unpersist(blocking = false)
-    out
+    if (!materialize) ranked
+    else {
+      val out = ranked.localCheckpoint(true)
+      bucketed.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Declared key (`ccnet_buckets`): score the corpus with the en-slice
@@ -80,13 +86,14 @@ object GlobalRank {
     * reference-like = lowest perplexity), and cut into CCNet's
     * head/middle/tail terciles by exact rank. The corpus size joins in as
     * a 1-row broadcast (the bm25 corpus-stats shape). */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def ccnetBuckets(spark: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (model, oov) = LmScore.collectModel(
       LmScore.trainModel(docs.filter(col("lang") === "en")))
     val scored = LmScore.scoreKernel(docs.select("doc_id", "lang", "text"), model, oov)
       .select("doc_id", "lang", "lp_mean")
-    val ranked = rankByScore(scored, col("lp_mean"), col("doc_id"))
+    val ranked = rankByScore(scored, col("lp_mean"), col("doc_id"), materialize)
     val n = ranked.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",

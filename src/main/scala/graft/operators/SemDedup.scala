@@ -58,8 +58,11 @@ object SemDedup {
     * vector — its cluster, how many lower-id cluster-mates sit inside the
     * ε-ball, and the keep verdict. `centroidsFrom` picks the seed rows
     * (vec_id < c) from the frame itself, the `kmeans_assign` convention. */
+  /** `materialize = false` returns the LAZY verdict plan and leaves the
+    * assignment cached for the caller to release — the plan-audit hook
+    * (the eager default is what the declared key and pipelines use). */
   def prune(emb: DataFrame, c: Int = Similarity.KmeansSeedC,
-      tau: Double = Tau): DataFrame = {
+      tau: Double = Tau, materialize: Boolean = true): DataFrame = {
     val cdf = broadcast(
       emb.filter(col("vec_id") < c)
         .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
@@ -83,9 +86,12 @@ object SemDedup {
     // assignment INSIDE the operator is cheap and keeps long-lived /
     // composed-pipeline sessions from accumulating stale cached assignments
     // across calls (callers no longer need spark.catalog.clearCache()).
-    val out = pruneAssigned(assigned, tau).localCheckpoint(true)
-    assigned.unpersist(blocking = false)
-    out
+    if (!materialize) pruneAssigned(assigned, tau)
+    else {
+      val out = pruneAssigned(assigned, tau).localCheckpoint(true)
+      assigned.unpersist(blocking = false)
+      out
+    }
   }
 
   /** The pair-search + verdict half over an ALREADY-ASSIGNED frame
@@ -114,11 +120,12 @@ object SemDedup {
   /** Declared key (`semdedup`): plant the deterministic near-duplicates,
     * assign against the [[Similarity.KmeansSeedC]] seed centroids, prune.
     * Exactly the planted twins drop; every original keeps. */
-  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+  def semdedup(spark: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val planted = base.filter(col("vec_id") < Similarity.PlantCount)
       .select((col("vec_id") + lit(Similarity.PlantIdOffset)).as("vec_id"), col("v"))
-    prune(base.unionByName(planted)).orderBy("vec_id")
+    prune(base.unionByName(planted), materialize = materialize).orderBy("vec_id")
   }
 }

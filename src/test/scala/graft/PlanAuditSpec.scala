@@ -144,6 +144,15 @@ class PlanAuditSpec extends SparkSpec {
       s"byte-only decode must scan payload but never the metadata struct: $read")
   }
 
+  test("media_phash reads only (media_id, payload) — planted ground truth cannot leak") {
+    val p = plan("media_phash")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("payload") && !read.contains("twin_of") && !read.contains("kind"),
+      s"perceptual dedup must answer from bytes, never the planted twin columns: $read")
+    assert(!p.contains("CartesianProduct"),
+      "pair search must shard by hash band, never all-pairs")
+  }
+
   test("zip_scan reads through the graft-zipjson DSv2 connector") {
     val p = plan("zip_scan")
     assert(p.contains("graft-zipjson"))
@@ -408,7 +417,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("semdedup: one centroid fan-out, map-side argmin collapse, cid-keyed pair search") {
-    val p = plan("semdedup")
+    // materialize=false: the declared key eagerly checkpoints the narrow
+    // verdict frame (cache-release contract), which would render as one
+    // ExistingRDD scan — the audit wants the INTERIOR plan, which is what
+    // that materialization executes
+    val p = operators.SemDedup.semdedup(spark, sf, materialize = false)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
     // the ONLY nested-loop is the ×c broadcast centroid fan-out (the
     // kmeans_assign shape) inside the cached assignment — toString
     // re-renders the InMemoryRelation's plan at every InMemoryTableScan,
@@ -444,7 +459,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ccnet_buckets: rank never single-partitions the corpus; offsets and N broadcast") {
-    val p = plan("ccnet_buckets")
+    // materialize=false: same interior-plan hook as the semdedup audit
+    val p = operators.GlobalRank.ccnetBuckets(spark, sf, materialize = false)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
     // the naive form this operator exists to avoid — a corpus-wide
     // row_number is an Exchange SinglePartition over all documents; the
     // two-phase form's windows run over the bounded bucket frame (pmod
