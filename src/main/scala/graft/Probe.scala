@@ -82,7 +82,14 @@ object Probe {
         phashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(200000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(10000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash)")
+      case Some("ivfpq") =>
+        ivfpqProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(1000000),
+          c = args.lift(2).map(_.toInt).getOrElse(1024))
+      case Some("streamlines") =>
+        streamLineDedupProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(200000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines)")
     }
     spark.stop()
   }
@@ -357,6 +364,126 @@ object Probe {
       s"nProbe=16 of $c lists must essentially recover the exact top-$k, got ${curve.last}")
     assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 0.02 },
       s"recall must not degrade as nProbe grows: $curve")
+  }
+
+  /** The IVFADC SERVING path at scale ([[graft.operators.ProductQuant
+    * .writeIvfPqIndex]]/[[graft.operators.ProductQuant.ivfPqSearch]]):
+    * same clustered corpus as [[ivfProbe]], but the persisted index now
+    * carries PQ codes, so a query batch composes BOTH pruning axes —
+    * nProbe/c of the rows are scanned (cid partition pruning) and the
+    * ADC stage of each scanned row touches the codes column instead of
+    * the float vector (dim×8 bytes → M×4 = a 16× column-payload cut at
+    * int codes; byte codes in a production layout make it 32×; floats
+    * are read only for the `shortlist` rerank rows). Reported per
+    * nProbe: recall vs the exact in-list baseline, wall time, and the
+    * candidate-row fraction.
+    *
+    * Shortlist sizing applies [[pqProbe]]'s recorded tie-group lesson:
+    * on this clustered geometry every home-list member reconstructs to
+    * ≈ the same ADC score (4-bit codes cannot rank WITHIN a natural
+    * cluster), so the shortlist must cover the ~n/c-member tie group —
+    * 100 recovered 0.165 there; the default here is n/c rounded up. */
+  def ivfpqProbe(spark: SparkSession, n: Int, c: Int,
+      dim: Int = 64, nQ: Int = 20, k: Int = 10): Unit = {
+    val shortlist = math.max(graft.operators.ProductQuant.Shortlist, n / c + 100)
+    import graft.operators.{ProductQuant, Similarity}
+    def comp(key: org.apache.spark.sql.Column) =
+      pmod(xxhash64(key), lit(1000)).cast("double") / 500.0 - 1.0
+    val cluster = pmod(xxhash64(col("vec_id")), lit(c.toLong))
+    val emb = ProductQuant.normalized(
+      spark.range(n).select(col("id").as("vec_id"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => comp(cluster * dim + j) + comp(col("vec_id") * dim + j + lit(7777777L)) * 0.25)
+            .as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    timed(s"IVFADC index build+persist: $n × dim$dim, c=$c lists + PQ codes") {
+      ProductQuant.writeIvfPqIndex(spark, dir, emb, c, lloydIters = 1)
+    }
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = timed(s"exact baseline: $nQ queries × $n brute force") {
+      val e = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotQ)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= k)
+        .select("q_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    emb.unpersist(blocking = false) // serving reads the INDEX, not the source
+    val curve = Seq(1, 2, 4).map { nProbe =>
+      val t0 = System.nanoTime()
+      val hits = exact.intersect(
+        ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k, nProbe, shortlist)
+          .select("q_id", "vec_id")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = hits.toDouble / (nQ.toLong * k)
+      println(f"[probe] ivfpq: nProbe=$nProbe%2d recall@$k=$recall%.3f " +
+        f"(${hits}/${nQ * k} hits, $sec%.2f s, candidate fraction " +
+        f"${nProbe.toDouble / c}%.4f of rows × codes-only bytes)")
+      recall
+    }
+    exact.unpersist()
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 0.02 },
+      s"recall must not degrade as nProbe grows: $curve")
+    assert(curve.last >= 0.6,
+      s"nProbe=4 of $c lists through PQ must recover ≥ 0.6 of the exact top-$k, got ${curve.last}")
+  }
+
+  /** [[graft.streaming.StreamingOps.streamingLineDedupSeeded]] drain at
+    * scale: `nDocs` NDJSON docs of [[linesPerDoc]] lines each, drawn from
+    * a pool of nDocs/2 distinct lines (each line recurs ~2·linesPerDoc
+    * times — the boilerplate shape), with a QUARTER of the pool pre-seeded
+    * into a persisted line-hash index (the already-curated corpus). The
+    * drain must emit exactly the un-seeded distinct lines, once each —
+    * index hits, cross-batch recurrences, and within-batch recurrences
+    * all suppressed by the one seeded state set. */
+  def streamLineDedupProbe(spark: SparkSession, nDocs: Int): Unit = {
+    val linesPerDoc = 8
+    val nDistinct = nDocs / 2
+    val nSeed = nDistinct / 4
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slines").toString
+    val (idx, src, out, ck) = (s"$tmp/idx", s"$tmp/src", s"$tmp/out", s"$tmp/ck")
+    def lineText(lid: org.apache.spark.sql.Column) =
+      concat(lit("ln "), lid, lit(" t"), pmod(xxhash64(lid * 31), lit(50000)),
+        lit(" t"), pmod(xxhash64(lid * 37), lit(50000)))
+    // the curated corpus's index: fps of the first nSeed pool lines
+    graft.operators.IncrementalDedup.writeFpIndex(
+      spark.range(nSeed).select(md5(lineText(col("id"))).as("fp")),
+      idx, nBuckets = 32)
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), lit(linesPerDoc - 1)),
+          k => lineText(pmod(col("id") * linesPerDoc + k, lit(nDistinct.toLong)))))
+          .as("text"))
+      .repartition(32).write.json(src)
+    val q = graft.streaming.StreamingOps.foreachBatchParquetSink(
+      graft.streaming.StreamingOps.streamingLineDedupSeeded(
+        graft.streaming.StreamingOps.fileDropSource(
+          spark, src, "doc_id LONG, text STRING", maxFilesPerTrigger = 8),
+        graft.operators.IncrementalDedup.readFpIndex(spark, idx)),
+      out, ck)
+    timed(s"streamingLineDedupSeeded drain of $nDocs docs × $linesPerDoc lines " +
+        s"($nDistinct distinct, $nSeed pre-seeded, 8-file batches)") {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val kept = spark.read.parquet(out)
+    val n = kept.count()
+    val nd = kept.select("line").distinct().count()
+    println(s"[probe] streamlines: $n kept lines, $nd distinct " +
+      s"(expect ${nDistinct - nSeed} both)")
+    assert(n == (nDistinct - nSeed).toLong && nd == n)
   }
 
   /** Composed streaming curation drain at scale: `nDocs` NDJSON docs drop

@@ -79,6 +79,9 @@ object SparkEntry {
     // PQ-ADC shortlist + exact rerank, reported as per-query recall vs
     // the exact baseline (r12 — codebooks aren't DuckDB-expressible)
     "pq_topk"       -> ((s: SparkSession, d: String) => ProductQuant.pqRecall(s, d)),
+    // IVFADC served end-to-end from the persisted cid-partitioned index
+    // (build-once/serve-forever; both pruning axes compose)
+    "ivfpq_topk"    -> ((s: SparkSession, d: String) => ProductQuant.ivfpqRecall(s, d)),
     "embed_dedup"   -> ((s: SparkSession, d: String) =>
       Similarity.embedDedupRecallCheck(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
@@ -109,6 +112,9 @@ object SparkEntry {
       Similarity.kmeansAssign(s, d)),
     "seq_pack"          -> (Packing.seqPack _),
     "seq_chunks"        -> (Packing.seqChunks _),
+    // tokenizer-aware packing: budgets count BPE symbols served from the
+    // persisted merge table, not whitespace words
+    "seq_pack_bpe"      -> (Packing.seqPackBpe _),
     "bloom_join"        -> (BloomJoin.bloomJoin _),
     // §2.7 [EXT] r12 curation extensions: PII scrub, weighted domain
     // mixing, and the exact suffix-array-family substring dedup
@@ -356,6 +362,27 @@ object SparkEntry {
            |    ' ' || b.l || b.r || ' ') AS seq
            |  FROM s${r - 1} CROSS JOIN b$r b)""".stripMargin)
     }
+  }
+
+  /** BPE document-encoding CTEs: every document as one boundary-joined
+    * seq-string, pushed through the learned merges in training order.
+    * Ends at `enc${Bpe.Merges}`, whose n_sym expression both `bpe_encode`
+    * and `seq_pack_bpe` consume. */
+  private def bpeEncodeCtes: Seq[String] = {
+    val enc0 =
+      s"""enc0 AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+         |  CAST(len(text) AS INT) AS n_chars,
+         |  ' ' || array_to_string(list_transform(string_split(text, ' '), t ->
+         |      array_to_string(list_transform(range(1, len(t) + 1),
+         |        i -> substr(t, i, 1)), '  ')), '  ${Bpe.Boundary}  ') || ' ' AS seq
+         |  FROM documents)""".stripMargin
+    val encs = (1 to Bpe.Merges).map(r =>
+      s"""enc$r AS (SELECT doc_id, n_ws, n_chars,
+         |  replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' ') AS seq
+         |  FROM enc${r - 1} CROSS JOIN b$r b)""".stripMargin)
+    bpeTrainCtes ++ (enc0 +: encs)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -639,6 +666,12 @@ object SparkEntry {
     // same verdict pattern for the PQ pipeline: TRUE = "the ADC shortlist
     // + exact rerank recovered ≥ minRecall of the exact top-k"
     "pq_topk" ->
+      s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
+    // and for the composed IVFADC serving path (persisted index → probe →
+    // ADC → rerank): TRUE = "both approximation layers together still
+    // recovered ≥ minRecall of the exact top-k"
+    "ivfpq_topk" ->
       s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
     // pair identities are xxhash64-derived (not DuckDB-expressible); the
@@ -1335,28 +1368,29 @@ object SparkEntry {
     },
     // BPE encoding: the corpus re-tokenized through the same learned
     // merges — boundary symbols keep merges word-local
-    "bpe_encode" -> {
-      val enc0 =
-        s"""enc0 AS (SELECT doc_id,
-           |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
-           |  CAST(len(text) AS INT) AS n_chars,
-           |  ' ' || array_to_string(list_transform(string_split(text, ' '), t ->
-           |      array_to_string(list_transform(range(1, len(t) + 1),
-           |        i -> substr(t, i, 1)), '  ')), '  ${Bpe.Boundary}  ') || ' ' AS seq
-           |  FROM documents)""".stripMargin
-      val encs = (1 to Bpe.Merges).map(r =>
-        s"""enc$r AS (SELECT doc_id, n_ws, n_chars,
-           |  replace(seq, ' ' || b.l || '  ' || b.r || ' ',
-           |    ' ' || b.l || b.r || ' ') AS seq
-           |  FROM enc${r - 1} CROSS JOIN b$r b)""".stripMargin)
-      s"""WITH ${(bpeTrainCtes ++ (enc0 +: encs)).mkString(",\n")}
+    "bpe_encode" ->
+      s"""WITH ${bpeEncodeCtes.mkString(",\n")}
          |SELECT doc_id, n_ws,
          |  CAST(len(string_split(trim(seq), '  ')) - (n_ws - 1) AS INT) AS n_sym,
          |  n_chars,
          |  ROUND(CAST(n_chars AS DOUBLE)
          |    / (len(string_split(trim(seq), '  ')) - (n_ws - 1)), 6) AS chars_per_sym
-         |FROM enc${Bpe.Merges} ORDER BY doc_id""".stripMargin
-    },
+         |FROM enc${Bpe.Merges} ORDER BY doc_id""".stripMargin,
+    // tokenizer-aware packing: the seq_pack running sum over MODEL token
+    // counts — the same BPE encode CTEs feed n_tok, so the budget counts
+    // learned symbols, not whitespace words
+    "seq_pack_bpe" ->
+      s"""WITH ${bpeEncodeCtes.mkString(",\n")},
+         |t AS (SELECT doc_id,
+         |        CAST(len(string_split(trim(seq), '  ')) - (n_ws - 1) AS BIGINT) AS n_tok
+         |      FROM enc${Bpe.Merges}),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |          AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tok, start_tok, start_tok // ${Packing.SeqBudget} AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     // SemDeDup: the oracle recomputes planting, the kmeans_assign-form
     // cluster argmin, the within-cluster pair cosines (the sim_topk
     // index-order fold over precomputed norms), and the keep verdicts —

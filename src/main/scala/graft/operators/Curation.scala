@@ -42,7 +42,9 @@ object Curation {
       mixBudgets: Option[Seq[(String, Long)]] = None,
       domainCol: String = "lang",
       lmFilter: Option[(Map[String, Long], Long, Double)] = None,
-      dsirFilter: Option[(Map[String, Long], Long)] = None): DataFrame = {
+      dsirFilter: Option[(Map[String, Long], Long)] = None,
+      tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => size(split(t, " ")).cast("long")): DataFrame = {
     // 0. optional PII scrub (r12): [[Redact.clean]] is a stateless column
     //    expression, so it fuses into the SAME narrow projection as the
     //    quality score — everything downstream (quality, fingerprint,
@@ -84,11 +86,16 @@ object Curation {
     // 2. exact dedup — keep-first per fingerprint (the doc_dedup shape);
     //    n_tok is computed HERE so the dedup exchange and everything after
     //    it carry four narrow columns, not the text (plus the domain
-    //    column when a mix stage needs it downstream)
+    //    column when a mix stage needs it downstream). `tokenCounter`
+    //    decides what a "token" is for EVERY downstream budget — the
+    //    domain-mix fills and the sequence packing both consume this one
+    //    column, so swapping in [[Bpe.encodeSymCount]] (tokenizer-aware
+    //    curation — the counts a training-batch writer uses) re-budgets
+    //    the whole pipeline without touching any stage.
     val w = Window.partitionBy("fp").orderBy("doc_id")
     val narrowCols = Seq(col("doc_id"), col("quality"),
       TextOps.fingerprint(col("text")).as("fp"),
-      size(split(col("text"), " ")).cast("long").as("n_tok")) ++
+      tokenCounter(col("text")).as("n_tok")) ++
       (if (mixBudgets.isDefined) Seq(col(domainCol)) else Nil)
     val deduped = kept
       .select(narrowCols: _*)

@@ -101,6 +101,25 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Declared key (`seq_pack_bpe`): [[seqPack]] with MODEL tokens — the
+    * per-document count is [[Bpe.encodeSymCount]] under the PERSISTED
+    * merge table ([[Bpe.servedMerges]]), so sequence budgets measure what
+    * a training-batch writer actually packs: learned BPE symbols, not
+    * whitespace words. The prefix-sum/bucket machinery is unchanged
+    * (packSequences is generic over any (id, n_tok) frame); only the
+    * narrow token projection differs — chained codegen'd replaces over
+    * the one text scan, so the 100 TB cost profile is the bpe_encode
+    * serve path plus the same two-phase pack. */
+  def seqPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.servedMerges(spark, dir)
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Bpe.encodeSymCount(col("text"), merges).cast("long").as("n_tok"))
+    packSequences(t, "doc_id", "n_tok", SeqBudget, BucketWidth)
+      .select("doc_id", "n_tok", "start_tok", "seq_id")
+      .orderBy("doc_id")
+  }
+
   /** The CHUNK half of concat-and-chunk: [[packSequences]] gives each
     * document its global token offset; this explodes each document into
     * the per-sequence SEGMENTS a training-batch writer actually emits —

@@ -219,6 +219,102 @@ object ProductQuant {
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVFADC index PERSISTENCE — the [[Similarity.writeIvfIndex]] layout
+    * extended with the PQ code column, so ONE persisted artifact serves
+    * both pruning axes: `assigned/` is the inverted file (vec_id, v,
+    * codes, cid) parquet PARTITIONED BY cid (a probe of nProbe lists
+    * reads nProbe/c of the corpus from disk, and within each list the
+    * ADC stage touches only the 32×-compressed `codes` column — column
+    * pruning gives the second axis for free); `centroids/` and
+    * `codebooks/` are the two tiny driver-resident model frames. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, emb: DataFrame,
+      c: Int = 8, lloydIters: Int = 2)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    import spark.implicits._
+    val centroids = Similarity.trainCentroids(spark, emb, c, lloydIters)
+    val cbs = trainCodebooks(spark, emb)
+    centroids.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, k) => (mi, k, cw) }
+    }.toDF("mi", "k", "cw").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    encode(emb, cbs)
+      .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+    (centroids, cbs)
+  }
+
+  /** Read the persisted IVFADC index back as ([[ivfPqSearch]]'s
+    * `assigned` frame, centroids, codebooks). The two model collects are
+    * c and M·Ks rows — the driver-resident discipline. */
+  def readIvfPqIndex(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val ks = cbRows.keys.map(_._2).max + 1
+    val cbs = (0 until m).map(mi => (0 until ks).map(k => cbRows((mi, k)).toSeq))
+    (spark.read.parquet(s"$dir/assigned"), centroids, cbs)
+  }
+
+  /** Per-corpus serving location for the declared key ([[graft.operators
+    * .Bpe.mergeTablePath]] staleness discipline: the path carries the
+    * embeddings table's byte total, so regenerated data rebuilds). */
+  def ivfpqIndexPath(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val files = Option(f.listFiles()).map(_.toSeq)
+      .getOrElse(if (f.isFile) Seq(f) else Seq.empty)
+    val bytes = files.filter(_.isFile).map(_.length()).sum
+    "target/fixtures/ivfpq_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + bytes
+  }
+
+  /** Serve a query batch END TO END from the persisted IVFADC index:
+    * build the index at most once per corpus, read it back, probe +
+    * ADC-score + rerank through [[ivfPqSearch]]. The rerank's full
+    * vectors come from the SAME index read (`assigned` carries v), so a
+    * serving job opens exactly one artifact. */
+  def ivfpqServe(spark: SparkSession, dir: String, k: Int = Similarity.DefaultK,
+      nProbe: Int = 2, shortlist: Int = Shortlist): DataFrame = {
+    val path = ivfpqIndexPath(dir)
+    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists) {
+      val emb = normalized(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      writeIvfPqIndex(spark, path, emb)
+      emb.unpersist(blocking = false)
+    }
+    val (assigned, centroids, cbs) = readIvfPqIndex(spark, path)
+    val queries = assigned.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfPqSearch(assigned, assigned.select("vec_id", "v"), queries,
+      centroids, cbs, k, nProbe, shortlist)
+  }
+
+  /** Declared key (`ivfpq_topk`): per-query recall of the PERSISTED-index
+    * IVFADC serving path against the exact cosine top-k — the
+    * [[Similarity.annRecall]] verdict pattern. The bound composes both
+    * approximation layers (IVF probe misses × PQ shortlist misses), so it
+    * carries deliberate slack under the measured recall, as `ann_topk`
+    * and `pq_topk` do for their single layers. */
+  def ivfpqRecall(spark: SparkSession, dir: String,
+      k: Int = Similarity.DefaultK, minRecall: Double = 0.2): DataFrame = {
+    val exact = Similarity.simTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val approx = ivfpqServe(spark, dir, k)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("hits"))
+      .select(col("q_id"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact") >= minRecall).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
   /** The declared fixture shape: normalize the embeddings table, train,
     * search with the first [[Similarity.NumQueryVecs]] vectors as
     * queries. */

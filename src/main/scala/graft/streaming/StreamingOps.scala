@@ -156,6 +156,48 @@ object StreamingOps {
       .toDF("fp", "doc_id")
   }
 
+  /** [EXT] streaming LINE dedup seeded from a persisted line-hash index —
+    * [[graft.operators.LineDedup]]'s rolling-crawl mode one step further:
+    * instead of batch-vs-index steps ([[graft.operators.LineDedup
+    * .stepLines]]), the line-hash seen-set IS streaming state, seeded
+    * from the accumulated corpus's index at query start (the
+    * [[streamingDocDedupSeeded]] hand-off, one granularity down) and
+    * checkpointed with the query thereafter. A stream document's line
+    * that duplicates boilerplate anywhere in the curated corpus — or in
+    * any earlier micro-batch — is suppressed; state is one 32 B md5 per
+    * DISTINCT line, the CCNet paragraph-hash set made incremental.
+    *
+    * Emits one row per KEPT line: (doc_id, idx, line) — the first
+    * arrival (lowest (doc_id, idx)) on each fingerprint's first
+    * in-stream encounter. A document's lines all travel in one input row
+    * and therefore one micro-batch, so per-batch reassembly downstream
+    * (the [[graft.operators.LineDedup.dedupLines]] rebuild aggregation
+    * inside foreachBatch) sees every kept line of a document together. */
+  def streamingLineDedupSeeded(docs: DataFrame, indexFps: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val initial = indexFps.select(col("fp")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .select(md5(col("line")).as("fp"), col("doc_id"),
+        col("idx").cast("int").as("idx"), col("line"))
+      .as[(String, Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Int, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
+        (fp: String, arrivals: Iterator[(String, Long, Int, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(
+              arrivals.map(t => (t._2, t._3, t._4)).minBy(t => (t._1, t._2)))
+          }
+      }
+      .toDF("doc_id", "idx", "line")
+  }
+
   /** [EXT] streaming curation — [[graft.operators.Curation.curate]]'s
     * incremental stages composed as ONE streaming query: the stateless
     * quality gate (the IDENTICAL [[graft.operators.TextOps.quality]]

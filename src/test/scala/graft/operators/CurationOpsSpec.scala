@@ -217,6 +217,59 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("seq_pack_bpe: model-token packing tiles the corpus; counts match the served encoder") {
+    val got = Packing.seqPackBpe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    // tiling: start_tok is the exclusive prefix sum of n_tok in doc_id
+    // order, seq_id the budget chunk the first token lands in
+    var cum = 0L
+    got.sortBy(_._1).foreach { case (id, t, s, q) =>
+      assert(s === cum, s"doc $id start_tok")
+      assert(q === s / Packing.SeqBudget, s"doc $id seq_id")
+      cum += t
+    }
+    // counts ARE the served BPE encoder's, not whitespace words: recompute
+    // through encodeSymCount with the same persisted merge table
+    val merges = Bpe.servedMerges(spark, sf0001)
+    val want = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Bpe.encodeSymCount(col("text"), merges).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, t, _, _) => assert(t === want(id), s"doc $id n_tok") }
+    // and they genuinely differ from the whitespace tokenization (the
+    // budget measures model tokens — if these were equal the key would be
+    // a re-label of seq_pack)
+    val ws = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.count { case (id, t, _, _) => t != ws(id) } > got.length / 2)
+  }
+
+  test("curate(tokenCounter=BPE): the whole pipeline re-budgets on model tokens") {
+    val merges = Bpe.servedMerges(spark, sf0001)
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val bpe = Curation.curate(docs,
+        tokenCounter = t => Bpe.encodeSymCount(t, merges).cast("long"))
+      .select("doc_id", "n_tok", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spark.catalog.clearCache()
+    // same survivors as the whitespace-budget run (the counter feeds
+    // budgets, never the quality/dedup/split verdicts) …
+    val wsRun = Curation.curate(docs)
+      .select("doc_id", "n_tok", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(bpe.map(_._1).toSeq === wsRun.map(_._1).toSeq)
+    // … but packed on BPE symbol counts, with the prefix-sum tiling intact
+    var cum = 0L
+    bpe.foreach { case (id, t, s) =>
+      assert(s === cum, s"doc $id start_tok under BPE counts")
+      cum += t
+    }
+    assert(bpe.zip(wsRun).count { case ((_, tb, _), (_, tw, _)) => tb != tw } >
+      bpe.length / 2, "BPE counts must actually differ from whitespace counts")
+  }
+
   test("chunkSequences: segments tile every document and every sequence exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xc40c)

@@ -83,4 +83,33 @@ class ProductQuantSpec extends SparkSpec {
     assert(rows.forall(_.getBoolean(2)), rows.mkString(", "))
     spark.catalog.clearCache()
   }
+
+  test("ivfpq index round-trips: read-back centroids/codebooks/codes equal what was written") {
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val (centroids, cbs) = ProductQuant.writeIvfPqIndex(spark, tmp, emb, c = 4)
+    val (assigned, rc, rcbs) = ProductQuant.readIvfPqIndex(spark, tmp)
+    // read-back is cid-sorted; training emission order is not
+    assert(rc === centroids.sortBy(_._1))
+    assert(rcbs === cbs)
+    // codes in the index equal a fresh encode against the same codebooks
+    val fresh = ProductQuant.encode(emb, cbs).select("vec_id", "codes")
+    val stored = assigned.select("vec_id", "codes")
+    assert(stored.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(stored).count() === 0)
+    emb.unpersist()
+  }
+
+  test("ivfpq serving: second call serves from the persisted index; declared key all-green") {
+    // first call may build; second must read the same artifact — byte-
+    // identical results certify the serve path (Lloyd retraining would
+    // not be bit-deterministic, so equality here proves NO retrain ran)
+    val a = ProductQuant.ivfpqServe(spark, sf0001).collect().toSeq
+    val b = ProductQuant.ivfpqServe(spark, sf0001).collect().toSeq
+    assert(a === b)
+    val rows = ProductQuant.ivfpqRecall(spark, sf0001).collect()
+    assert(rows.length === Similarity.NumQueryVecs)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString(", "))
+    spark.catalog.clearCache()
+  }
 }

@@ -206,6 +206,54 @@ class StreamingSpec extends SparkSpec {
       "index fps and checkpointed stream fps must both suppress")
   }
 
+  test("seeded streaming line dedup: index lines and earlier-batch lines suppress; restart-safe") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val sparkS = spark
+    import sparkS.implicits._
+    // batch side: the curated corpus's line-hash index (LineDedup's
+    // rolling-crawl artifact) — doc with a boilerplate line + a body line
+    val idxDir = tmpDir("slines-idx")
+    graft.operators.IncrementalDedup.writeFpIndex(
+      Seq("subscribe to our newsletter", "alpha beta gamma").toDF("line")
+        .select(md5(col("line")).as("fp")),
+      idxDir, nBuckets = 4)
+    val index = graft.operators.IncrementalDedup.readFpIndex(spark, idxDir)
+    val dropDir = tmpDir("slines-src")
+    val outDir  = tmpDir("slines-out")
+    val ckDir   = tmpDir("slines-ck")
+    def drop(name: String, docs: Seq[(Long, String)]): Unit = {
+      // \n inside JSON strings must arrive escaped
+      val lines = docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "${t.replace("\n", "\\n")}"}"""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dropDir, name), lines)
+    }
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingLineDedupSeeded(
+        StreamingOps.fileDropSource(spark, dropDir, "doc_id LONG, text STRING",
+          maxFilesPerTrigger = 1), index),
+      outDir, ckDir)
+    // doc 10: an INDEXED boilerplate line (suppressed without the stream
+    // ever seeing the original) + a fresh body line (kept)
+    drop("a.json", Seq(
+      (10L, "subscribe to our newsletter\nfresh body ten"),
+      (11L, "fresh body eleven\nfresh body ten"))) // within-batch dup: keep-first at doc 10
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // across a restart: a line kept PRE-restart and an indexed line both
+    // suppress; one genuinely new line survives
+    drop("b.json", Seq(
+      (12L, "fresh body ten\nalpha beta gamma\nbrand new line")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("line")))
+      .sortBy(r => (r._2, r._1))
+    assert(out.toSeq === Seq(
+      (12L, "brand new line"),
+      (11L, "fresh body eleven"),
+      (10L, "fresh body ten")),
+      "kept = first arrival of each line never seen by index or stream")
+  }
+
   test("streaming curation: quality gate + dedup as one query, restart-safe exactly-once") {
     // The composed streaming twin of the batch curation_pipeline's
     // incremental stages (r12): junk must die at the quality gate WITHOUT
