@@ -89,7 +89,11 @@ object Probe {
       case Some("streamlines") =>
         streamLineDedupProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines)")
+      case Some("jpegphash") =>
+        jpegPhashProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(100000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash)")
     }
     spark.stop()
   }
@@ -209,6 +213,69 @@ object Probe {
     println(s"[probe] phash verdicts: ${verdicts.length} drops, $exact onto " +
       s"their planted base (expect $nTwin/$nTwin, zero spurious)")
     assert(verdicts.length == nTwin && exact == nTwin)
+  }
+
+  /** The lossy/cross-format image near-dup path at scale: `n` distinct
+    * baseline JPEGs (code-carrying 96×64-ish content, q=90, every 3rd
+    * with restart markers) plus `nTwin` q=70 re-encodes AND `nTwin`
+    * lossless PNG cross-format twins of disjoint base ranges. Times the
+    * format-dispatching decode+dHash stage (JPEG decode = Huffman + IDCT
+    * per 8×8 block — an order of magnitude more arithmetic per pixel than
+    * PNG inflate) and the banded-Hamming dedup. Verdict exact: every
+    * planted twin drops onto its base, zero spurious pairs.
+    *
+    * Content is [[ImagePhash.gridCodePixels]] (dHash ≡ a uniform 64-bit
+    * code by construction), NOT the fixture's smooth cosine fields: the
+    * first run at n=100k with smooth content measured ~3k distinct-base
+    * pairs inside radius 3 — low-frequency fields carry far less than 64
+    * bits of dHash entropy, so at corpus scale perceptually-close
+    * distinct images legitimately merge. An exact planted verdict needs
+    * separation by construction (see the generator's scaladoc). */
+  def jpegPhashProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImagePhash, Jpeg}
+    require(2 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jpegphash").toString
+    val reOff = n.toLong           // requal twins of bases [0, nTwin)
+    val pngOff = n.toLong + nTwin  // png twins of bases [nTwin, 2*nTwin)
+    val gen = spark.range(n).map { id =>
+      val (w, h, px) = ImagePhash.gridCodePixels(id)
+      (id.longValue, Jpeg.encode(w, h, px, quality = 90,
+        restartInterval = if (id % 3 == 0) 2 else 0))
+    }.union(spark.range(nTwin).map { i =>
+      val (w, h, px) = ImagePhash.gridCodePixels(i)
+      (reOff + i, Jpeg.encode(w, h, px, quality = 70))
+    }).union(spark.range(nTwin, 2L * nTwin).map { i =>
+      val (w, h, px) = ImagePhash.gridCodePixels(i)
+      (pngOff + i, ImagePhash.Png.encode(w, h, px, filterFor = r => (r % 5).toInt))
+    }).toDF("media_id", "payload")
+    timed(s"jpegphash corpus write ($n base JPEG + $nTwin requal + $nTwin PNG twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    val df = spark.read.parquet(tmp)
+    val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
+    val hashes = ImagePhash.phashFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val decoded = hashes.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] jpegphash decode+hash: $decoded imgs in $sec%.2f s " +
+      f"(${decoded / sec}%.0f imgs/s, ${mb / sec}%.1f MB/s mixed JPEG+PNG)")
+    assert(decoded == n.toLong + 2 * nTwin)
+    val verdicts = timed(s"banded-Hamming dedup over $decoded hashes") {
+      ImagePhash.phashDedup(hashes)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    hashes.unpersist(blocking = false)
+    val exact = verdicts.count { r =>
+      val id = r.getLong(0)
+      (id >= pngOff && id - pngOff == r.getLong(1)) ||
+        (id >= reOff && id < pngOff && id - reOff == r.getLong(1))
+    }
+    println(s"[probe] jpegphash verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
   }
 
   /** [[graft.streaming.StreamingOps.streamingDocDedup]] at scale: `nDocs`

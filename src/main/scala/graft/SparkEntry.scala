@@ -90,6 +90,9 @@ object SparkEntry {
     // §2.7 E4 content level: real PNG pixel decode (pure-JVM inflate +
     // unfilter) → dHash → banded-Hamming perceptual near-dup
     "media_phash"   -> (ImagePhash.mediaPhashQuery _),
+    // the lossy/cross-format half: baseline JPEG pixel decode (Huffman +
+    // IDCT + YCbCr + restarts) — requal/PNG/grayscale twins, one dispatching pass
+    "media_phash_jpeg" -> (ImagePhash.mediaPhashJpegQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -766,6 +769,17 @@ object SparkEntry {
     "media_phash" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${ImagePhash.fixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // same certification shape for the lossy half: Spark decodes baseline
+    // JPEG (and cross-format PNG) payloads to pixels and recovers the
+    // near-dup structure; the oracle answers from the planted twin_of —
+    // equality certifies Huffman/IDCT/YCbCr/restart decode, dHash
+    // stability under real quantization error at two qualities, the
+    // PNG↔JPEG cross-format match, the grayscale 1-component path, and
+    // zero false pairs among the distinct bases
+    "media_phash_jpeg" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,
     // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
     // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the

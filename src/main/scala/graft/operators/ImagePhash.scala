@@ -207,6 +207,18 @@ object ImagePhash {
     }
   }
 
+  /** Format-dispatching pixel decode: sniffs the payload magic (PNG
+    * signature / JPEG SOI) and routes to the matching zero-dependency
+    * codec — [[Png.decodePixels]] or [[Jpeg.decodePixels]]. One image
+    * corpus can mix both formats (the production shape: a crawl holds
+    * PNGs and JPEGs of the same content); anything else → None. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P')
+      Png.decodePixels(payload)
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      Jpeg.decodePixels(payload)
+    else None
+
   /** dHash over decoded RGB pixels: integer grayscale (BT.601 weights in
     * thousandths — no floating point, so the hash is bit-stable), 9×8
     * box-mean downsample (cell x spans columns [x·w/9,(x+1)·w/9) — exact
@@ -349,7 +361,7 @@ object ImagePhash {
     images.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        Png.decodePixels(payload).map { case (w, h, px) => (id, dHash(w, h, px)) }
+        decodeImage(payload).map { case (w, h, px) => (id, dHash(w, h, px)) }
       })
       .toDF("media_id", "phash")
   }
@@ -392,6 +404,192 @@ object ImagePhash {
   def mediaPhashQuery(spark: SparkSession, dir: String): DataFrame = {
     ensurePhashFixture(spark)
     phashDedup(phashFrame(spark.read.parquet(fixturePath)
+      .select("media_id", "payload")))
+      .orderBy("media_id")
+  }
+
+  // ----------------------------------------------- JPEG / cross-format
+
+  /** JPEG-fixture planting layout (the PNG layout's lossy sibling; the
+    * oracle interpolates these). Base ids 0..[[NBaseJpeg]]-1 are baseline
+    * JPEGs at q=90 (every 3rd with restart markers, so the declared key
+    * exercises the decoder's RSTn path on conformant streams). Twins, each
+    * over a DISJOINT 100-id base range so every verdict is unambiguous:
+    *  - `requal`: the same pixels re-encoded at q=70 — two lossy encodes
+    *    of one source differ at the byte AND pixel level;
+    *  - `png`:    the same pixels as a lossless PNG — CROSS-FORMAT
+    *    near-dup, the pair no single-codec pipeline can see;
+    *  - `gray`:   the BT.601 luma as a 1-component grayscale JPEG at
+    *    q=85 — dHash is luma-only, so a grayscale copy is a true
+    *    perceptual dup (and the nComp=1 decode path's witness).
+    * Content is smooth low-frequency cosine fields, not LCG noise: JPEG
+    * quantization error on noise flips ~4-5 dHash bits at q=85 (measured),
+    * past the radius; on smooth content the measured planted-pair max is
+    * 2 with base-base min pairwise distance 6 — both sides of the
+    * [[HammingMax]]=3 cut hold with margin. */
+  val NBaseJpeg = 400
+  val JpegRequalOffset = 10000L // twins of bases 0..99
+  val JpegPngOffset = 20000L    // twins of bases 100..199
+  val JpegGrayOffset = 30000L   // twins of bases 200..299
+
+  /** Deterministic smooth pixels: per-channel sum of 4 id-seeded
+    * low-frequency cosines (LCG-derived amplitude/frequency/phase),
+    * clamped to [0,255]. Distinct ids give well-separated dHashes while
+    * staying JPEG-stable (see layout scaladoc for the measurements). */
+  private[graft] def smoothPixels(id: Long): (Int, Int, Array[Byte]) = {
+    val w = 96 + (id % 16).toInt
+    val h = 64 + (id % 8).toInt
+    var s = id * 2862933555777941757L + 3037000493L
+    def nxt(): Double = { s = s * 2862933555777941757L + 3037000493L; (s >>> 11).toDouble / (1L << 53) }
+    val terms = Array.fill(3, 4)((nxt() * 2 - 1, nxt() * 3 + 0.5, nxt() * 3 + 0.5, nxt() * math.Pi * 2))
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          var v = 128.0
+          var t = 0
+          while (t < 4) {
+            val (a, fx, fy, ph) = terms(c)(t)
+            v += a * 55 * math.cos(2 * math.Pi * (fx * x / w + fy * y / h) + ph)
+            t += 1
+          }
+          px((y * w + x) * 3 + c) = math.max(0, math.min(255, math.round(v))).toInt.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Uniform 64-bit code from an id (splitmix64 finalizer — public-domain
+    * mix with full avalanche), for [[gridCodePixels]]. */
+  private[graft] def splitmix64(id: Long): Long = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Code-carrying pixels for LARGE-n probes: renders a gray image whose
+    * dHash is EXACTLY `splitmix64(id)` by construction. Why a second
+    * generator: [[smoothPixels]] makes realistic low-frequency content
+    * (the right decoder exercise for the 400-base fixture), but smooth
+    * fields have far less than 64 bits of dHash entropy — the first 100k
+    * probe run measured ~3k distinct-base pairs inside Hamming radius 3
+    * (a REAL property of perceptual hashes: perceptually-close content
+    * collides, by design). A planted-verdict probe at 100k therefore
+    * needs separation by construction: uniform codes give
+    * P(any pair ≤ 3) ≈ C(n,2)·43745/2⁶⁴ ≈ 1e-5 at n=10⁵.
+    *
+    * Rendering: per dHash row, a brightness walk over the 9 cells steps
+    * ±[[GridStep]] per code bit (bit k=8y+x set ⇔ cell x < cell x+1, the
+    * [[dHash]] convention), centered so values stay within [72,184]; each
+    * cell fills flat using dHash's own integer bounds. JPEG stability:
+    * cell means average ~80 px, so q≥70 quantization shifts them ≲3
+    * levels — the ±14 adjacent-cell margin keeps every bit's sign. */
+  private[graft] val GridStep = 14
+  private[graft] def gridCodePixels(id: Long): (Int, Int, Array[Byte]) = {
+    val w = 96 + (id % 16).toInt
+    val h = 64 + (id % 8).toInt
+    val code = splitmix64(id)
+    val px = new Array[Byte](w * h * 3)
+    var gy = 0
+    while (gy < 8) {
+      val walk = new Array[Int](9)
+      var mn = 0; var mx = 0
+      var c = 0
+      while (c < 8) {
+        val bit = (code >>> (8 * gy + c)) & 1L
+        walk(c + 1) = walk(c) + (if (bit == 1L) GridStep else -GridStep)
+        mn = math.min(mn, walk(c + 1)); mx = math.max(mx, walk(c + 1))
+        c += 1
+      }
+      val v0 = 128 - (mn + mx) / 2
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val v = (v0 + walk(gx)).toByte
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            px(i) = v; px(i + 1) = v; px(i + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (w, h, px)
+  }
+
+  private[graft] def lumaPlane(px: Array[Byte]): Array[Byte] = {
+    val g = new Array[Byte](px.length / 3)
+    var i = 0
+    while (i < g.length) {
+      g(i) = ((299 * (px(3 * i) & 0xff) + 587 * (px(3 * i + 1) & 0xff) +
+        114 * (px(3 * i + 2) & 0xff) + 500) / 1000).toByte
+      i += 1
+    }
+    g
+  }
+
+  val jpegFixturePath = "/root/repo/target/fixtures/media_phash_jpeg_v1.parquet"
+
+  /** Write the JPEG/cross-format phash fixture once (same atomic-move
+    * discipline as [[ensurePhashFixture]]). Schema: (media_id, payload,
+    * twin_of, kind) — ground truth the oracle reads, the Spark side must
+    * recover from payload bytes alone. */
+  def ensureJpegPhashFixture(spark: SparkSession): Unit = synchronized {
+    val p = java.nio.file.Paths.get(jpegFixturePath)
+    if (!java.nio.file.Files.exists(p)) {
+      import spark.implicits._
+      val rows = spark.range(NBaseJpeg).map { id =>
+        val (w, h, px) = smoothPixels(id)
+        val payload = Jpeg.encode(w, h, px, quality = 90,
+          restartInterval = if (id % 3 == 0) 2 else 0)
+        (id.longValue, payload, Option.empty[Long], "base")
+      }.union(spark.range(100).map { i =>
+        val (w, h, px) = smoothPixels(i)
+        (JpegRequalOffset + i, Jpeg.encode(w, h, px, quality = 70),
+          Option(i.longValue), "requal")
+      }).union(spark.range(100, 200).map { i =>
+        val (w, h, px) = smoothPixels(i)
+        (JpegPngOffset + i, Png.encode(w, h, px, filterFor = r => (r % 5).toInt),
+          Option(i.longValue), "png")
+      }).union(spark.range(200, 300).map { i =>
+        val (w, h, px) = smoothPixels(i)
+        (JpegGrayOffset + i, Jpeg.encodeGray(w, h, lumaPlane(px), quality = 85),
+          Option(i.longValue), "gray")
+      }).toDF("media_id", "payload", "twin_of", "kind")
+      val tmp = jpegFixturePath + ".tmp"
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Declared key (`media_phash_jpeg`): the lossy / cross-format half of
+    * the image near-dup modality. Same decode→dHash→banded-LSH plan as
+    * `media_phash` — [[phashFrame]] now DISPATCHES per payload on magic
+    * bytes, so one pass fingerprints a mixed PNG+JPEG corpus. Row equality
+    * vs the planted ground truth certifies: the full baseline JPEG decode
+    * (Huffman, EXTEND, dequant, IDCT, YCbCr, restart markers), dHash
+    * stability under REAL quantization error (two qualities), the
+    * cross-format PNG↔JPEG match, the grayscale 1-component path, and
+    * zero false pairs among 400 distinct images. */
+  def mediaPhashJpegQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureJpegPhashFixture(spark)
+    phashDedup(phashFrame(spark.read.parquet(jpegFixturePath)
       .select("media_id", "payload")))
       .orderBy("media_id")
   }
