@@ -93,6 +93,10 @@ object SparkEntry {
     // the lossy/cross-format half: baseline JPEG pixel decode (Huffman +
     // IDCT + YCbCr + restarts) — requal/PNG/grayscale twins, one dispatching pass
     "media_phash_jpeg" -> (ImagePhash.mediaPhashJpegQuery _),
+    // pixels → MPEG-7-style spectral descriptor → the vector stack
+    // (simhash bands + exact-cosine verify): the second, independent
+    // content pathway over the same planted fixture
+    "media_embed"   -> (ImageEmbed.mediaEmbedQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -778,6 +782,14 @@ object SparkEntry {
     // PNG↔JPEG cross-format match, the grayscale 1-component path, and
     // zero false pairs among the distinct bases
     "media_phash_jpeg" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the embedding pathway must recover the SAME planted structure from
+    // the same bytes through a different feature space (spectral AC
+    // descriptor + cosine, not gradient-sign Hamming) — two independent
+    // witnesses to the one pixel decode
+    "media_embed" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,

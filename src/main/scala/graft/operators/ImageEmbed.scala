@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Image → embedding: real CONTENT features from decoded pixels
+  * (SURVEY.md §2.7 E4 — closes the "embeddings from pixels" stand-in
+  * that [[Multimodal.MediaDecoder.decode]] documented; reference scope
+  * `flink-samples` has no media operators at all, cited per SURVEY §2.7).
+  *
+  * The descriptor is the luma half of the MPEG-7 Color Layout Descriptor
+  * (ISO/IEC 15938-3 §6.6, public spec): downsample the image to an 8×8
+  * grid of luma block means, 8×8 DCT, keep the first [[NCoef]] AC
+  * coefficients in zigzag order. It is a genuine spectral shape feature —
+  * model-free, deterministic, and robust to exactly the transforms the
+  * fixture plants (re-encoding at another quality, a different codec,
+  * chroma removal), while distinct content diverges in the AC spectrum.
+  * The DC term is EXCLUDED: cosine similarity over a DC-dominated vector
+  * says "both images have brightness", which is no signal at all.
+  *
+  * Downstream the embedding rides the SAME vector stack every other
+  * embedding in the engine rides — `graft_vec_simhash` hyperplane
+  * signatures, banded-Hamming candidate mining, exact-cosine verify —
+  * which is the point: once pixels become vectors, images are just
+  * another embedding modality (ANN, SemDeDup, k-means all apply as-is).
+  *
+  * Scale: decode+descriptor is the narrow mapPartitions stage
+  * ([[ImagePhash.phashFrame]]'s shape); only (media_id, 20 doubles)
+  * leaves it, the 64-bit signature bands shard the pair search, and the
+  * cosine verify touches candidate pairs only — never all pairs.
+  */
+object ImageEmbed {
+
+  /** AC coefficients kept (zigzag 1..NCoef — DC excluded, see scaladoc). */
+  val NCoef = 20
+
+  /** Cosine floor for the verify stage. Fixture margins are measured in
+    * ImageEmbedSpec: planted-twin min cosine and distinct-base max cosine
+    * must straddle this with room on both sides. */
+  val CosThreshold = 0.985
+
+  /** Luma color-layout descriptor over decoded RGB pixels. Integer
+    * BT.601 luma in thousandths for the block means (bit-stable, the
+    * [[ImagePhash.dHash]] discipline), then the shared separable
+    * [[Jpeg.fdct]] and a zigzag AC scan. */
+  def colorLayout(w: Int, h: Int, rgb: Array[Byte]): Array[Double] = {
+    val g = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            sum += 299L * (rgb(i) & 0xff) + 587L * (rgb(i + 1) & 0xff) +
+              114L * (rgb(i + 2) & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        // block mean luma, level-shifted to the DCT's signed range
+        g(gy * 8 + gx) = (if (n == 0) 0.0 else (sum / n) / 1000.0) - 128.0
+        gx += 1
+      }
+      gy += 1
+    }
+    val coef = Jpeg.fdct(g)
+    Array.tabulate(NCoef)(k => coef(Jpeg.Zigzag(k + 1)))
+  }
+
+  /** Decode + descriptor as one narrow pass: (media_id, payload) →
+    * (media_id, v). Format dispatch via [[ImagePhash.decodeImage]];
+    * non-image payloads drop out (None), so the frame is safe over a
+    * mixed-modality corpus. */
+  def embedFrame(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImagePhash.decodeImage(payload).map { case (w, h, px) =>
+          (id, colorLayout(w, h, px))
+        }
+      })
+      .toDF("media_id", "v")
+  }
+
+  /** Near-dup verdicts over an embedding frame: 64-bit hyperplane
+    * signature (`graft_vec_simhash` kernel; HOF fallback off-session) →
+    * the 4×16 banded-Hamming candidate mining of [[ImagePhash.phashDedup]]
+    * (pigeonhole-exact at signature radius [[ImagePhash.HammingMax]]) →
+    * EXACT cosine verify at `threshold` on candidates only. Precision is
+    * exact by construction (every emitted pair passed a true cosine);
+    * recall is the signature-radius property the spec and fixture
+    * measure. Output: one row per input id, (media_id, dup_of, keep)
+    * with keep-first-by-id, the dedup family's verdict shape. */
+  def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
+    val hashed = emb.select(col("media_id"), col("v"),
+      Similarity.simhashFor(emb, col("v"), 64).as("sig"))
+    val banded = hashed.select(col("media_id"), col("sig"),
+      explode(array((0 until ImagePhash.Bands).map(b =>
+        struct(lit(b).as("b"),
+          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
+      .select(col("media_id"), col("sig"),
+        col("band.b").as("b"), col("band.v").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
+        col("a.sig").as("sig_lo"), col("b.sig").as("sig_hi"))
+      .distinct()
+      .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
+      .select("lo", "hi")
+    val verified = cand
+      .join(emb.select(col("media_id").as("lo"), col("v").as("v_lo")), "lo")
+      .join(emb.select(col("media_id").as("hi"), col("v").as("v_hi")), "hi")
+      .filter(Similarity.cosineFor(emb, col("v_lo"), col("v_hi")) >= threshold)
+    val dupOf = verified.groupBy(col("hi").as("media_id"))
+      .agg(min("lo").as("dup_of"))
+    emb.select("media_id").join(dupOf, Seq("media_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /** Declared key (`media_embed`): pixels → embedding → vector-stack
+    * near-dup, over the SAME planted fixture as `media_phash_jpeg` — so
+    * row equality vs the planted ground truth certifies a SECOND,
+    * independent content pathway: the spectral descriptor (not the
+    * gradient-sign hash) recovers the q70-requal, PNG↔JPEG cross-format,
+    * and grayscale twins from payload bytes alone, with zero false pairs
+    * among the 400 distinct bases. dHash and the descriptor share only
+    * the pixel decode; agreeing verdicts through different feature spaces
+    * is the two-witness evidence that the decode itself is right. */
+  def mediaEmbedQuery(spark: SparkSession, dir: String): DataFrame = {
+    ImagePhash.ensureJpegPhashFixture(spark)
+    embedNearDup(embedFrame(spark.read.parquet(ImagePhash.jpegFixturePath)
+      .select("media_id", "payload")))
+      .orderBy("media_id")
+  }
+}

@@ -63,7 +63,7 @@ object Jpeg {
 
   /** Zigzag scan order: zigzag(k) = row-major index of the k-th zigzag
     * coefficient. */
-  private val Zigzag: Array[Int] = {
+  private[operators] val Zigzag: Array[Int] = {
     val order = new Array[Int](64)
     var x = 0; var y = 0
     for (k <- 0 until 64) {
@@ -86,7 +86,7 @@ object Jpeg {
   /** Forward 8×8 DCT of a level-shifted block (row-major doubles),
     * separable row-column form: 1-D transforms over rows then columns —
     * 2·8·64 multiplies per block instead of the naive 64·64. */
-  private def fdct(b: Array[Double]): Array[Double] = {
+  private[operators] def fdct(b: Array[Double]): Array[Double] = {
     val tmp = new Array[Double](64) // tmp(y,u) = 0.5·c(u)·Σ_x b(y,x)·cos(x,u)
     var y = 0
     while (y < 8) {

@@ -122,7 +122,7 @@ object Similarity {
     * registered and degrade to the bit-equal built-in HOF forms otherwise —
     * [[embedDedup]]/[[annTopk]] then work on ANY session (the HOF fallback
     * is slower, not different; bit-equality asserted in VectorExprSpec). */
-  private def simhashFor(df: DataFrame, v: Column, bits: Int): Column =
+  private[operators] def simhashFor(df: DataFrame, v: Column, bits: Int): Column =
     if (df.sparkSession.catalog.functionExists("graft_vec_simhash")) simhash(v, bits)
     else hofSimhash(v, bits)
 
