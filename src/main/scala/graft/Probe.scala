@@ -93,7 +93,11 @@ object Probe {
         jpegPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash)")
+      case Some("audiophash") =>
+        audioPhashProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(100000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash)")
     }
     spark.stop()
   }
@@ -274,6 +278,59 @@ object Probe {
         (id >= reOff && id < pngOff && id - reOff == r.getLong(1))
     }
     println(s"[probe] jpegphash verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
+  }
+
+  /** The audio near-dup path at scale: `n` distinct 0.5 s mono PCM16
+    * WAVs (code-carrying band mixtures — [[graft.operators.AudioPhash
+    * .gridCodeSamples]], fingerprint ≡ uniform splitmix64 code) plus
+    * `nTwin` 0.45×-gain twins AND `nTwin` half-rate decimation twins of
+    * disjoint base ranges. Times the decode+Goertzel fingerprint stage
+    * (9 bands × 8 segments over 4000 samples/clip) and the shared
+    * banded-Hamming dedup. Verdict exact: every planted twin drops onto
+    * its base, zero spurious pairs. */
+  def audioPhashProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{AudioPhash, ImagePhash, Wav}
+    require(2 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audiophash").toString
+    val scOff = n.toLong           // gain twins of bases [0, nTwin)
+    val rsOff = n.toLong + nTwin   // resample twins of bases [nTwin, 2*nTwin)
+    val gen = spark.range(n).map { id =>
+      (id.longValue, Wav.encode(AudioPhash.SampleRate, AudioPhash.gridCodeSamples(id)))
+    }.union(spark.range(nTwin).map { i =>
+      (scOff + i, Wav.encode(AudioPhash.SampleRate,
+        AudioPhash.scaleTwin(AudioPhash.gridCodeSamples(i))))
+    }).union(spark.range(nTwin, 2L * nTwin).map { i =>
+      (rsOff + i, Wav.encode(AudioPhash.SampleRate / 2,
+        AudioPhash.resampleTwin(AudioPhash.gridCodeSamples(i))))
+    }).toDF("media_id", "payload")
+    timed(s"audiophash corpus write ($n base WAV + $nTwin gain + $nTwin resample twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    val df = spark.read.parquet(tmp)
+    val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
+    val hashes = AudioPhash.audioPhashFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val decoded = hashes.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] audiophash decode+fingerprint: $decoded clips in $sec%.2f s " +
+      f"(${decoded / sec}%.0f clips/s, ${mb / sec}%.1f MB/s of WAV)")
+    assert(decoded == n.toLong + 2 * nTwin)
+    val verdicts = timed(s"banded-Hamming dedup over $decoded fingerprints") {
+      ImagePhash.phashDedup(hashes)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    hashes.unpersist(blocking = false)
+    val exact = verdicts.count { r =>
+      val id = r.getLong(0)
+      (id >= rsOff && id - rsOff == r.getLong(1)) ||
+        (id >= scOff && id < rsOff && id - scOff == r.getLong(1))
+    }
+    println(s"[probe] audiophash verdicts: ${verdicts.length} drops, $exact onto " +
       s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
     assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
   }

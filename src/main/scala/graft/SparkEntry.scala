@@ -97,6 +97,10 @@ object SparkEntry {
     // (simhash bands + exact-cosine verify): the second, independent
     // content pathway over the same planted fixture
     "media_embed"   -> (ImageEmbed.mediaEmbedQuery _),
+    // the audio modality's content level: WAV chunk-walk decode →
+    // Goertzel band energies → Haitsma-Kalker sign fingerprint →
+    // the shared banded-Hamming dedup (gain/dither/resample twins)
+    "audio_phash"   -> (AudioPhash.audioPhashQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -792,6 +796,16 @@ object SparkEntry {
     "media_embed" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // audio: Spark decodes RIFF/WAVE PCM payloads (two sample RATES —
+    // the resample twins carry 4 kHz streams), Goertzel-fingerprints
+    // them, and recovers the near-dup structure; the oracle answers from
+    // the planted twin_of — equality certifies the chunk-walk parse,
+    // fingerprint invariance under gain/dither/resampling, and zero
+    // false pairs among the distinct clips
+    "audio_phash" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,
     // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
     // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the

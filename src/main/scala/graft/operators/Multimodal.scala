@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * no custom Spark types needed; parquet stores binary natively, columnar
   * pruning skips payload bytes when a query touches only metadata.
   *
-  * The decode layer is split by what a zero-dependency JVM can honestly
-  * do: CONTAINER parsing (image dimensions from PNG IHDR / JPEG SOF
-  * headers) is REAL — [[MediaDecoder.decodeDims]] reads the payload bytes
-  * with no codec library, and the declared `media_dims` key cross-checks
-  * the parsed dims against the fixture's metadata columns via the DuckDB
-  * oracle. CONTENT decoding (pixel/sample → model features) needs codecs
-  * this container doesn't have and remains a deterministic stand-in
-  * ([[MediaDecoder.decode]]); everything around it — schema, batching,
-  * partition-level iteration, feature columns, the downstream
-  * similarity/dedup plumbing — is real Spark and is what a production
-  * model/codec would drop into.
+  * The decode layer, by modality: CONTAINER parsing (image dimensions
+  * from PNG IHDR / JPEG SOF headers) is REAL — [[MediaDecoder.decodeDims]]
+  * reads the payload bytes with no codec library, and the declared
+  * `media_dims` key cross-checks the parsed dims against the fixture's
+  * metadata columns via the DuckDB oracle. CONTENT decoding is real for
+  * the image modality (pure-JVM PNG + baseline-JPEG pixel decode →
+  * [[ImagePhash]] perceptual hash and [[ImageEmbed]] spectral embedding)
+  * and the audio modality (RIFF/WAVE PCM → [[AudioPhash]] Goertzel
+  * fingerprint), each oracle-gated over planted-twin fixtures of real
+  * byte streams. [[MediaDecoder.decode]] remains only as the
+  * deterministic byte-fold fallback for THIS synthetic mixed fixture
+  * (whose image payloads are header+junk) and for modalities with no
+  * JVM-feasible codec (video) — a production model swaps in at exactly
+  * that call site; the schema, batching, partition-level iteration, and
+  * downstream similarity/dedup plumbing are the same real Spark either
+  * way.
   *
   * Scale notes: decode is the expensive narrow stage; it runs inside
   * `mapPartitions` so a real decoder amortizes model/codec init once per
