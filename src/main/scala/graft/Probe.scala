@@ -97,7 +97,11 @@ object Probe {
         audioPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash)")
+      case Some("videophash") =>
+        videoPhashProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(20000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(1000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash | videophash)")
     }
     spark.stop()
   }
@@ -331,6 +335,57 @@ object Probe {
         (id >= scOff && id < rsOff && id - scOff == r.getLong(1))
     }
     println(s"[probe] audiophash verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
+  }
+
+  /** [[graft.operators.VideoPhash]] at planted-verdict scale: `n` base
+    * MJPEG AVIs (8 scenes × 2 frames, code-carrying pixels) + `nTwin`
+    * q70 re-encodes + `nTwin` HALF-frame-rate copies. Measures container
+    * walk + per-frame JPEG decode + time-sampled fingerprint throughput
+    * (the heaviest media decode path: 16 frames in, 8 decoded per video)
+    * and the (slot, band)-sharded dedup. Verdict exact: every planted
+    * twin drops onto its base, zero spurious pairs. */
+  def videoPhashProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.VideoPhash
+    require(2 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-videophash").toString
+    val rqOff = n.toLong           // requal twins of bases [0, nTwin)
+    val fpsOff = n.toLong + nTwin  // half-rate twins of bases [nTwin, 2*nTwin)
+    val gen = spark.range(n).map { id =>
+      (id.longValue, VideoPhash.baseVideo(id))
+    }.union(spark.range(nTwin).map { i =>
+      (rqOff + i, VideoPhash.requalTwin(i))
+    }).union(spark.range(nTwin, 2L * nTwin).map { i =>
+      (fpsOff + i, VideoPhash.fpsTwin(i))
+    }).toDF("media_id", "payload")
+    timed(s"videophash corpus write ($n base AVI + $nTwin requal + $nTwin half-rate twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    val df = spark.read.parquet(tmp)
+    val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
+    val hashes = VideoPhash.videoPhashFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val decoded = hashes.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] videophash decode+fingerprint: $decoded videos in $sec%.2f s " +
+      f"(${decoded / sec}%.0f videos/s, ${8 * decoded / sec}%.0f frame decodes/s, " +
+      f"${mb / sec}%.1f MB/s of AVI)")
+    assert(decoded == n.toLong + 2 * nTwin)
+    val verdicts = timed(s"(slot, band)-sharded Hamming dedup over $decoded fingerprints") {
+      VideoPhash.videoPhashDedup(hashes)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    hashes.unpersist(blocking = false)
+    val exact = verdicts.count { r =>
+      val id = r.getLong(0)
+      (id >= fpsOff && id - fpsOff == r.getLong(1)) ||
+        (id >= rqOff && id < fpsOff && id - rqOff == r.getLong(1))
+    }
+    println(s"[probe] videophash verdicts: ${verdicts.length} drops, $exact onto " +
       s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
     assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
   }

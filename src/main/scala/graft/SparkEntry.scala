@@ -101,6 +101,11 @@ object SparkEntry {
     // Goertzel band energies → Haitsma-Kalker sign fingerprint →
     // the shared banded-Hamming dedup (gain/dither/resample twins)
     "audio_phash"   -> (AudioPhash.audioPhashQuery _),
+    // the video modality's content level, completing the trio: AVI/MJPEG
+    // chunk-walk decode → per-frame dHash through the shared image stack
+    // at fixed TIME positions → banded Hamming over (slot, band) keys
+    // (requal / half-frame-rate / brightness twins)
+    "video_phash"   -> (VideoPhash.videoPhashQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -806,6 +811,18 @@ object SparkEntry {
     "audio_phash" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // video: Spark walks the RIFF/AVI container, JPEG-decodes the frames
+    // sampled at fixed TIME positions (the half-frame-rate twins carry
+    // HALF the frames at DOUBLE the frame period and still land on their
+    // bases), dHashes each, and recovers the near-dup structure slot-wise;
+    // the oracle answers from the planted twin_of — equality certifies
+    // the container walk, the time-normalized sampling, per-frame
+    // requantization/brightness invariance, and zero false pairs among
+    // the distinct videos
+    "video_phash" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${VideoPhash.videoFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,
     // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
     // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the

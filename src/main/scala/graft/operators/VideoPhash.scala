@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video perceptual fingerprint + near-dup (SURVEY.md §2.7 E4 — the
+  * VIDEO modality's content level, completing the image/audio/video trio
+  * next to [[ImagePhash]]/[[AudioPhash]]; reference scope `flink-samples`
+  * has no media operators, cited per SURVEY §2.7).
+  *
+  * The fingerprint is the standard frame-sampling shape of published
+  * video copy detection (e.g. Wu et al. CIVR 2007, "Practical
+  * elimination of near-duplicates from web video search"): sample
+  * [[Slots]] frames at fixed NORMALIZED TIME positions t_j=(j+½)/Slots
+  * (by time, not frame index — so a frame-rate-converted copy samples
+  * the same content instants), compute the [[ImagePhash.dHash]] of each
+  * sampled frame, and call two videos near-dups when most slot hashes
+  * agree. Every per-frame robustness property the image keys certify
+  * (requantization, brightness, format) lifts to the video level, and
+  * the temporal axis adds the one twin no per-frame or byte-level dedup
+  * can see: the SAME content at HALF the frame rate.
+  *
+  * Candidate generation reuses the banded-Hamming discipline verbatim,
+  * one level up: each of the Slots×[[ImagePhash.Bands]] (slot, 16-bit
+  * band) values is an LSH key, so a pair whose slot-j frames are within
+  * Hamming radius [[ImagePhash.HammingMax]] is pigeonhole-GUARANTEED a
+  * candidate via slot j. Verification then counts slots within the
+  * radius over the full hash arrays (a codegen'd `zip_with` fold) and
+  * keeps pairs with ≥ [[SlotsMin]] agreeing slots — majority vote, so a
+  * few corrupted / re-edited slots cannot hide a copy, while uniform
+  * distinct-content hashes (P[slot match] ≈ 4.4e4/2⁶⁴) never reach it.
+  *
+  * Scale: decode+fingerprint is a narrow mapPartitions pass (the
+  * [[ImagePhash.phashFrame]] shape) — only (media_id, 8×8 B hashes)
+  * shuffles, never payload bytes; candidates shard by (slot, band,
+  * value) exactly like every other LSH family here.
+  */
+object VideoPhash {
+
+  /** Time samples per video; one dHash per slot. */
+  val Slots = 8
+
+  /** Slots that must agree (Hamming ≤ [[ImagePhash.HammingMax]]) for a
+    * verified near-dup pair — majority of [[Slots]]. */
+  val SlotsMin = 6
+
+  /** Sampled frame indices for an `n`-frame video: frame at time
+    * t_j=(j+½)/Slots of the duration, i.e. floor((2j+1)·n / (2·Slots)).
+    * Pure arithmetic shared by fingerprint, spec, and generator. */
+  def sampleIndices(n: Int): Array[Int] =
+    Array.tabulate(Slots)(j => math.min(n - 1, (2 * j + 1) * n / (2 * Slots)))
+
+  /** Decode + fingerprint: [[Slots]] per-frame dHashes, in slot order.
+    * None if the container or ANY sampled frame fails to decode (a
+    * partial fingerprint would verify against nothing). */
+  def videoPhash(payload: Array[Byte]): Option[Array[Long]] =
+    Avi.decode(payload).flatMap { v =>
+      val out = new Array[Long](Slots)
+      val idx = sampleIndices(v.frames.length)
+      var j = 0
+      while (j < Slots) {
+        ImagePhash.decodeImage(v.frames(idx(j))) match {
+          case Some((w, h, px)) => out(j) = ImagePhash.dHash(w, h, px)
+          case None => return None
+        }
+        j += 1
+      }
+      Some(out)
+    }
+
+  /** Decode + fingerprint as one narrow pass — non-video payloads drop
+    * out, so the frame is safe over a mixed-modality corpus. */
+  def videoPhashFrame(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        videoPhash(payload).map(hs => (id, hs))
+      })
+      .toDF("media_id", "phashes")
+  }
+
+  /** Banded-Hamming near-dup over slot-hash arrays ([[ImagePhash
+    * .phashDedup]] one level up): LSH keys are (slot×band, 16-bit band
+    * value); survivors need ≥ [[SlotsMin]] slots within the radius. */
+  def videoPhashDedup(hashes: DataFrame): DataFrame = {
+    val keys = for (s <- 0 until Slots; b <- 0 until ImagePhash.Bands) yield
+      struct(lit(s * ImagePhash.Bands + b).as("sb"),
+        shiftrightunsigned(element_at(col("phashes"), s + 1), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("v"))
+    val banded = hashes.select(col("media_id"), col("phashes"),
+        explode(array(keys: _*)).as("band"))
+      .select(col("media_id"), col("phashes"),
+        col("band.sb").as("sb"), col("band.v").as("v"))
+    val slotsWithin: (Column, Column) => Column = (a, b) =>
+      size(filter(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        d => d <= lit(ImagePhash.HammingMax)))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.sb") === col("b.sb") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
+        col("a.phashes").as("ph_lo"), col("b.phashes").as("ph_hi"))
+      .distinct()
+      .filter(slotsWithin(col("ph_lo"), col("ph_hi")) >= lit(SlotsMin))
+    val dupOf = pairs.groupBy(col("hi").as("media_id"))
+      .agg(min("lo").as("dup_of"))
+    hashes.select("media_id").join(dupOf, Seq("media_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
+  // ------------------------------------------------------------ generator
+
+  /** Fixture shape: [[Slots]] scenes × [[FramesPerScene]] frames at
+    * 25 fps; scene j of video `id` renders [[ImagePhash.gridCodePixels]]
+    * (seed id·Slots+j — distinct per (video, scene), so slot-j hashes of
+    * distinct videos are independent uniform codes), and time-sampling
+    * lands mid-scene at EVERY frame rate the fixture plants. */
+  val FramesPerScene = 2
+  val UsPerFrame = 40000 // 25 fps
+
+  private def sceneSeed(id: Long, scene: Int): Long = id * Slots + scene
+
+  /** Scene JPEG frames for one video: same pixels, alternating restart
+    * interval — consecutive frames are content-identical but NOT
+    * byte-identical, like consecutive frames from a real encoder. */
+  private def sceneJpegs(seed: Long, quality: Int, perScene: Int): Array[Array[Byte]] = {
+    val (w, h, px) = ImagePhash.gridCodePixels(seed)
+    Array.tabulate(perScene)(k =>
+      Jpeg.encode(w, h, px, quality = quality, restartInterval = if (k % 2 == 1) 2 else 0))
+  }
+
+  private def renderVideo(id: Long, quality: Int, perScene: Int,
+      usPerFrame: Int, brighten: Int = 0): Array[Byte] = {
+    val frames = (0 until Slots).toArray.flatMap { s =>
+      if (brighten == 0) sceneJpegs(sceneSeed(id, s), quality, perScene)
+      else {
+        val (w, h, px) = ImagePhash.gridCodePixels(sceneSeed(id, s))
+        val shifted = px.map(v => math.min(255, (v & 0xff) + brighten).toByte)
+        Array.tabulate(perScene)(k =>
+          Jpeg.encode(w, h, shifted, quality = quality,
+            restartInterval = if (k % 2 == 1) 2 else 0))
+      }
+    }
+    val (w0, h0, _) = ImagePhash.gridCodePixels(sceneSeed(id, 0))
+    Avi.encode(usPerFrame, w0, h0, frames)
+  }
+
+  def baseVideo(id: Long): Array[Byte] =
+    renderVideo(id, quality = 90, perScene = FramesPerScene, usPerFrame = UsPerFrame)
+
+  /** Same scenes re-encoded at q70 — per-frame quantization error, the
+    * video lift of the `media_phash_jpeg` requal twin. */
+  def requalTwin(id: Long): Array[Byte] =
+    renderVideo(id, quality = 70, perScene = FramesPerScene, usPerFrame = UsPerFrame)
+
+  /** HALF the frame rate: one frame per scene, doubled frame period,
+    * q80 re-encode (different bytes too) — the cross-frame-rate copy no
+    * sample- or byte-level dedup can see (the video analogue of
+    * [[AudioPhash.resampleTwin]]). */
+  def fpsTwin(id: Long): Array[Byte] =
+    renderVideo(id, quality = 80, perScene = 1, usPerFrame = UsPerFrame * 2)
+
+  /** Uniform +12 brightness, re-encoded — dHash compares ADJACENT cell
+    * means, so a global shift (no clamping: grid values stay ≤ 196)
+    * flips no bit. */
+  def brightTwin(id: Long): Array[Byte] =
+    renderVideo(id, quality = 90, perScene = FramesPerScene,
+      usPerFrame = UsPerFrame, brighten = 12)
+
+  // -------------------------------------------------------------- fixture
+
+  /** Planting layout (the [[ImagePhash.ensureJpegPhashFixture]] pattern):
+    * base ids 0..[[NBaseVideo]]-1; twins over DISJOINT 50-id base
+    * ranges — `requal` (q70), `fps` (half frame rate), `bright` (+12). */
+  val NBaseVideo = 200
+  val VideoRequalOffset = 10000L // twins of bases 0..49
+  val VideoFpsOffset = 20000L    // twins of bases 50..99
+  val VideoBrightOffset = 30000L // twins of bases 100..149
+
+  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v1.parquet"
+
+  def ensureVideoPhashFixture(spark: SparkSession): Unit = synchronized {
+    val p = java.nio.file.Paths.get(videoFixturePath)
+    if (!java.nio.file.Files.exists(p)) {
+      import spark.implicits._
+      val rows = spark.range(NBaseVideo).map { id =>
+        (id.longValue, baseVideo(id), Option.empty[Long], "base")
+      }.union(spark.range(50).map { i =>
+        (VideoRequalOffset + i, requalTwin(i), Option(i.longValue), "requal")
+      }).union(spark.range(50, 100).map { i =>
+        (VideoFpsOffset + i, fpsTwin(i), Option(i.longValue), "fps")
+      }).union(spark.range(100, 150).map { i =>
+        (VideoBrightOffset + i, brightTwin(i), Option(i.longValue), "bright")
+      }).toDF("media_id", "payload", "twin_of", "kind")
+      val tmp = videoFixturePath + ".tmp"
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Declared key (`video_phash`): the video member of the content-level
+    * near-dup family. Row equality vs the planted ground truth certifies
+    * the AVI chunk-walk decode, per-frame JPEG decode through the shared
+    * image stack, TIME-based frame sampling (the half-frame-rate twin
+    * lands on its base), fingerprint invariance under requantization and
+    * brightness, and zero false pairs among 200 distinct videos. */
+  def videoPhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    ensureVideoPhashFixture(spark)
+    videoPhashDedup(videoPhashFrame(spark.read.parquet(videoFixturePath)
+      .select("media_id", "payload")))
+      .orderBy("media_id")
+  }
+}
