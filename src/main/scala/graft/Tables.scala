@@ -54,4 +54,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Staleness fingerprint for a persisted serving artifact keyed on a
+    * source table (BPE merge table, IVFADC index, band index): an md5 over
+    * every data file's sorted (name, size, mtime) triple. Byte-total alone
+    * is too weak — a regenerated corpus with different CONTENT but the same
+    * total would silently serve a stale model; mtime changes on any rewrite,
+    * so content regeneration always rotates the artifact path. */
+  def corpusFingerprint(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files = Option(root.listFiles()).map(_.toSeq)
+      .getOrElse(if (root.isFile) Seq(root) else Seq.empty)
+      .filter(_.isFile).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+    md.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
 }

@@ -103,7 +103,7 @@ object Avi {
     while (i + 8 <= until) {
       val id = fourcc(payload, i)
       val len = le32(payload, i + 4)
-      if (len < 0 || i + 8 + len > until) return false
+      if (len < 0 || i + 8L + len > until) return false // long: len near MaxValue must not wrap
       if (id == "LIST" && len >= 4 && fourcc(payload, i + 8) == "rec ") {
         if (!collectFrames(payload, i + 12, i + 8 + len, out)) return false
       } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && len > 0) {
@@ -126,7 +126,7 @@ object Avi {
     while (i + 8 <= payload.length) {
       val id = fourcc(payload, i)
       val len = le32(payload, i + 4)
-      if (len < 0 || i + 8 + len > payload.length) return None
+      if (len < 0 || i + 8L + len > payload.length) return None // long: no int wrap
       if (id == "LIST" && len >= 4) {
         fourcc(payload, i + 8) match {
           case "hdrl" =>
@@ -136,7 +136,7 @@ object Avi {
             while (j + 8 <= end) {
               val hid = fourcc(payload, j)
               val hlen = le32(payload, j + 4)
-              if (hlen < 0 || j + 8 + hlen > end) return None
+              if (hlen < 0 || j + 8L + hlen > end) return None // long: no int wrap
               if (hid == "avih" && hlen >= 40) {
                 usPerFrame = le32(payload, j + 8)
                 w = le32(payload, j + 8 + 32)

@@ -146,17 +146,14 @@ object Bpe {
 
   /** Where the served merge table for a given corpus dir lives (one table
     * per corpus, like the IVF index layout keys on its corpus). The path
-    * also carries a cheap staleness fingerprint — total bytes of the
-    * documents table's files — so a regenerated corpus retrains instead of
-    * serving a merge table learned from the old data. */
-  def mergeTablePath(dir: String): String = {
-    val docs = new java.io.File(s"$dir/documents.parquet")
-    val files = Option(docs.listFiles()).map(_.toSeq)
-      .getOrElse(if (docs.isFile) Seq(docs) else Seq.empty)
-    val bytes = files.filter(_.isFile).map(_.length()).sum
+    * also carries a staleness fingerprint — [[graft.Tables.corpusFingerprint]]
+    * over the documents table's file names/sizes/mtimes — so a regenerated
+    * corpus (even at identical byte total) retrains instead of serving a
+    * merge table learned from the old data. */
+  def mergeTablePath(dir: String): String =
     "target/fixtures/bpe_merges_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + bytes
-  }
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Tables.corpusFingerprint(dir, "documents")
 
   /** Train-once/serve-forever accessor: read the persisted merge table for
     * `dir` if one exists, else train it once and persist. Every subsequent

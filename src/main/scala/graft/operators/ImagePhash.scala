@@ -148,6 +148,13 @@ object ImagePhash {
             val interlace = payload(i + 20) & 0xff
             if (depth != 8 || (colorType != 2 && colorType != 0) ||
               interlace != 0 || w <= 0 || h <= 0) return None
+            // dims sanity in LONG arithmetic: a crafted IHDR with huge w/h
+            // would overflow `stride = w * bpp` / `h * (1 + stride)` into a
+            // negative array size (throw) or a multi-GB allocation (OOM),
+            // both violating the never-throws contract over a mixed corpus.
+            // 2^26 pixels (= 192 MB RGB) is far above any sane fixture and
+            // far below the overflow/OOM line.
+            if (w.toLong * h > (1L << 26)) return None
           case "IDAT" => idat.write(payload, i + 8, len)
           case "IEND" => done = true
           case _      => () // ancillary chunk: skip

@@ -390,10 +390,17 @@ object Jpeg {
           var k = 0
           while (k < 64) {
             val rm = Zigzag(k)
-            quant(k) = math.round(coefs(rm) / qt(rm)).toInt
+            // clamp to the baseline coefficient range [-1023, 1023] (T.81
+            // Table F.2 covers AC categories 1..10 only): at high quality the
+            // small quant divisors can push a high-contrast block to
+            // category 11, which acCodes has no entry for — the standard
+            // baseline-encoder guard.
+            val q = math.round(coefs(rm) / qt(rm)).toInt
+            quant(k) = math.max(-1023, math.min(1023, q))
             k += 1
           }
-          // DC
+          // DC (diff of clamped DCs is within [-2046, 2046] ⊂ category ≤ 11,
+          // which dcCodes covers)
           val diff = quant(0) - pred(comp); pred(comp) = quant(0)
           val ssss = category(diff)
           val (dc, dl) = dcCodes(ssss)
@@ -468,7 +475,7 @@ object Jpeg {
     * fixture's header-only JPEGs land here: no scan data → None). */
   def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     try decodeOrThrow(payload)
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None } // fatal VM errors (OOM, …) must surface, not read as "undecodable"
   }
 
   private def decodeOrThrow(d: Array[Byte]): Option[(Int, Int, Array[Byte])] = {

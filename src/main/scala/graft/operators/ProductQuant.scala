@@ -261,15 +261,14 @@ object ProductQuant {
   }
 
   /** Per-corpus serving location for the declared key ([[graft.operators
-    * .Bpe.mergeTablePath]] staleness discipline: the path carries the
-    * embeddings table's byte total, so regenerated data rebuilds). */
+    * .Bpe.mergeTablePath]] staleness discipline: the path carries
+    * [[graft.Tables.corpusFingerprint]] of the embeddings table — file
+    * names/sizes/mtimes, not just byte total — so regenerated data, even at
+    * an identical total, rebuilds instead of serving a stale index). */
   def ivfpqIndexPath(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val files = Option(f.listFiles()).map(_.toSeq)
-      .getOrElse(if (f.isFile) Seq(f) else Seq.empty)
-    val bytes = files.filter(_.isFile).map(_.length()).sum
     "target/fixtures/ivfpq_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + bytes
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Tables.corpusFingerprint(dir, "embeddings")
   }
 
   /** Serve a query batch END TO END from the persisted IVFADC index:

@@ -82,25 +82,33 @@ object VideoPhash {
 
   /** Banded-Hamming near-dup over slot-hash arrays ([[ImagePhash
     * .phashDedup]] one level up): LSH keys are (slot×band, 16-bit band
-    * value); survivors need ≥ [[SlotsMin]] slots within the radius. */
+    * value); survivors need ≥ [[SlotsMin]] slots within the radius.
+    *
+    * Exchange discipline (the `embedDedup` shape PlanAuditSpec pins):
+    * banded rows carry ONLY (media_id, 8 B key) — the full 64 B `phashes`
+    * array never rides the Slots×Bands=32-way explode, the self-join, or
+    * the pair `distinct()`; the arrays re-join by id AFTER the distinct,
+    * once per surviving candidate pair instead of 32× per video. */
   def videoPhashDedup(hashes: DataFrame): DataFrame = {
     val keys = for (s <- 0 until Slots; b <- 0 until ImagePhash.Bands) yield
       struct(lit(s * ImagePhash.Bands + b).as("sb"),
         shiftrightunsigned(element_at(col("phashes"), s + 1), 16 * b)
           .bitwiseAND(lit(0xffffL)).as("v"))
-    val banded = hashes.select(col("media_id"), col("phashes"),
+    val banded = hashes.select(col("media_id"),
         explode(array(keys: _*)).as("band"))
-      .select(col("media_id"), col("phashes"),
+      .select(col("media_id"),
         col("band.sb").as("sb"), col("band.v").as("v"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.sb") === col("b.sb") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"))
+      .distinct()
     val slotsWithin: (Column, Column) => Column = (a, b) =>
       size(filter(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
         d => d <= lit(ImagePhash.HammingMax)))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.sb") === col("b.sb") && col("a.v") === col("b.v") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
-        col("a.phashes").as("ph_lo"), col("b.phashes").as("ph_hi"))
-      .distinct()
+    val pairs = candidates
+      .join(hashes.select(col("media_id").as("lo"), col("phashes").as("ph_lo")), Seq("lo"))
+      .join(hashes.select(col("media_id").as("hi"), col("phashes").as("ph_hi")), Seq("hi"))
       .filter(slotsWithin(col("ph_lo"), col("ph_hi")) >= lit(SlotsMin))
     val dupOf = pairs.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))

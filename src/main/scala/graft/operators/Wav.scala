@@ -62,7 +62,10 @@ object Wav {
     while (i + 8 <= payload.length) {
       val id = new String(payload, i, 4, "US-ASCII")
       val len = le32(payload, i + 4)
-      if (len < 0 || i + 8 + len > payload.length) return None
+      // LONG arithmetic: a declared len near Int.MaxValue overflows the int
+      // sum negative and would bypass the bound (matching Png.decodePixels'
+      // `i + 12L + len` discipline).
+      if (len < 0 || i + 8L + len > payload.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None
