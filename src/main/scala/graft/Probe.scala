@@ -56,6 +56,10 @@ object Probe {
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case Some("incminhash") =>
+        incMinhashProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
       case Some("lm") =>
         lmProbe(spark,
           nRef = args.lift(1).map(_.toInt).getOrElse(100000),
@@ -101,7 +105,13 @@ object Probe {
         videoPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(20000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(1000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash | videophash)")
+      case Some("mediaann") =>
+        mediaAnnProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(100000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
+      case Some("bpepack") =>
+        bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash | videophash | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -363,6 +373,11 @@ object Probe {
     timed(s"videophash corpus write ($n base AVI + $nTwin requal + $nTwin half-rate twins)") {
       gen.repartition(32).write.mode("overwrite").parquet(tmp)
     }
+    // ~17 KB AVI payloads × the default 4096-row columnar batch = ~70 MB
+    // of contiguous bytes per task — 32 concurrent vectorized readers
+    // exhaust the executor share. 256-row batches keep the scan streaming
+    // (the knob a real cluster sets for wide binary columns).
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256)
     val df = spark.read.parquet(tmp)
     val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
     val hashes = VideoPhash.videoPhashFrame(df)
@@ -619,6 +634,91 @@ object Probe {
       s"nProbe=4 of $c lists through PQ must recover ≥ 0.6 of the exact top-$k, got ${curve.last}")
   }
 
+  /** `media_ann` at scale: the image-embedding column through the
+    * PERSISTED IVFADC serving path at `n` images. Corpus: `n` distinct
+    * smooth-content JPEGs ([[graft.operators.ImagePhash.smoothPixels]],
+    * the `media_embed` margin generator); queries: `nTwin` q70 re-encodes
+    * of bases [0, nTwin). Times the decode+embed pass, the index
+    * build+persist (c lists × 4 PQ subspaces over the 20-dim color
+    * layout), and the serve. Two verdicts: (a) SERVING-PATH — IVFADC
+    * top-1 agrees with the brute-force exact-cosine top-1 on a query
+    * sample (the path finds the true nearest neighbor); (b) CONTENT —
+    * the fraction of twins whose top-1 is their planted base (the
+    * 20-dim descriptor's id-margin at this corpus size, reported for
+    * the BASELINE record). */
+  def mediaAnnProbe(spark: SparkSession, n: Int, nTwin: Int, c: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImageEmbed, ImagePhash, Jpeg, ProductQuant}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediaann").toString
+    val gen = spark.range(n).map { id =>
+      val (w, h, px) = ImagePhash.smoothPixels(id)
+      (id.longValue, Jpeg.encode(w, h, px, quality = 90))
+    }.toDF("media_id", "payload")
+    timed(s"mediaann corpus write ($n base JPEGs)") {
+      gen.repartition(32).write.mode("overwrite").parquet(s"$tmp/imgs")
+    }
+    val emb = ProductQuant.normalized(
+      ImageEmbed.embedFrame(spark.read.parquet(s"$tmp/imgs"))
+        .withColumnRenamed("media_id", "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val nEmb = emb.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] mediaann decode+embed: $nEmb imgs in $sec%.2f s " +
+      f"(${nEmb / sec}%.0f imgs/s)")
+    assert(nEmb == n.toLong)
+    timed(s"IVFADC index build+persist: $n × dim${ImageEmbed.NCoef}, c=$c lists + PQ codes") {
+      ProductQuant.writeIvfPqIndex(spark, s"$tmp/idx", emb, c,
+        lloydIters = 1, m = ImageEmbed.AnnSubspaces)
+    }
+    emb.unpersist(blocking = false) // serving reads the INDEX, not the source
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, s"$tmp/idx")
+    val twins = spark.range(nTwin).map { i =>
+      val (w, h, px) = ImagePhash.smoothPixels(i)
+      (n.toLong + i, Jpeg.encode(w, h, px, quality = 70))
+    }.toDF("media_id", "payload")
+    val queries = ProductQuant.normalized(
+      ImageEmbed.embedFrame(twins).withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shortlist = math.max(ProductQuant.Shortlist, n / c + 100)
+    val served = timed(s"serve $nTwin twin queries from the persisted index (nProbe=2)") {
+      val r = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k = 1, nProbe = 2, shortlist = shortlist)
+        .select(col("q_id"), col("vec_id").as("top1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val plantedHits = served
+      .filter(col("top1") === col("q_id") - n.toLong).count()
+    // serving-path verdict on a sample: exact brute-force top-1
+    val nSample = math.min(1000, nTwin)
+    val qs = queries.filter(col("q_id") < n.toLong + nSample)
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val agree = timed(s"exact baseline: $nSample queries × $n brute force") {
+      spark.read.parquet(s"$tmp/idx/assigned").select("vec_id", "v")
+        .crossJoin(broadcast(qs))
+        .withColumn("cos", dotQ)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id").as("exact1"))
+        .join(served, "q_id")
+        .filter(col("top1") === col("exact1")).count()
+    }
+    println(f"[probe] mediaann: planted-base top-1 $plantedHits/$nTwin " +
+      f"(${plantedHits.toDouble / nTwin}%.3f); served-vs-exact agreement " +
+      f"$agree/$nSample (${agree.toDouble / nSample}%.3f) at candidate " +
+      f"fraction ${2.0 / c}%.4f of rows × codes-only bytes")
+    served.unpersist(); queries.unpersist()
+    assert(agree >= (nSample * 95) / 100,
+      s"IVFADC top-1 must agree with exact top-1 on >=95% of queries, got $agree/$nSample")
+    assert(plantedHits >= (nTwin.toLong * 9) / 10,
+      s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/$nTwin")
+  }
+
   /** [[graft.streaming.StreamingOps.streamingLineDedupSeeded]] drain at
     * scale: `nDocs` NDJSON docs of [[linesPerDoc]] lines each, drawn from
     * a pool of nDocs/2 distinct lines (each line recurs ~2·linesPerDoc
@@ -772,7 +872,35 @@ object Probe {
     *     satisfies start₂ = start₁ + n₁ — checked with a lag window over
     *     the narrow 3-long output (verdict arm, not the production plan).
     */
-  def curationProbe(spark: SparkSession, nDocs: Int, nDup: Int, nJunk: Int): Unit = {
+  def curationProbe(spark: SparkSession, nDocs: Int, nDup: Int, nJunk: Int): Unit =
+    curationProbeWith(spark, nDocs, nDup, nJunk, "curation",
+      t => size(split(t, " ")).cast("long"))
+
+  /** The tokenizer-aware composition at scale (`seq_pack_bpe`'s probe
+    * record): the SAME curation corpus/verdicts, but every token budget
+    * measured in MODEL tokens — [[graft.operators.Bpe.encodeSymCount]]
+    * under a merge table trained on the probe corpus itself (bounded
+    * merge rounds, the `bpe` probe's training shape). The survivor set
+    * must be unchanged (the gate/dedup/split stages don't read token
+    * counts) and the two-phase prefix sum must tile exactly over the
+    * BPE counts — certifying that `Curation.curate(tokenCounter=…)`
+    * re-budgets the whole pipeline on learned-tokenizer units. */
+  def bpePackProbe(spark: SparkSession, nDocs: Int): Unit = {
+    import graft.operators.Bpe
+    val trainBody = concat_ws(" ", lit("the"),
+      concat_ws(" ", transform(sequence(lit(0), lit(38)),
+        j => concat(lit("t"), pmod(xxhash64(col("id") * 53 + j), lit(200000))))))
+    val merges = timed(s"BPE train over ${nDocs / 10} docs") {
+      Bpe.train(spark.range(nDocs / 10)
+        .select(col("id").as("doc_id"), trainBody.as("text")))
+    }
+    curationProbeWith(spark, nDocs, nDocs / 20, nDocs / 20, "bpepack",
+      t => Bpe.encodeSymCount(t, merges).cast("long"))
+  }
+
+  private def curationProbeWith(spark: SparkSession, nDocs: Int, nDup: Int,
+      nJunk: Int, label: String,
+      tokenCounter: Column => Column): Unit = {
     import org.apache.spark.sql.expressions.Window
     val body = concat_ws(" ", lit("the"),
       concat_ws(" ", transform(sequence(lit(0), lit(38)),
@@ -790,8 +918,8 @@ object Probe {
         concat_ws(" ", (0 until 40).map(_ => lit("zz")): _*).as("text"))
     val docs = base.union(clones).union(junk)
     val total = nDocs + nDup + nJunk
-    val out = timed(s"curate over $total docs") {
-      val o = graft.operators.Curation.curate(docs)
+    val out = timed(s"curate ($label) over $total docs") {
+      val o = graft.operators.Curation.curate(docs, tokenCounter = tokenCounter)
       o.cache().count()
       o
     }
@@ -815,7 +943,7 @@ object Probe {
       .withColumn("expected",
         lag(col("start_tok") + col("n_tok"), 1, 0).over(w))
       .filter(col("start_tok") =!= col("expected")).count()
-    println(s"[probe] curation: survivors $nOut (expected $expCount), " +
+    println(s"[probe] $label: survivors $nOut (expected $expCount), " +
       s"junk/clone leaks $badIds, missing-train $missing, " +
       s"prefix-sum: min=${sums.getLong(0)} max=${sums.getLong(1)} " +
       s"tot=${sums.getLong(2)}, chain violations $chainBad")
@@ -990,6 +1118,67 @@ object Probe {
       "incremental dedup must kill clones, keep pair winners, keep fresh")
     assert(idxCard == nIdx + expect,
       "append must add exactly the survivor fingerprints")
+  }
+
+  /** [[graft.operators.MinHashIncremental]] at scale — the E14 probe
+    * shape for the NEAR-dup family: an `nIdx`-doc persisted band index,
+    * then one incremental step over an `nBatch`-doc batch containing
+    * planted NEAR-clones of index docs (one appended token, shingle
+    * Jaccard ≈ 0.97), planted in-batch near-pairs (shared 30-token base,
+    * distinct appended token each, J ≈ 0.93), and fresh docs (disjoint
+    * per-doc vocab, random-pair J = 0). Verdict exact: clones die against
+    * the index, each pair keeps exactly its even (lower-id) member, fresh
+    * survive, and the append grows the index by exactly the survivor
+    * count. */
+  def incMinhashProbe(spark: SparkSession, nIdx: Int, nBatch: Int): Unit = {
+    import graft.operators.MinHashIncremental
+    val dir = java.nio.file.Files.createTempDirectory("incminhash").toString
+    def body(prefix: String, seed: Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)),
+        j => concat(lit(prefix), seed, lit("x"), j)))
+    val idxDocs = spark.range(nIdx)
+      .select(col("id").as("doc_id"), body("i", col("id")).as("text"))
+    timed(s"build band index over $nIdx docs") {
+      MinHashIncremental.writeBandIndex(
+        MinHashIncremental.prepared(idxDocs), dir)
+    }
+    val nClone = nBatch / 10         // near-clones of index docs 0..nClone
+    val nPairDocs = nBatch / 10      // nPairDocs/2 in-batch near-pairs
+    val base = nIdx.toLong
+    val batch = spark.range(nBatch).select((col("id") + base).as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") < base + nClone,
+          // index near-clone: the index body plus ONE appended token
+          concat(body("i", col("doc_id") - base), lit(" extra"),
+            col("doc_id") - base))
+        .when(col("doc_id") < base + nClone + nPairDocs,
+          // in-batch near-pair: shared base body + a member-distinct tail
+          concat(
+            body("p", floor((col("doc_id") - base - nClone) / 2).cast("long")),
+            lit(" tail"), col("doc_id")))
+        .otherwise(body("f", col("doc_id")))              // fresh
+        .as("text"))
+    val out = timed(s"incremental near-dup step over $nBatch docs vs $nIdx-doc index") {
+      val o = MinHashIncremental.step(spark, batch, dir)
+      o.count()
+      o
+    }
+    val nOut = out.count()
+    val cloneLeaks = out.filter(col("doc_id") < base + nClone).count()
+    val pairBad = out
+      .filter(col("doc_id") >= base + nClone &&
+        col("doc_id") < base + nClone + nPairDocs)
+      .filter(pmod(col("doc_id") - base - nClone, lit(2)) =!= 0).count()
+    val expect = nPairDocs / 2 + (nBatch - nClone - nPairDocs)
+    val (_, idxSets) = MinHashIncremental.readBandIndex(spark, dir)
+    val idxCard = idxSets.select("doc_id").distinct().count()
+    println(s"[probe] incminhash: survivors $nOut (expected $expect), " +
+      s"index-clone leaks $cloneLeaks, wrong-pair-member $pairBad, " +
+      s"index now $idxCard docs (expected ${nIdx + expect})")
+    assert(nOut == expect && cloneLeaks == 0 && pairBad == 0,
+      "incremental near-dup must kill near-clones, keep pair winners, keep fresh")
+    assert(idxCard == nIdx + expect,
+      "append must add exactly the survivors' dedup state")
   }
 
   /** `lm_score` at scale: model trained on `nRef` 50-token docs over a

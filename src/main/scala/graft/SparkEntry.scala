@@ -97,6 +97,10 @@ object SparkEntry {
     // (simhash bands + exact-cosine verify): the second, independent
     // content pathway over the same planted fixture
     "media_embed"   -> (ImageEmbed.mediaEmbedQuery _),
+    // image embeddings through the PERSISTED IVFADC serving path: base
+    // images indexed once, planted twins served as the query batch —
+    // top-1 must be the planted base for every twin
+    "media_ann"     -> (ImageEmbed.mediaAnnQuery _),
     // the audio modality's content level: WAV chunk-walk decode →
     // Goertzel band energies → Haitsma-Kalker sign fingerprint →
     // the shared banded-Hamming dedup (gain/dither/resample twins)
@@ -140,6 +144,10 @@ object SparkEntry {
     "substring_drop"    -> (SubstringDedup.substringDrop _),
     // §2.7 [EXT] incremental dedup: batch vs persisted fingerprint index
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
+    // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
+    // E14 arrival discipline for the MinHash family; exact-Jaccard verify
+    // over the index's hashed shingle sets keeps the verdict oracle-exact)
+    "dedup_minhash_incremental" -> (MinHashIncremental.dedupMinhashIncremental _),
     // §2.7 [EXT] CCNet-style unigram-LM quality scoring (en-slice model)
     "lm_score"          -> (LmScore.lmScore _),
     // §2.7 [EXT] the CCNet percentile cut: exact global rank via the
@@ -802,6 +810,16 @@ object SparkEntry {
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,
+    // the serving composition: every planted twin, served as a query
+    // against the persisted IVFADC index of the 400 bases, must come
+    // back with its own base as top-1 — the oracle answers from the
+    // planted twin_of; row equality certifies probe + ADC + rerank
+    // end-to-end over the image-embedding column
+    "media_ann" ->
+      s"""SELECT media_id, twin_of AS found_base
+         |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
+         |WHERE twin_of IS NOT NULL
+         |ORDER BY media_id""".stripMargin,
     // audio: Spark decodes RIFF/WAVE PCM payloads (two sample RATES —
     // the resample twins carry 4 kHz streams), Goertzel-fingerprints
     // them, and recovers the near-dup structure; the oracle answers from
@@ -1282,6 +1300,25 @@ object SparkEntry {
         |SELECT doc_id, fp, lang, n_chars FROM b
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
         |ORDER BY doc_id""".stripMargin,
+    // incremental NEAR-dup: the same parity harness over the brute-force
+    // trigram-Jaccard edge set the dedup_minhash oracle is gated on — a
+    // batch (odd) doc survives iff it has no >= 0.8 pair with a lower odd
+    // doc (in-batch keep-first) nor with ANY even doc (the index). The
+    // Spark side verifies candidates exactly over hashed shingle sets, so
+    // verdicts match the string-shingle recomputation 1:1.
+    "dedup_minhash_incremental" ->
+      s"""WITH $jaccardShingleCte, pairs AS (
+         |$jaccardPairsSelect
+         |)
+         |SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id % 2 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.doc_b = d.doc_id AND p.doc_a % 2 = 1)
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE (p.doc_a = d.doc_id AND p.doc_b % 2 = 0)
+         |                     OR (p.doc_b = d.doc_id AND p.doc_a % 2 = 0))
+         |ORDER BY doc_id""".stripMargin,
     // CCNet LM scoring: the oracle retrains the same add-one unigram
     // model (same top-K vocab with the same tie-break) and rescoring is
     // exact because per-token log-probs are quantized to integer

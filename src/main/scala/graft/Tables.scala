@@ -61,8 +61,13 @@ object Tables {
     * is too weak — a regenerated corpus with different CONTENT but the same
     * total would silently serve a stale model; mtime changes on any rewrite,
     * so content regeneration always rotates the artifact path. */
-  def corpusFingerprint(dir: String, name: String): String = {
-    val root = new java.io.File(s"$dir/$name.parquet")
+  def corpusFingerprint(dir: String, name: String): String =
+    pathFingerprint(s"$dir/$name.parquet")
+
+  /** [[corpusFingerprint]] over an arbitrary parquet file/directory path
+    * (fixture tables that don't live in a testdata dir). */
+  def pathFingerprint(path: String): String = {
+    val root = new java.io.File(path)
     val files = Option(root.listFiles()).map(_.toSeq)
       .getOrElse(if (root.isFile) Seq(root) else Seq.empty)
       .filter(_.isFile).sortBy(_.getName)

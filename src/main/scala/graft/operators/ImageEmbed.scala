@@ -141,4 +141,58 @@ object ImageEmbed {
       .select("media_id", "payload")))
       .orderBy("media_id")
   }
+
+  // ---------------------------------------- persisted ANN serving path
+
+  /** Serving location for the image-embedding IVFADC index — the
+    * [[ProductQuant.ivfpqIndexPath]] staleness discipline keyed on the
+    * image FIXTURE's files (a regenerated fixture rebuilds the index). */
+  def mediaAnnIndexPath: String =
+    "target/fixtures/media_ivfpq_" +
+      graft.Tables.pathFingerprint(ImagePhash.jpegFixturePath)
+
+  /** IVF centroid count / PQ subspaces for the image index: [[NCoef]]=20
+    * dims → 4 subspaces of 5 dims; 8 inverted lists over the 400-base
+    * corpus (the `ivfpq_topk` fixture ratios). */
+  val AnnClusters = 8
+  val AnnSubspaces = 4
+
+  /** Declared key (`media_ann`): the "find near-dups of this image
+    * across the corpus" serving query — image embeddings through the
+    * PERSISTED IVFADC index, end to end. The 400 BASE images' color-
+    * layout embeddings are built into an IVF(+PQ) index at most once
+    * ([[ProductQuant.writeIvfPqIndex]] → cid-partitioned parquet; every
+    * later call SERVES from the artifact, repeat-call bit-identical);
+    * the 300 planted twins (q70 requal, PNG cross-format, grayscale) are
+    * the query batch, probed + ADC-shortlisted + exact-reranked through
+    * [[ProductQuant.ivfPqSearch]]. Output: one row per twin with its
+    * top-1 base — verified row-equal to the planted twin_of by the
+    * oracle, i.e. the multimodal column demonstrably rides the whole
+    * vector-serving stack: nProbe/c of the index read per query, codes
+    * before floats, floats only for the shortlist. */
+  def mediaAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    ImagePhash.ensureJpegPhashFixture(spark)
+    val fix = spark.read.parquet(ImagePhash.jpegFixturePath)
+    val idxPath = mediaAnnIndexPath
+    if (!new java.io.File(s"$idxPath/assigned/_SUCCESS").exists) {
+      val baseEmb = ProductQuant.normalized(
+        embedFrame(fix.filter(col("kind") === "base")
+            .select("media_id", "payload"))
+          .withColumnRenamed("media_id", "vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
+        c = AnnClusters, m = AnnSubspaces)
+      baseEmb.unpersist(blocking = false)
+    }
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, idxPath)
+    val queries = ProductQuant.normalized(
+      embedFrame(fix.filter(col("kind") =!= "base")
+          .select("media_id", "payload"))
+        .withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+        queries, centroids, cbs, k = 1, nProbe = 2)
+      .select(col("q_id").as("media_id"), col("vec_id").as("found_base"))
+      .orderBy("media_id")
+  }
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-duplicate detection against a persisted band index
+  * (SURVEY.md §2.7 E1/E14 — the [[IncrementalDedup]] batch-arrival
+  * discipline applied to the MinHash family, the most common production
+  * arrival mode for the most-used dedup family).
+  *
+  * [[MinHashDedup]] mines a corpus against itself; a rolling crawl curates
+  * in ARRIVING BATCHES, and re-mining the full accumulated corpus's bands
+  * per batch is O(total²) candidate work over time. The incremental form
+  * persists, per accepted document, only its LSH probe surface and its
+  * verification surface:
+  *
+  *   - `bands/`: (band, sig, doc_id) — 16 rows × 12 B per doc, the
+  *     bucket-partitioned postings a batch probes with one equi-join;
+  *   - `sets/`:  (doc_id, hset) — the xxhash64-hashed distinct shingle
+  *     set (~8 B × #shingles ≈ 0.5 KB/doc), the exact-verification
+  *     surface. Exact Jaccard over hashed shingles equals exact Jaccard
+  *     over the shingles themselves (the hash is injective in practice;
+  *     PPJoin's hashed-token verification, Xiao et al. WWW'08), so the
+  *     incremental verdict stays EXACT — no estimate drift vs the batch
+  *     operator or the DuckDB oracle — while the index holds ~0.5 KB/doc
+  *     instead of multi-KB text: ~50 GB of index per billion docs, vs
+  *     the corpus's TBs.
+  *
+  * A step (mirroring [[IncrementalDedup.step]]):
+  *
+  *   1. within-batch LSH near-dedup: banding self-join → candidates →
+  *      exact-Jaccard verify → keep-first (drop any doc with a verified
+  *      partner of lower doc_id);
+  *   2. probe: batch band rows equi-join the index's `bands/` on
+  *      (band, sig) — narrow 12 B rows through the shuffle, never text —
+  *      then verify candidates exactly against `sets/`;
+  *   3. append the survivors' band rows and shingle sets to the index.
+  *
+  * Recall is the banding guarantee (16×4 bands miss a 0.8-Jaccard pair
+  * with p ≈ 3·10⁻⁵, the planted 0.98-pairs with p ≈ 10⁻¹⁸) and holds
+  * IDENTICALLY for the within-batch and cross-index halves — both probe
+  * the same (band, sig) keys. Precision is 1.0 by the exact verify.
+  *
+  * Reference grounding: extends E1 (`flink-samples` has no dedup surface;
+  * the family is declared in SURVEY.md §2.7 from the Lee et al. 2022 /
+  * RefinedWeb curation recipes, where near-dedup against the accumulated
+  * corpus is the standard incremental mode).
+  */
+object MinHashIncremental {
+
+  import MinHashDedup.{numBands, rowsPerBand, threshold}
+
+  /** Narrow per-doc dedup state: (doc_id, hset, mh) — hashed distinct
+    * shingle set and the 64-minima MinHash signature (computed from the
+    * SAME hashes, so probe and verify can never drift). Docs with <3
+    * tokens have no shingles and drop out here; they cannot near-dup
+    * with anything, so callers anti-join drops against the ORIGINAL
+    * batch and short docs survive untouched. */
+  def prepared(docs: DataFrame): DataFrame =
+    MinHashDedup.shingled(docs)
+      .select(col("doc_id"),
+        transform(col("shingles"), s => xxhash64(s)).as("hset"))
+      .withColumn("mh", call_function("graft_minhash64", col("hset")))
+
+  /** The banded probe surface of a prepared frame: one (doc_id, band,
+    * sig) row per band — [[MinHashDedup.bandStructCols]], so a banding
+    * retune changes batch, streaming, and incremental at once. */
+  def bandRows(prep: DataFrame,
+      bands: Int = numBands, rows: Int = rowsPerBand): DataFrame =
+    prep.select(col("doc_id"),
+        explode(array(MinHashDedup.bandStructCols(bands, rows): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Exact Jaccard over hashed shingle sets. */
+  def jac(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Doc_ids of `batch` docs that near-dup (exact Jaccard ≥ [[MinHashDedup
+    * .threshold]]) a LOWER-id batch doc or ANY index doc. `prep` must be
+    * [[prepared]] of the batch (caller owns its persist lifecycle — it is
+    * consumed by both self-join sides and both verify joins). */
+  def nearDupDrops(prep: DataFrame, idxBands: DataFrame,
+      idxSets: DataFrame): DataFrame = {
+    val bb = bandRows(prep)
+    // within-batch: candidates from the banding self-join, verified exact
+    val inCand = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inDrops = inCand
+      .join(prep.select(col("doc_id").as("doc_a"), col("hset").as("h_a")), Seq("doc_a"))
+      .join(prep.select(col("doc_id").as("doc_b"), col("hset").as("h_b")), Seq("doc_b"))
+      .filter(jac(col("h_a"), col("h_b")) >= threshold)
+      .select(col("doc_b").as("doc_id"))
+    // cross-index: probe the persisted postings on (band, sig) — narrow
+    // rows both sides; hsets re-join by id only for surviving candidates
+    val crossCand = bb.as("x").join(idxBands.as("i"),
+        col("x.band") === col("i.band") && col("x.sig") === col("i.sig"))
+      .select(col("x.doc_id").as("doc_id"), col("i.doc_id").as("idx_id"))
+      .distinct()
+    val crossDrops = crossCand
+      .join(prep.select(col("doc_id"), col("hset").as("h_b")), Seq("doc_id"))
+      .join(idxSets.select(col("doc_id").as("idx_id"), col("hset").as("h_i")), Seq("idx_id"))
+      .filter(jac(col("h_b"), col("h_i")) >= threshold)
+      .select("doc_id")
+    inDrops.union(crossDrops).distinct()
+  }
+
+  /** Dedup `batch` (doc_id, text, carry…) within itself and against an
+    * index given as frames. Returns batch survivors with original columns
+    * (short docs — no shingles — survive by construction). */
+  def dedupNearAgainst(batch: DataFrame, idxBands: DataFrame,
+      idxSets: DataFrame): DataFrame = {
+    val prep = prepared(batch.select("doc_id", "text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.join(nearDupDrops(prep, idxBands, idxSets), Seq("doc_id"), "left_anti")
+  }
+
+  // ---------------------------------------------------- persisted index
+
+  /** Bucket count for both sub-tables ([[IncrementalDedup.IndexBuckets]]
+    * sizing rationale: one bucket's postings fit an executor build side). */
+  val IndexBuckets = 64
+
+  /** Persist (or append) a prepared frame's band rows + shingle sets.
+    * Both sub-tables bucket by a stable hash so a batch's probe/verify
+    * joins can prune to matching buckets. */
+  def writeBandIndex(prep: DataFrame, path: String,
+      nBuckets: Int = IndexBuckets, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    bandRows(prep)
+      .withColumn("bucket", pmod(col("sig"), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+    prep.select(col("doc_id"), col("hset"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/sets")
+  }
+
+  def readBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/sets"))
+
+  /** One full incremental step: near-dedup `batch` against the index at
+    * `path`, append the survivors' probe+verify surfaces, return the
+    * survivors. The survivors are eagerly `localCheckpoint`ed BEFORE the
+    * append — the [[IncrementalDedup.step]] guard, verbatim: the append
+    * invalidates cached plans scanning the index path, and a lazy
+    * survivor frame re-evaluated after it would see its own bands in the
+    * index and drop itself. */
+  def step(spark: SparkSession, batch: DataFrame, path: String,
+      nBuckets: Int = IndexBuckets): DataFrame = {
+    val (idxBands, idxSets) = readBandIndex(spark, path)
+    val survivors = dedupNearAgainst(batch, idxBands, idxSets)
+      .localCheckpoint(true)
+    writeBandIndex(prepared(survivors.select("doc_id", "text")), path,
+      nBuckets, append = true)
+    survivors
+  }
+
+  /** Declared key (`dedup_minhash_incremental`): even doc_ids play the
+    * already-curated corpus (their band rows + shingle sets are the
+    * index), odd doc_ids are the arriving batch — the [[IncrementalDedup
+    * .dedupIncremental]] parity split, lifted to near-dup. Output: batch
+    * docs that neither near-dup a lower-id batch doc nor ANY corpus doc
+    * (exact Jaccard ≥ 0.8 both halves — the DuckDB oracle recomputes the
+    * same verdict from brute-force trigram Jaccard over the parity
+    * split; LSH recall is exactly 1 at this SF, asserted in
+    * LlmOpsSpec). Deterministic and SF-independent. */
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "n_chars")
+    val idxPrep = prepared(docs.filter(col("doc_id") % 2 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dedupNearAgainst(docs.filter(col("doc_id") % 2 === 1),
+        bandRows(idxPrep), idxPrep.select("doc_id", "hset"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+}

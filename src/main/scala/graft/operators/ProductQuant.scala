@@ -228,11 +228,11 @@ object ProductQuant {
     * pruning gives the second axis for free); `centroids/` and
     * `codebooks/` are the two tiny driver-resident model frames. */
   def writeIvfPqIndex(spark: SparkSession, dir: String, emb: DataFrame,
-      c: Int = 8, lloydIters: Int = 2)
+      c: Int = 8, lloydIters: Int = 2, m: Int = M)
       : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     import spark.implicits._
     val centroids = Similarity.trainCentroids(spark, emb, c, lloydIters)
-    val cbs = trainCodebooks(spark, emb)
+    val cbs = trainCodebooks(spark, emb, m)
     centroids.toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     cbs.zipWithIndex.flatMap { case (cb, mi) =>

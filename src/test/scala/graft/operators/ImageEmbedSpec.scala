@@ -93,4 +93,28 @@ class ImageEmbedSpec extends SparkSpec {
         assert(dupOf === None && keep, s"base image $id must not collide")
     }
   }
+
+  test("media_ann serves every twin's base as top-1 from the persisted index, repeat-call bit-identical") {
+    ImagePhash.ensureJpegPhashFixture(spark)
+    val first = ImageEmbed.mediaAnnQuery(spark, "unused").collect()
+    assert(first.length === 300, "one row per planted twin")
+    first.foreach { r =>
+      val id = r.getLong(0)
+      val base =
+        if (id >= ImagePhash.JpegGrayOffset) id - ImagePhash.JpegGrayOffset
+        else if (id >= ImagePhash.JpegPngOffset) id - ImagePhash.JpegPngOffset
+        else id - ImagePhash.JpegRequalOffset
+      assert(r.getLong(1) === base, s"twin $id must find its base as top-1")
+    }
+    // second call must SERVE from the persisted artifact (no retrain:
+    // the index files' mtimes are untouched) and return identical rows
+    val idxFile = new java.io.File(
+      s"${ImageEmbed.mediaAnnIndexPath}/assigned/_SUCCESS")
+    assert(idxFile.exists)
+    val mtime = idxFile.lastModified()
+    val second = ImageEmbed.mediaAnnQuery(spark, "unused").collect()
+    assert(idxFile.lastModified() === mtime, "second call must not rebuild")
+    assert(second.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      first.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
