@@ -50,11 +50,25 @@ object VideoPhash {
   def sampleIndices(n: Int): Array[Int] =
     Array.tabulate(Slots)(j => math.min(n - 1, (2 * j + 1) * n / (2 * Slots)))
 
+  /** Container dispatch by magic bytes — the [[ImagePhash.decodeImage]]
+    * discipline one modality over: RIFF/AVI ([[Avi]]) and ISO-BMFF/MP4
+    * ([[Mp4]]) both land in the shared [[Avi.Video]] shape, so ONE pass
+    * fingerprints a mixed-container corpus and a re-containered copy
+    * dedups against its original. */
+  def decodeVideo(payload: Array[Byte]): Option[Avi.Video] =
+    if (payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F')
+      Avi.decode(payload)
+    else if (payload.length >= 12 &&
+      payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p')
+      Mp4.decode(payload)
+    else None
+
   /** Decode + fingerprint: [[Slots]] per-frame dHashes, in slot order.
     * None if the container or ANY sampled frame fails to decode (a
     * partial fingerprint would verify against nothing). */
   def videoPhash(payload: Array[Byte]): Option[Array[Long]] =
-    Avi.decode(payload).flatMap { v =>
+    decodeVideo(payload).flatMap { v =>
       val out = new Array[Long](Slots)
       val idx = sampleIndices(v.frames.length)
       var j = 0
@@ -138,7 +152,7 @@ object VideoPhash {
   }
 
   private def renderVideo(id: Long, quality: Int, perScene: Int,
-      usPerFrame: Int, brighten: Int = 0): Array[Byte] = {
+      usPerFrame: Int, brighten: Int = 0, container: String = "avi"): Array[Byte] = {
     val frames = (0 until Slots).toArray.flatMap { s =>
       if (brighten == 0) sceneJpegs(sceneSeed(id, s), quality, perScene)
       else {
@@ -150,7 +164,8 @@ object VideoPhash {
       }
     }
     val (w0, h0, _) = ImagePhash.gridCodePixels(sceneSeed(id, 0))
-    Avi.encode(usPerFrame, w0, h0, frames)
+    if (container == "mp4") Mp4.encode(usPerFrame, w0, h0, frames)
+    else Avi.encode(usPerFrame, w0, h0, frames)
   }
 
   def baseVideo(id: Long): Array[Byte] =
@@ -175,17 +190,27 @@ object VideoPhash {
     renderVideo(id, quality = 90, perScene = FramesPerScene,
       usPerFrame = UsPerFrame, brighten = 12)
 
+  /** RE-CONTAINERED copy: the same scenes re-encoded at q80 inside an
+    * ISO-BMFF/MP4 box tree instead of RIFF/AVI — different container
+    * grammar, different bytes, same content instants. The copy only a
+    * container-dispatching decode can see. */
+  def mp4Twin(id: Long): Array[Byte] =
+    renderVideo(id, quality = 80, perScene = FramesPerScene,
+      usPerFrame = UsPerFrame, container = "mp4")
+
   // -------------------------------------------------------------- fixture
 
   /** Planting layout (the [[ImagePhash.ensureJpegPhashFixture]] pattern):
     * base ids 0..[[NBaseVideo]]-1; twins over DISJOINT 50-id base
-    * ranges — `requal` (q70), `fps` (half frame rate), `bright` (+12). */
+    * ranges — `requal` (q70), `fps` (half frame rate), `bright` (+12),
+    * `mp4` (q80 re-encode in the ISO-BMFF container — r14). */
   val NBaseVideo = 200
   val VideoRequalOffset = 10000L // twins of bases 0..49
   val VideoFpsOffset = 20000L    // twins of bases 50..99
   val VideoBrightOffset = 30000L // twins of bases 100..149
+  val VideoMp4Offset = 40000L    // twins of bases 150..199
 
-  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v1.parquet"
+  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v2.parquet"
 
   def ensureVideoPhashFixture(spark: SparkSession): Unit = synchronized {
     val p = java.nio.file.Paths.get(videoFixturePath)
@@ -199,6 +224,8 @@ object VideoPhash {
         (VideoFpsOffset + i, fpsTwin(i), Option(i.longValue), "fps")
       }).union(spark.range(100, 150).map { i =>
         (VideoBrightOffset + i, brightTwin(i), Option(i.longValue), "bright")
+      }).union(spark.range(150, 200).map { i =>
+        (VideoMp4Offset + i, mp4Twin(i), Option(i.longValue), "mp4")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = videoFixturePath + ".tmp"
       rows.repartition(4).write.mode("overwrite").parquet(tmp)
@@ -209,10 +236,12 @@ object VideoPhash {
 
   /** Declared key (`video_phash`): the video member of the content-level
     * near-dup family. Row equality vs the planted ground truth certifies
-    * the AVI chunk-walk decode, per-frame JPEG decode through the shared
-    * image stack, TIME-based frame sampling (the half-frame-rate twin
-    * lands on its base), fingerprint invariance under requantization and
-    * brightness, and zero false pairs among 200 distinct videos. */
+    * the AVI and MP4 chunk-walk decodes behind one magic-byte dispatch,
+    * per-frame JPEG decode through the shared image stack, TIME-based
+    * frame sampling (the half-frame-rate twin lands on its base),
+    * fingerprint invariance under requantization, brightness, and
+    * RE-CONTAINERING (the MP4 twin dedups against its AVI base), and
+    * zero false pairs among 200 distinct videos. */
   def videoPhashQuery(spark: SparkSession, dir: String): DataFrame = {
     ensureVideoPhashFixture(spark)
     videoPhashDedup(videoPhashFrame(spark.read.parquet(videoFixturePath)

@@ -73,6 +73,51 @@ class VideoPhashSpec extends SparkSpec {
     assert(Avi.decode(canonical.take(hdrlEnd)) === None, "no movi → no frames")
   }
 
+  test("mp4: encode→decode round-trips header fields and frame bytes") {
+    val frames = jpegFrames(5)
+    val payload = Mp4.encode(40000, 100, 66, frames)
+    val Some(v) = Mp4.decode(payload)
+    assert(v.usPerFrame === 40000)
+    assert(v.width === 100 && v.height === 66)
+    assert(v.frames.length === 5)
+    v.frames.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("mp4: unknown boxes skipped, cross-container fingerprint equal, junk rejected — never throws") {
+    val frames = jpegFrames(4)
+    val canonical = Mp4.encode(40000, 100, 66, frames)
+    // splice a `free` box between ftyp and mdat: byte offsets in stco
+    // shift, so a conformant writer would rewrite them — instead splice
+    // AFTER mdat (before moov), where offsets stay valid
+    val ftypLen = ((canonical(0) & 0xff) << 24) | ((canonical(1) & 0xff) << 16) |
+      ((canonical(2) & 0xff) << 8) | (canonical(3) & 0xff)
+    val mdatLen = ((canonical(ftypLen) & 0xff) << 24) |
+      ((canonical(ftypLen + 1) & 0xff) << 16) |
+      ((canonical(ftypLen + 2) & 0xff) << 8) | (canonical(ftypLen + 3) & 0xff)
+    val cut = ftypLen + mdatLen
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](9, 9, 9, 9)
+    val spliced = canonical.take(cut) ++ free ++ canonical.drop(cut)
+    val Some(vs) = Mp4.decode(spliced)
+    assert(vs.frames.length === 4, "free box skipped")
+    // the SAME frames in both containers decode to identical videos —
+    // so the video fingerprint is container-invariant by construction
+    val avi = Avi.decode(Avi.encode(40000, 100, 66, frames)).get
+    val mp4 = Mp4.decode(canonical).get
+    assert(avi.usPerFrame === mp4.usPerFrame)
+    assert(avi.frames.length === mp4.frames.length)
+    avi.frames.zip(mp4.frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(VideoPhash.videoPhash(Avi.encode(40000, 100, 66, frames)).get.toSeq ===
+      VideoPhash.videoPhash(canonical).get.toSeq, "dispatch: same fingerprint")
+    // rejections
+    assert(Mp4.decode("not a video at all".getBytes) === None)
+    assert(Mp4.decode(canonical.take(40)) === None, "truncated: no moov")
+    assert(Mp4.decode(canonical.take(cut)) === None, "mdat but no moov")
+    val wav = Wav.encode(8000, Array.tabulate[Short](100)(_.toShort))
+    assert(Mp4.decode(wav) === None)
+    assert(VideoPhash.decodeVideo(wav) === None, "dispatch rejects non-video RIFF")
+  }
+
   test("sampleIndices: time-normalized — base and half-rate twin sample the same scenes") {
     val base = VideoPhash.sampleIndices(VideoPhash.Slots * VideoPhash.FramesPerScene)
     val half = VideoPhash.sampleIndices(VideoPhash.Slots)
@@ -108,12 +153,14 @@ class VideoPhashSpec extends SparkSpec {
   test("video_phash recovers exactly the planted twins from bytes alone") {
     VideoPhash.ensureVideoPhashFixture(spark)
     val out = VideoPhash.videoPhashQuery(spark, "unused").collect()
-    assert(out.length === VideoPhash.NBaseVideo + 150)
+    assert(out.length === VideoPhash.NBaseVideo + 200)
     out.foreach { r =>
       val id = r.getLong(0)
       val dupOf = if (r.isNullAt(1)) None else Some(r.getLong(1))
       val keep = r.getBoolean(2)
-      if (id >= VideoPhash.VideoBrightOffset)
+      if (id >= VideoPhash.VideoMp4Offset)
+        assert(dupOf === Some(id - VideoPhash.VideoMp4Offset) && !keep, s"mp4 twin $id")
+      else if (id >= VideoPhash.VideoBrightOffset)
         assert(dupOf === Some(id - VideoPhash.VideoBrightOffset) && !keep, s"bright twin $id")
       else if (id >= VideoPhash.VideoFpsOffset)
         assert(dupOf === Some(id - VideoPhash.VideoFpsOffset) && !keep, s"fps twin $id")
