@@ -351,26 +351,33 @@ object Probe {
 
   /** [[graft.operators.VideoPhash]] at planted-verdict scale: `n` base
     * MJPEG AVIs (8 scenes × 2 frames, code-carrying pixels) + `nTwin`
-    * q70 re-encodes + `nTwin` HALF-frame-rate copies. Measures container
-    * walk + per-frame JPEG decode + time-sampled fingerprint throughput
+    * q70 re-encodes + `nTwin` HALF-frame-rate copies + `nTwin`
+    * RE-CONTAINERED MP4 copies (q80, ISO-BMFF box tree — the r14
+    * cross-container family). Measures container walk + per-frame JPEG
+    * decode + time-sampled fingerprint throughput over the MIXED corpus
     * (the heaviest media decode path: 16 frames in, 8 decoded per video)
     * and the (slot, band)-sharded dedup. Verdict exact: every planted
     * twin drops onto its base, zero spurious pairs. */
   def videoPhashProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
     import spark.implicits._
     import graft.operators.VideoPhash
-    require(2 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    require(3 * nTwin <= n, "twin ranges must be disjoint within the base set")
     val tmp = java.nio.file.Files.createTempDirectory("graft-videophash").toString
-    val rqOff = n.toLong           // requal twins of bases [0, nTwin)
-    val fpsOff = n.toLong + nTwin  // half-rate twins of bases [nTwin, 2*nTwin)
+    // id = off + base-index; offsets spaced so the three twin id RANGES
+    // stay disjoint (off+range must not overlap the next family's floor)
+    val rqOff = n.toLong                // requal ids [n, n+nTwin)
+    val fpsOff = n.toLong + nTwin       // half-rate ids [n+2·nTwin, n+3·nTwin)
+    val mp4Off = n.toLong + 3L * nTwin  // MP4 ids [n+5·nTwin, n+6·nTwin)
     val gen = spark.range(n).map { id =>
       (id.longValue, VideoPhash.baseVideo(id))
     }.union(spark.range(nTwin).map { i =>
       (rqOff + i, VideoPhash.requalTwin(i))
     }).union(spark.range(nTwin, 2L * nTwin).map { i =>
       (fpsOff + i, VideoPhash.fpsTwin(i))
+    }).union(spark.range(2L * nTwin, 3L * nTwin).map { i =>
+      (mp4Off + i, VideoPhash.mp4Twin(i))
     }).toDF("media_id", "payload")
-    timed(s"videophash corpus write ($n base AVI + $nTwin requal + $nTwin half-rate twins)") {
+    timed(s"videophash corpus write ($n base AVI + $nTwin requal + $nTwin half-rate + $nTwin MP4 twins)") {
       gen.repartition(32).write.mode("overwrite").parquet(tmp)
     }
     // ~17 KB AVI payloads × the default 4096-row columnar batch = ~70 MB
@@ -387,8 +394,8 @@ object Probe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[probe] videophash decode+fingerprint: $decoded videos in $sec%.2f s " +
       f"(${decoded / sec}%.0f videos/s, ${8 * decoded / sec}%.0f frame decodes/s, " +
-      f"${mb / sec}%.1f MB/s of AVI)")
-    assert(decoded == n.toLong + 2 * nTwin)
+      f"${mb / sec}%.1f MB/s of mixed AVI+MP4)")
+    assert(decoded == n.toLong + 3 * nTwin)
     val verdicts = timed(s"(slot, band)-sharded Hamming dedup over $decoded fingerprints") {
       VideoPhash.videoPhashDedup(hashes)
         .filter(!col("keep"))
@@ -397,12 +404,13 @@ object Probe {
     hashes.unpersist(blocking = false)
     val exact = verdicts.count { r =>
       val id = r.getLong(0)
-      (id >= fpsOff && id - fpsOff == r.getLong(1)) ||
-        (id >= rqOff && id < fpsOff && id - rqOff == r.getLong(1))
+      (id >= mp4Off + 2L * nTwin && id - mp4Off == r.getLong(1)) ||
+        (id >= fpsOff + nTwin && id < mp4Off + 2L * nTwin && id - fpsOff == r.getLong(1)) ||
+        (id >= rqOff && id < fpsOff + nTwin && id - rqOff == r.getLong(1))
     }
     println(s"[probe] videophash verdicts: ${verdicts.length} drops, $exact onto " +
-      s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
-    assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
+      s"their planted base (expect ${3 * nTwin}/${3 * nTwin}, zero spurious)")
+    assert(verdicts.length == 3 * nTwin && exact == 3 * nTwin)
   }
 
   /** [[graft.streaming.StreamingOps.streamingDocDedup]] at scale: `nDocs`
