@@ -110,12 +110,25 @@ object MinHashIncremental {
 
   /** Dedup `batch` (doc_id, text, carry…) within itself and against an
     * index given as frames. Returns batch survivors with original columns
-    * (short docs — no shingles — survive by construction). */
+    * (short docs — no shingles — survive by construction).
+    *
+    * `materialize = true` eagerly localCheckpoints the survivors and
+    * releases the internal prepared-batch cache before returning (the
+    * [[SemDedup]] in-operator release discipline — long-lived sessions
+    * and composed pipelines don't accumulate stale caches); the lazy
+    * default keeps the full plan visible for audits. */
   def dedupNearAgainst(batch: DataFrame, idxBands: DataFrame,
-      idxSets: DataFrame): DataFrame = {
+      idxSets: DataFrame, materialize: Boolean = false): DataFrame = {
     val prep = prepared(batch.select("doc_id", "text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    batch.join(nearDupDrops(prep, idxBands, idxSets), Seq("doc_id"), "left_anti")
+    val out = batch.join(nearDupDrops(prep, idxBands, idxSets),
+      Seq("doc_id"), "left_anti")
+    if (!materialize) out
+    else {
+      val m = out.localCheckpoint(true)
+      prep.unpersist(blocking = false)
+      m
+    }
   }
 
   // ---------------------------------------------------- persisted index
@@ -151,8 +164,8 @@ object MinHashIncremental {
   def step(spark: SparkSession, batch: DataFrame, path: String,
       nBuckets: Int = IndexBuckets): DataFrame = {
     val (idxBands, idxSets) = readBandIndex(spark, path)
-    val survivors = dedupNearAgainst(batch, idxBands, idxSets)
-      .localCheckpoint(true)
+    val survivors =
+      dedupNearAgainst(batch, idxBands, idxSets, materialize = true)
     writeBandIndex(prepared(survivors.select("doc_id", "text")), path,
       nBuckets, append = true)
     survivors

@@ -230,6 +230,50 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Formatted-explain node-detail blocks (each "(N) NodeName\nInput…\n
+    * Output…" section) — the per-node Output lists the columns a node
+    * EMITS, which is what the fan-out audits below need (a generator's
+    * Input legitimately references the wide column it computes keys
+    * from; the claim is that its OUTPUT — the 32×-multiplied rows —
+    * stays narrow). */
+  private def nodeBlocks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("\n\n").toSeq
+
+  test("videoPhashDedup banded fan-out emits ids only — no hash arrays on the exploded rows") {
+    import spark.implicits._
+    val hashes = (0L until 40L)
+      .map(i => (i, Array.fill(graft.operators.VideoPhash.Slots)(i * 7919L)))
+      .toDF("media_id", "phashes")
+    val gens = nodeBlocks(graft.operators.VideoPhash.videoPhashDedup(hashes))
+      .filter(b => b.contains(") Generate") && b.contains("explode"))
+    assert(gens.nonEmpty, "(slot, band) explode present")
+    gens.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("phashes"),
+        s"explode output must be (media_id, band) only, not the 64 B array: $out")
+    }
+  }
+
+  test("incremental near-dup: banded fan-out emits no text and no shingle sets") {
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 10).map(j => s"t${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val prep = graft.operators.MinHashIncremental.prepared(docs)
+    val gens = nodeBlocks(graft.operators.MinHashIncremental.dedupNearAgainst(
+        docs, graft.operators.MinHashIncremental.bandRows(prep),
+        prep.select("doc_id", "hset")))
+      .filter(b => b.contains(") Generate") && b.contains("explode"))
+    assert(gens.nonEmpty, "band explode present")
+    gens.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("hset") && !out.contains("text"),
+        s"band fan-out must emit (doc_id, band struct) only: $out")
+    }
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,
