@@ -93,6 +93,60 @@ class JpegSpec extends SparkSpec {
       Multimodal.MediaDecoder.jpegHeader(10, 10)) === None)
   }
 
+  test("jpeg: high-contrast content at top quality encodes without coefficient overflow (r14 clamp)") {
+    // checkerboard at maximum contrast: the DCT concentrates ±1016·8
+    // into a few coefficients; at quality 98 the quant divisors are ~1,
+    // so unclamped quantized values reach category 11 — which the
+    // baseline AC tables don't cover (the pre-fix crash). The clamp
+    // keeps them in [-1023, 1023]; the image still round-trips visually
+    // (the clamp only touches pathological coefficients).
+    val w = 64; val h = 64
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (((x ^ y) & 1) == 0) 0xff.toByte else 0x00.toByte
+      val i = (y * w + x) * 3
+      px(i) = v; px(i + 1) = v; px(i + 2) = v
+    }
+    for (q <- Seq(93, 98, 100)) {
+      val enc = Jpeg.encode(w, h, px, quality = q) // must not throw
+      val Some((dw, dh, _)) = Jpeg.decodePixels(enc)
+      assert(dw === w && dh === h, s"quality $q round-trips")
+    }
+  }
+
+  test("png/jpeg/wav/avi/mp4: crafted huge sizes are rejected in long arithmetic — never a throw (r14)") {
+    // PNG: a syntactically valid IHDR whose dims overflow `h * (1 + 3w)`
+    // into a negative array size pre-fix
+    val (w, h, px) = ImagePhash.smoothPixels(2L)
+    val png = ImagePhash.Png.encode(w, h, px)
+    val bigDims = png.clone()
+    def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >> 24).toByte; b(i + 1) = (v >> 16).toByte
+      b(i + 2) = (v >> 8).toByte; b(i + 3) = v.toByte
+    }
+    putBe32(bigDims, 16, 0x40000) // w = 262144
+    putBe32(bigDims, 20, 0x40000) // h = 262144 → w*h*3 overflows int
+    assert(ImagePhash.Png.decodePixels(bigDims) === None)
+    // WAV: declared chunk length near Int.MaxValue wraps `i + 8 + len`
+    // negative pre-fix, bypassing the bound
+    val wav = Wav.encode(8000, Array.tabulate[Short](64)(_.toShort))
+    val hugeChunk = wav.clone()
+    hugeChunk(16) = 0xf8.toByte; hugeChunk(17) = 0xff.toByte
+    hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte // fmt len = 0x7ffffff8
+    assert(Wav.decode(hugeChunk) === None)
+    // AVI: same pattern on the top-level LIST size
+    val avi = Avi.encode(40000, 32, 32, Array(Jpeg.encode(32, 32, new Array[Byte](32 * 32 * 3))))
+    val hugeList = avi.clone()
+    hugeList(16) = 0xf8.toByte; hugeList(17) = 0xff.toByte
+    hugeList(18) = 0xff.toByte; hugeList(19) = 0x7f.toByte
+    assert(Avi.decode(hugeList) === None)
+    // MP4: a 64-bit largesize past the payload end
+    val mp4 = Mp4.encode(40000, 32, 32, Array(Jpeg.encode(32, 32, new Array[Byte](32 * 32 * 3))))
+    val hugeBox = mp4.clone()
+    putBe32(hugeBox, 0, 1) // ftyp size → largesize marker with no largesize room
+    assert(Mp4.decode(hugeBox) === None)
+  }
+
   test("decodeImage dispatches on magic bytes across formats") {
     val (w, h, px) = ImagePhash.smoothPixels(9L)
     val png = Png.encode(w, h, px)
