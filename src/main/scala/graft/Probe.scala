@@ -105,6 +105,10 @@ object Probe {
         videoPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(20000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(1000))
+      case Some("ivfpqappend") =>
+        ivfpqAppendProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(2000000),
+          c = args.lift(2).map(_.toInt).getOrElse(1024))
       case Some("mediaann") =>
         mediaAnnProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
@@ -725,6 +729,81 @@ object Probe {
       s"IVFADC top-1 must agree with exact top-1 on >=95% of queries, got $agree/$nSample")
     assert(plantedHits >= (nTwin.toLong * 9) / 10,
       s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/$nTwin")
+  }
+
+  /** `ivfpq_append` at scale: the arriving-batch mode of the ANN index.
+    * The [[ivfpqProbe]] synthetic corpus, split by parity: the EVEN half
+    * builds the index (models trained on it alone), the ODD half is then
+    * APPENDED under those models — assign + encode + cid-partitioned
+    * append, no retrain, never touching the existing rows. The exact
+    * baseline runs over the FULL corpus, so the recall curve measures
+    * whether the appended index answers as if built over everything;
+    * appended-only recall is reported separately (a systematic miss of
+    * appended vectors would hide inside the blended number). */
+  def ivfpqAppendProbe(spark: SparkSession, n: Int, c: Int,
+      dim: Int = 64, nQ: Int = 20, k: Int = 10): Unit = {
+    val shortlist = math.max(graft.operators.ProductQuant.Shortlist, n / c + 100)
+    import graft.operators.ProductQuant
+    def comp(key: org.apache.spark.sql.Column) =
+      pmod(xxhash64(key), lit(1000)).cast("double") / 500.0 - 1.0
+    val cluster = pmod(xxhash64(col("vec_id")), lit(c.toLong))
+    val emb = ProductQuant.normalized(
+      spark.range(n).select(col("id").as("vec_id"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => comp(cluster * dim + j) + comp(col("vec_id") * dim + j + lit(7777777L)) * 0.25)
+            .as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqapp").toString
+    timed(s"index build+persist over the EVEN half (${n / 2} × dim$dim, c=$c)") {
+      ProductQuant.writeIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") % 2 === 0), c, lloydIters = 1)
+    }
+    timed(s"append the ODD half (${n / 2} vectors) under the existing models") {
+      ProductQuant.ivfpqAppend(spark, dir, emb.filter(col("vec_id") % 2 === 1))
+    }
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, dir)
+    assert(assigned.count() == n.toLong, "append must grow the inverted file to the full corpus")
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = timed(s"exact baseline: $nQ queries × $n brute force (full corpus)") {
+      val e = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotQ)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= k)
+        .select("q_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val nExactOdd = exact.filter(col("vec_id") % 2 === 1).count()
+    emb.unpersist(blocking = false)
+    val curve = Seq(1, 2, 4).map { nProbe =>
+      val t0 = System.nanoTime()
+      val served = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k, nProbe, shortlist)
+        .select("q_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = exact.intersect(served).count()
+      val oddHits = exact.intersect(served).filter(col("vec_id") % 2 === 1).count()
+      served.unpersist(blocking = false)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = hits.toDouble / (nQ.toLong * k)
+      val oddRecall = if (nExactOdd == 0) 1.0 else oddHits.toDouble / nExactOdd
+      println(f"[probe] ivfpqappend: nProbe=$nProbe%2d recall@$k=$recall%.3f " +
+        f"(appended-only recall $oddRecall%.3f over $nExactOdd exact-odd hits, $sec%.2f s)")
+      (recall, oddRecall)
+    }
+    exact.unpersist()
+    assert(curve.last._1 >= 0.6,
+      s"nProbe=4 through the APPENDED index must recover ≥ 0.6 of the exact top-$k, got ${curve.last._1}")
+    assert(curve.last._2 >= 0.5,
+      s"appended vectors must not be systematically missed, got ${curve.last._2}")
   }
 
   /** [[graft.streaming.StreamingOps.streamingLineDedupSeeded]] drain at

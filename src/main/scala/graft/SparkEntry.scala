@@ -82,6 +82,10 @@ object SparkEntry {
     // IVFADC served end-to-end from the persisted cid-partitioned index
     // (build-once/serve-forever; both pruning axes compose)
     "ivfpq_topk"    -> ((s: SparkSession, d: String) => ProductQuant.ivfpqRecall(s, d)),
+    // the arriving-batch mode of the ANN artifact: evens indexed (models
+    // trained on them alone), odds APPENDED under the existing models,
+    // queries recall-gated against the exact top-k over the FULL corpus
+    "ivfpq_append"  -> ((s: SparkSession, d: String) => ProductQuant.ivfpqAppendRecall(s, d)),
     "embed_dedup"   -> ((s: SparkSession, d: String) =>
       Similarity.embedDedupRecallCheck(s, d)),
     "media_stats"   -> (Multimodal.mediaStatsQuery _),
@@ -696,6 +700,12 @@ object SparkEntry {
     // ADC → rerank): TRUE = "both approximation layers together still
     // recovered ≥ minRecall of the exact top-k"
     "ivfpq_topk" ->
+      s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
+    // and for the appended-index arrival mode: TRUE = "an index built on
+    // the evens and APPENDED with the odds (no retrain) still recovered
+    // >= minRecall of the exact top-k over the full corpus"
+    "ivfpq_append" ->
       s"""SELECT vec_id AS q_id, CAST(${Similarity.DefaultK} AS BIGINT) AS n_exact, TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < ${Similarity.NumQueryVecs} ORDER BY q_id""".stripMargin,
     // pair identities are xxhash64-derived (not DuckDB-expressible); the

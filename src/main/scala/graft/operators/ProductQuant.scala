@@ -260,6 +260,30 @@ object ProductQuant {
     (spark.read.parquet(s"$dir/assigned"), centroids, cbs)
   }
 
+  /** Append an arriving (vec_id, v) batch to a persisted IVFADC index —
+    * the [[IncrementalDedup]] arrival discipline for the ANN serving
+    * artifact (a corpus that grows by crawl batches must not rebuild its
+    * billion-vector index per batch). The batch is normalized, assigned
+    * to the EXISTING inverted lists and encoded under the EXISTING
+    * codebooks — the models are serving artifacts shared with every
+    * already-written code, so an append must never drift them (recall
+    * for appended vectors degrades only as far as the data distribution
+    * drifts from the trained one; periodic retrain is a separate,
+    * deliberate operation) — then appended to the cid-partitioned
+    * `assigned/` table. Cost: one narrow pass over the BATCH (assign =
+    * broadcast-centroid argmin, encode = codebook-literal projection)
+    * plus a partitioned append; the existing index is never read or
+    * rewritten. */
+  def ivfpqAppend(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val (_, centroids, cbs) = readIvfPqIndex(spark, path)
+    val emb = normalized(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    encode(emb, cbs)
+      .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+    emb.unpersist(blocking = false)
+  }
+
   /** Per-corpus serving location for the declared key ([[graft.operators
     * .Bpe.mergeTablePath]] staleness discipline: the path carries
     * [[graft.Tables.corpusFingerprint]] of the embeddings table — file
@@ -305,6 +329,54 @@ object ProductQuant {
     val exact = Similarity.simTopk(spark, dir).select(col("q_id"), col("vec_id"))
     val approx = ivfpqServe(spark, dir, k)
       .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("hits"))
+      .select(col("q_id"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact") >= minRecall).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
+  /** Serving location for the APPENDED-index declared key (separate from
+    * the full-corpus `ivfpq_topk` artifact — this one's models are
+    * trained on the even half only). */
+  def ivfpqAppendIndexPath(dir: String): String =
+    "target/fixtures/ivfpq_append_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      graft.Tables.corpusFingerprint(dir, "embeddings")
+
+  /** Declared key (`ivfpq_append`): the arriving-batch mode of the ANN
+    * serving artifact, end to end. Even vec_ids play the already-indexed
+    * corpus (models TRAINED ON THEM alone, the production situation —
+    * the index predates the batch); odd vec_ids arrive and are APPENDED
+    * under the existing models ([[ivfpqAppend]]: assign + encode + cid-
+    * partitioned append, never a retrain); queries then serve from the
+    * appended artifact and are recall-gated against the EXACT top-k over
+    * the FULL corpus — i.e. the appended index must answer as if it had
+    * been built over everything. The bound composes IVF probe misses ×
+    * PQ shortlist misses × train-on-half model drift, so it carries the
+    * same deliberate slack as `ivfpq_topk`. Built at most once per
+    * corpus; repeat calls serve. */
+  def ivfpqAppendRecall(spark: SparkSession, dir: String,
+      k: Int = Similarity.DefaultK, minRecall: Double = 0.2): DataFrame = {
+    val path = ivfpqAppendIndexPath(dir)
+    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists) {
+      val raw = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      writeIvfPqIndex(spark, path,
+        normalized(raw.filter(col("vec_id") % 2 === 0)))
+      // the batch goes in RAW — ivfpqAppend owns normalization, exactly
+      // as an arriving crawl batch would reach it
+      ivfpqAppend(spark, path, raw.filter(col("vec_id") % 2 === 1))
+    }
+    val (assigned, centroids, cbs) = readIvfPqIndex(spark, path)
+    val queries = assigned.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val approx = ivfPqSearch(assigned, assigned.select("vec_id", "v"), queries,
+        centroids, cbs, k, nProbe = 2, shortlist = Shortlist)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    val exact = Similarity.simTopk(spark, dir).select(col("q_id"), col("vec_id"))
     exact.join(approx,
         col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
       .groupBy("q_id")

@@ -112,4 +112,50 @@ class ProductQuantSpec extends SparkSpec {
     assert(rows.forall(_.getBoolean(2)), rows.mkString(", "))
     spark.catalog.clearCache()
   }
+
+  test("ivfpqAppend: batch lands under the EXISTING models; appended vectors become servable") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val (centroids, cbs) = ProductQuant.writeIvfPqIndex(spark, tmp,
+      emb.filter(col("vec_id") % 2 === 0), c = 4)
+    val before = spark.read.parquet(s"$tmp/assigned").count()
+    // append the odd half RAW (ivfpqAppend owns normalization)
+    ProductQuant.ivfpqAppend(spark, tmp,
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") % 2 === 1))
+    val (assigned, rc, rcbs) = ProductQuant.readIvfPqIndex(spark, tmp)
+    // models untouched by the append — byte-equal to what training wrote
+    assert(rc === centroids.sortBy(_._1) && rcbs === cbs)
+    val total = assigned.count()
+    assert(total > before && total === emb.count(), "append grew the inverted file by the batch")
+    // appended codes equal a fresh encode under the SAME codebooks (no drift)
+    val freshOdd = ProductQuant.encode(emb.filter(col("vec_id") % 2 === 1), cbs)
+      .select("vec_id", "codes")
+    val storedOdd = assigned.filter(col("vec_id") % 2 === 1).select("vec_id", "codes")
+    assert(storedOdd.exceptAll(freshOdd).count() === 0)
+    assert(freshOdd.exceptAll(storedOdd).count() === 0)
+    // an appended (odd) vector is now servable: query it against the
+    // index — its exact duplicate is itself, so top-1 at full probe
+    // must return a cosine-1.0 neighbor set containing real rows
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val hits = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+      q, rc, rcbs, k = 3, nProbe = 4).collect()
+    assert(hits.nonEmpty, "appended vector must be reachable through the probe")
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("ivfpq_append declared key: appended index recall-green, repeat-call served") {
+    val a = ProductQuant.ivfpqAppendRecall(spark, sf0001).collect()
+    assert(a.length === Similarity.NumQueryVecs)
+    assert(a.forall(_.getBoolean(2)), a.mkString(", "))
+    val b = ProductQuant.ivfpqAppendRecall(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "second call must serve from the appended artifact")
+    spark.catalog.clearCache()
+  }
 }
