@@ -469,6 +469,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media near-dup: re-encoded and cross-format twins pair across micro-batches") {
+    import graft.operators.{ImagePhash, Jpeg}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val (wA, hA, pxA) = ImagePhash.smoothPixels(11L)
+    val (wB, hB, pxB) = ImagePhash.smoothPixels(22L)
+    val (wC, hC, pxC) = ImagePhash.smoothPixels(33L)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingMediaPhashPairs(
+        in.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("mediapairs")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct images (PNG)
+      in.addData((1L, ImagePhash.Png.encode(wA, hA, pxA)),
+        (2L, ImagePhash.Png.encode(wB, hB, pxB)))
+      q.processAllAvailable()
+      // batch 2: a RE-ENCODED twin of 1 (different filters → different
+      // bytes, same pixels), a CROSS-FORMAT JPEG twin of 2, a fresh
+      // within-batch twin pair (PNG + JPEG of the same content), and a
+      // non-image payload that must drop silently
+      in.addData(
+        (3L, ImagePhash.Png.encode(wA, hA, pxA, filterFor = r => (r % 5))),
+        (4L, Jpeg.encode(wB, hB, pxB, quality = 70)),
+        (5L, ImagePhash.Png.encode(wC, hC, pxC)),
+        (6L, Jpeg.encode(wC, hC, pxC, quality = 85)),
+        (7L, "not an image at all".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.table("mediapairs").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+          r.getAs[Int]("hamming")))
+      // a pair within radius in k bands emits up to k times — dedupe
+      val pairs = rows.map(t => (t._1, t._2)).toSet
+      assert(pairs === Set((1L, 3L), (2L, 4L), (5L, 6L)),
+        s"expected exactly the planted content pairs, got $pairs")
+      assert(rows.forall(_._3 <= ImagePhash.HammingMax))
+      assert(rows.filter(t => t._1 == 1L).forall(_._3 === 0),
+        "pixel-identical re-encode must hash identically")
+    } finally q.stop()
+  }
+
   test("bounded streaming dedup evicts state past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
