@@ -418,11 +418,22 @@ object StreamingOps {
     * re-arrivals of a stored id are ignored. */
   def streamingMediaPhashPairs(media: DataFrame,
       radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[MediaDupPair] =
+    streamingPhashPairs(graft.operators.ImagePhash.phashFrame(media), radius)
+
+  /** The bucket-state half of [[streamingMediaPhashPairs]] over ANY
+    * (media_id, phash) 64-bit fingerprint frame — the image decode is
+    * just one producer; an [[graft.operators.AudioPhash.audioPhashFrame]]
+    * stream (or any other 64-bit perceptual hash) rides the same state
+    * machinery, as every batch modality rides [[graft.operators
+    * .ImagePhash.phashDedup]]. */
+  def streamingPhashPairs(hashes: DataFrame,
+      radius: Int = graft.operators.ImagePhash.HammingMax)
       : org.apache.spark.sql.Dataset[MediaDupPair] = {
-    import media.sparkSession.implicits._
+    import hashes.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.ImagePhash
-    ImagePhash.phashFrame(media)
+    hashes
       .select(col("media_id"), col("phash"),
         explode(array((0 until ImagePhash.Bands).map(b =>
           struct(lit(b).as("band"),

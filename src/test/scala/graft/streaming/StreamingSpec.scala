@@ -510,6 +510,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
+    import graft.operators.{AudioPhash, Wav}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Array[Byte])]
+    // the operator takes ANY (media_id, phash) frame — feed it the AUDIO
+    // decode+fingerprint stage instead of the image one
+    val q = StreamingOps.streamingPhashPairs(
+        AudioPhash.audioPhashFrame(in.toDF().toDF("media_id", "payload")))
+      .writeStream.format("memory").queryName("audiopairs")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, Wav.encode(AudioPhash.SampleRate, AudioPhash.gridCodeSamples(5L))),
+        (2L, Wav.encode(AudioPhash.SampleRate, AudioPhash.gridCodeSamples(6L))))
+      q.processAllAvailable()
+      // a GAIN twin of clip 1 arrives in a later micro-batch
+      in.addData(
+        (3L, Wav.encode(AudioPhash.SampleRate,
+          AudioPhash.scaleTwin(AudioPhash.gridCodeSamples(5L)))))
+      q.processAllAvailable()
+      val pairs = spark.table("audiopairs").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 3L)),
+        s"expected exactly the planted gain-twin pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("bounded streaming dedup evicts state past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
