@@ -115,7 +115,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | streamlines | jpegphash | audiophash | videophash | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | videophash | mediaann | bpepack)")
     }
     spark.stop()
   }
