@@ -40,6 +40,13 @@ case class BandedMedia(band: Int, v: Long, media_id: Long, phash: Long)
 case class MediaDupPair(media_a: Long, media_b: Long, hamming: Int)
 case class MediaBucket(items: List[(Long, Long)])
 
+/** Rows/state for [[StreamingOps.streamingPhashPairsBounded]] — the
+  * bounded media twin: stored fingerprints carry event-time millis for
+  * horizon eviction. */
+case class BandedMediaTs(band: Int, v: Long, media_id: Long, phash: Long,
+    ts: java.sql.Timestamp)
+case class TimedMediaBucket(items: List[(Long, Long, Long)])
+
 /** Rows/state for [[StreamingOps.streamingNearDupPairsBounded]] — the
   * timed twin: each stored doc carries its event-time millis so the
   * horizon can evict per-doc, and the whole bucket dies by timeout. */
@@ -461,6 +468,93 @@ object StreamingOps {
           }
           state.update(MediaBucket(seen))
           out.iterator
+      }
+  }
+
+  /** Bounded-state variant of the media fingerprint dedup — the media
+    * twin of [[streamingNearDupPairsBounded]]: perceptual pairs are only
+    * sought within an EVENT-TIME horizon, and bucket state is evicted
+    * once the watermark passes it (crawl refetch storms cluster in time;
+    * state bounded by the horizon's arrival volume instead of growing
+    * ~64 B/image with the corpus). Decode carries the timestamp through
+    * the typed pass and the watermark is applied to the OUTPUT frame's
+    * `ts` (a typed mapPartitions emits fresh attributes, so tagging the
+    * input column would not survive it). Eviction mechanics are the text
+    * twin's verbatim: per-item `ts + horizon < watermark` filtering plus
+    * whole-bucket `EventTimeTimeout`. Contract: a pair is emitted iff
+    * the hashes share a 16-bit band, are within Hamming ≤ `radius`, AND
+    * their event times differ by ≤ `horizonMs`. */
+  def streamingMediaPhashPairsBounded(media: DataFrame, tsCol: String,
+      horizonMs: Long, radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[MediaDupPair] = {
+    import media.sparkSession.implicits._
+    import graft.operators.ImagePhash
+    val hashed = media
+      .select(col("media_id").cast("long"), col("payload"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, payload, t) =>
+        ImagePhash.decodeImage(payload).map { case (w, h, px) =>
+          (id, ImagePhash.dHash(w, h, px), t)
+        }
+      })
+      .toDF("media_id", "phash", "ts")
+    streamingPhashPairsBounded(hashed, horizonMs, radius)
+  }
+
+  /** The bounded bucket-state half over ANY (media_id, phash, ts) frame
+    * (the [[streamingPhashPairs]] generality, timed). Applies the
+    * watermark itself on `ts` with the horizon as the delay. */
+  def streamingPhashPairsBounded(hashes: DataFrame, horizonMs: Long,
+      radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[MediaDupPair] = {
+    import hashes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.ImagePhash
+    hashes.withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("media_id"), col("phash"), col("ts"),
+        explode(array((0 until ImagePhash.Bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bv"))
+      .select(col("bv.band").as("band"), col("bv.v").as("v"),
+        col("media_id"), col("phash"), col("ts"))
+      .as[BandedMediaTs]
+      .groupByKey(m => (m.band, m.v))
+      .flatMapGroupsWithState[TimedMediaBucket, MediaDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), arrivals: Iterator[BandedMediaTs],
+            state: GroupState[TimedMediaBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            var seen = state.getOption.map(_.items).getOrElse(Nil)
+              .filter(_._3 + horizonMs >= wmMs) // unpairable with any future arrival
+            val out = scala.collection.mutable.ArrayBuffer[MediaDupPair]()
+            arrivals.toSeq.sortBy(m => (m.ts.getTime, m.media_id)).foreach { m =>
+              if (!seen.exists(_._1 == m.media_id)) { // replay-safe
+                val tMs = m.ts.getTime
+                seen.foreach { case (oid, oph, oMs) =>
+                  if (math.abs(tMs - oMs) <= horizonMs) {
+                    val d = java.lang.Long.bitCount(oph ^ m.phash)
+                    if (d <= radius)
+                      out += MediaDupPair(math.min(oid, m.media_id),
+                        math.max(oid, m.media_id), d)
+                  }
+                }
+                seen = (m.media_id, m.phash, tMs) :: seen
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(TimedMediaBucket(seen))
+              state.setTimeoutTimestamp(
+                math.max(seen.map(_._3).max + horizonMs, wmMs + 1))
+            }
+            out.iterator
+          }
       }
   }
 

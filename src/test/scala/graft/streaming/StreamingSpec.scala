@@ -538,6 +538,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded streaming media dedup: pairs within horizon, state evicted past it") {
+    import graft.operators.{ImagePhash, Jpeg}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val (wA, hA, pxA) = ImagePhash.smoothPixels(44L)
+    val (wB, hB, pxB) = ImagePhash.smoothPixels(55L)
+    val (wC, hC, pxC) = ImagePhash.smoothPixels(66L)
+    def png(px: (Int, Int, Array[Byte]), filt: Int = 0) =
+      ImagePhash.Png.encode(px._1, px._2, px._3, filterFor = _ => filt)
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = StreamingOps.streamingMediaPhashPairsBounded(
+        in.toDF().toDF("ts", "media_id", "payload"), "ts", horizonMs = 5000L)
+      .toDF()
+      .writeStream.format("memory").queryName("bndmedia_out")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      in.addData((ts(1), 1L, png((wA, hA, pxA))), (ts(1), 2L, png((wB, hB, pxB))))
+      q.processAllAvailable()
+      // in-horizon RE-ENCODED twin of image 1 (different filters → bytes)
+      in.addData((ts(2), 3L, png((wA, hA, pxA), filt = 2)))
+      q.processAllAvailable()
+      val before = stateRows
+      assert(before >= 8L, s"three hashed images should hold >=8 bucket rows, got $before")
+      // sentinel far ahead: watermark passes, stored state past horizon
+      in.addData((ts(100), 4L, png((wC, hC, pxC))))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires the timeouts
+      val after = stateRows
+      assert(after < before,
+        s"bucket state must shrink after the horizon passes ($before -> $after)")
+      // the SAME content as image 1 again, 100 s later: PAST horizon → no pair
+      in.addData((ts(101), 5L, png((wA, hA, pxA))))
+      q.processAllAvailable()
+      // a fresh in-horizon cross-format twin of 5 → pair (5,6)
+      in.addData((ts(103), 6L, Jpeg.encode(wA, hA, pxA, quality = 70)))
+      q.processAllAvailable()
+      val pairs = spark.table("bndmedia_out").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 3L), (5L, 6L)),
+        s"expected only the in-horizon pairs, got $pairs")
+    } finally q.stop()
+  }
+
   test("bounded streaming dedup evicts state past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
