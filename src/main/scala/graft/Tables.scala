@@ -65,14 +65,41 @@ object Tables {
     pathFingerprint(s"$dir/$name.parquet")
 
   /** [[corpusFingerprint]] over an arbitrary parquet file/directory path
-    * (fixture tables that don't live in a testdata dir). */
+    * (fixture tables that don't live in a testdata dir). Recurses into
+    * subdirectories so a PARTITIONED artifact (cid=…/part-….parquet)
+    * fingerprints its data files, not just the top-level _SUCCESS —
+    * files are keyed by their root-relative path so a row moving
+    * between partitions rotates the fingerprint too. */
   def pathFingerprint(path: String): String = {
     val root = new java.io.File(path)
-    val files = Option(root.listFiles()).map(_.toSeq)
-      .getOrElse(if (root.isFile) Seq(root) else Seq.empty)
-      .filter(_.isFile).sortBy(_.getName)
-    val sig = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").mkString("|")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+    val rootPath = root.toPath
+    val files = walk(root).map { f =>
+      val rel = if (f == root) f.getName
+        else rootPath.relativize(f.toPath).toString
+      (rel, f)
+    }.sortBy(_._1)
+    val sig = files.map { case (rel, f) =>
+      s"$rel:${f.length()}:${f.lastModified()}"
+    }.mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
     md.take(8).map(b => f"${b & 0xff}%02x").mkString
   }
+
+  /** Completion marker for MULTI-STEP persisted serving artifacts (the
+    * IVFADC append index: build-even-half THEN append). Sub-table
+    * `_SUCCESS` files appear as each step's write commits, so a crash
+    * between steps leaves a half-built artifact that an exists-check on
+    * any sub-table would silently serve forever; the marker is written
+    * only after the LAST step, so an interrupted build is rebuilt. */
+  def markArtifactComplete(path: String): Unit = {
+    val f = java.nio.file.Paths.get(path, "_GRAFT_COMPLETE")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, Array.emptyByteArray)
+  }
+
+  def artifactComplete(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_GRAFT_COMPLETE"))
 }

@@ -174,7 +174,7 @@ object ImageEmbed {
     ImagePhash.ensureJpegPhashFixture(spark)
     val fix = spark.read.parquet(ImagePhash.jpegFixturePath)
     val idxPath = mediaAnnIndexPath
-    if (!new java.io.File(s"$idxPath/assigned/_SUCCESS").exists) {
+    if (!graft.Tables.artifactComplete(idxPath)) {
       val baseEmb = ProductQuant.normalized(
         embedFrame(fix.filter(col("kind") === "base")
             .select("media_id", "payload"))
@@ -183,6 +183,7 @@ object ImageEmbed {
       ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
         c = AnnClusters, m = AnnSubspaces)
       baseEmb.unpersist(blocking = false)
+      graft.Tables.markArtifactComplete(idxPath)
     }
     val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, idxPath)
     val queries = ProductQuant.normalized(

@@ -137,6 +137,17 @@ object MinHashIncremental {
     * sizing rationale: one bucket's postings fit an executor build side). */
   val IndexBuckets = 64
 
+  /** Sub-path of the persisted probe surface, stamped with the minhash
+    * KERNEL version ([[graft.plans.MinHashSignatureExpr.KernelVersion]]):
+    * signatures written under one set of permutation constants probed
+    * with band keys from another find zero candidates — every near-dup
+    * would leak SILENTLY. A versioned path makes a stale artifact
+    * invisible to [[readBandIndex]], so the caller's exists-check
+    * rebuilds it instead. `sets/` (raw xxhash64 shingle sets) is
+    * kernel-independent and stays unversioned. */
+  def bandsSubPath(path: String): String =
+    s"$path/bands_${graft.plans.MinHashSignatureExpr.KernelVersion}"
+
   /** Persist (or append) a prepared frame's band rows + shingle sets.
     * Both sub-tables bucket by a stable hash so a batch's probe/verify
     * joins can prune to matching buckets. */
@@ -145,14 +156,23 @@ object MinHashIncremental {
     val mode = if (append) "append" else "overwrite"
     bandRows(prep)
       .withColumn("bucket", pmod(col("sig"), lit(nBuckets)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+      .write.mode(mode).partitionBy("bucket").parquet(bandsSubPath(path))
     prep.select(col("doc_id"), col("hset"))
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/sets")
   }
 
-  def readBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/sets"))
+  /** Reads the CURRENT kernel's band sub-table (falling back to the
+    * unversioned pre-r15 layout, which carries the same "mh2" constants).
+    * An index written under a FUTURE kernel bump simply won't be found
+    * here — the desired failure mode (rebuild), never a silent
+    * zero-candidate probe. */
+  def readBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val bands =
+      if (new java.io.File(bandsSubPath(path)).exists) bandsSubPath(path)
+      else s"$path/bands"
+    (spark.read.parquet(bands), spark.read.parquet(s"$path/sets"))
+  }
 
   /** One full incremental step: near-dedup `batch` against the index at
     * `path`, append the survivors' probe+verify surfaces, return the

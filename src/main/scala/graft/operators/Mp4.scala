@@ -124,8 +124,12 @@ object Mp4 {
           be64(payload, i + 8)
         } else if (sz32 == 0) (until - i).toLong // box extends to the end
         else (sz32.toLong & 0xffffffffL)
-      // long arithmetic: a declared size near max must not wrap the check
-      if (boxLen < 8L || i + boxLen > until) return false
+      // long arithmetic: a declared size near max must not wrap the check.
+      // A largesize box's header is 16 bytes (size32 + type + size64), so
+      // boxLen in [8,16) would put bodyFrom past the box end and hand the
+      // handler an inverted (from > until) range — reject it here rather
+      // than rely on every handler's bound checks.
+      if (boxLen < (if (sz32 == 1) 16L else 8L) || i + boxLen > until) return false
       if (!f((tpe, bodyFrom.toInt, (i + boxLen).toInt))) return false
       i = (i + boxLen).toInt
     }

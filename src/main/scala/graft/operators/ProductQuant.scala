@@ -303,13 +303,14 @@ object ProductQuant {
   def ivfpqServe(spark: SparkSession, dir: String, k: Int = Similarity.DefaultK,
       nProbe: Int = 2, shortlist: Int = Shortlist): DataFrame = {
     val path = ivfpqIndexPath(dir)
-    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists) {
+    if (!graft.Tables.artifactComplete(path)) {
       val emb = normalized(
         Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       writeIvfPqIndex(spark, path, emb)
       emb.unpersist(blocking = false)
+      graft.Tables.markArtifactComplete(path)
     }
     val (assigned, centroids, cbs) = readIvfPqIndex(spark, path)
     val queries = assigned.filter(col("vec_id") < Similarity.NumQueryVecs)
@@ -361,7 +362,11 @@ object ProductQuant {
   def ivfpqAppendRecall(spark: SparkSession, dir: String,
       k: Int = Similarity.DefaultK, minRecall: Double = 0.2): DataFrame = {
     val path = ivfpqAppendIndexPath(dir)
-    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists) {
+    // gate on the artifact-level completion marker, not a sub-table
+    // _SUCCESS: assigned/_SUCCESS exists as soon as the even-half build
+    // commits, and a crash before the append would otherwise leave a
+    // permanently half-built index that every later call silently serves
+    if (!graft.Tables.artifactComplete(path)) {
       val raw = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       writeIvfPqIndex(spark, path,
@@ -369,6 +374,7 @@ object ProductQuant {
       // the batch goes in RAW — ivfpqAppend owns normalization, exactly
       // as an arriving crawl batch would reach it
       ivfpqAppend(spark, path, raw.filter(col("vec_id") % 2 === 1))
+      graft.Tables.markArtifactComplete(path)
     }
     val (assigned, centroids, cbs) = readIvfPqIndex(spark, path)
     val queries = assigned.filter(col("vec_id") < Similarity.NumQueryVecs)

@@ -92,6 +92,20 @@ object MinHashSignatureExpr {
   val K = 64
   val P = 2147483647L // Mersenne prime 2^31 - 1
 
+  /** Version token of the (A, B) permutation constants, embedded in every
+    * persisted artifact DERIVED from signatures (band-index sub-paths:
+    * [[graft.operators.MinHashIncremental.writeBandIndex]]) and to be
+    * bumped whenever the kernel changes: old-constant signatures probed
+    * with new-constant band keys find ZERO candidates, so a stale
+    * artifact would leak every near-dup with no error — a versioned path
+    * makes it rebuild instead. "mh2" = the splitmix64-mixed constants
+    * (the r14 fix below); the unversioned r14 layout is implicitly
+    * "mh2" too and is still read (see readBandIndex's fallback).
+    * Streaming checkpoints holding band state carry the same hazard:
+    * a kernel bump invalidates them, documented at the streaming dedup
+    * entry points. */
+  val KernelVersion = "mh2"
+
   /** splitmix64 finalizer (Steele et al., public domain PRNG core): the
     * per-permutation constants MUST NOT be linear in i. The first cut used
     * masked multiples (`A_i = c·(2i+1) & mask`), which made consecutive

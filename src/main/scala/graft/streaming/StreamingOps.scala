@@ -358,7 +358,13 @@ object StreamingOps {
     *    EVER" contract requires it — back it with RocksDB at scale, or use
     *    [[streamingNearDupPairsBounded]] when near-time detection suffices;
     *  - within-batch pairs are found too (arrivals fold into state one at
-    *    a time, ordered by doc_id for determinism).
+    *    a time, ordered by doc_id for determinism);
+    *  - the checkpoint state embeds signatures computed under the CURRENT
+    *    minhash kernel ([[graft.plans.MinHashSignatureExpr.KernelVersion]]):
+    *    a kernel bump makes resumed-state signatures incomparable with new
+    *    arrivals' (zero bucket agreement, near-dups leak silently) — on a
+    *    kernel change, restart from a FRESH checkpoint and re-seed, as the
+    *    band-index path versioning forces for the batch artifact.
     */
   def streamingNearDupPairs(docs: DataFrame, estThreshold: Double = 0.8,
       bands: Int = 16, rows: Int = 4)

@@ -111,6 +111,47 @@ class TablesSpec extends SparkSpec {
       "props" -> Set(StringType)))
   }
 
+  test("pathFingerprint sees nested data files, not just the artifact's top level (r15)") {
+    // A PARTITIONED artifact (cid=…/part-….parquet) keeps its data files in
+    // subdirectories; a top-level-only fingerprint would hash just _SUCCESS
+    // and silently serve a stale model after the partition contents change.
+    val dir = tmpDir("fp-rec")
+    val sub = new java.io.File(dir, "cid=3")
+    sub.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+      Array.emptyByteArray)
+    val nested = new java.io.File(sub, "part-0.parquet")
+    java.nio.file.Files.write(nested.toPath, "aaaa".getBytes)
+    val fp1 = Tables.pathFingerprint(dir)
+    // content change in the nested file only (size changes; top level
+    // untouched) must rotate the fingerprint
+    java.nio.file.Files.write(nested.toPath, "bbbbbbbb".getBytes)
+    val fp2 = Tables.pathFingerprint(dir)
+    assert(fp1 !== fp2, "nested data-file change must rotate the fingerprint")
+    // a file MOVING between partitions (same name/size/mtime, different
+    // relative path) rotates too — rel paths key the signature
+    val sub2 = new java.io.File(dir, "cid=7"); sub2.mkdirs()
+    val moved = new java.io.File(sub2, "part-0.parquet")
+    val mtime = nested.lastModified()
+    java.nio.file.Files.move(nested.toPath, moved.toPath)
+    moved.setLastModified(mtime)
+    assert(Tables.pathFingerprint(dir) !== fp2)
+  }
+
+  test("artifact completion marker gates multi-step builds (r15)") {
+    // the ivfpqAppendRecall hazard: assigned/_SUCCESS commits after the
+    // FIRST build step, so a crash before the append leaves a half-built
+    // index that a sub-table exists-check would serve forever
+    val dir = tmpDir("marker")
+    new java.io.File(dir, "assigned").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/assigned", "_SUCCESS").toPath, Array.emptyByteArray)
+    assert(!Tables.artifactComplete(dir),
+      "a sub-table _SUCCESS alone must NOT read as complete")
+    Tables.markArtifactComplete(dir)
+    assert(Tables.artifactComplete(dir))
+  }
+
   test("Tables.events loads the driver-generated file under an externally built session") {
     // the driver smoke path: a session Engine.session did NOT configure —
     // the loader's defensive confs must make the read succeed regardless of

@@ -147,6 +147,19 @@ class JpegSpec extends SparkSpec {
     assert(Mp4.decode(hugeBox) === None)
   }
 
+  test("mp4: a largesize box shorter than its own 16-byte header is rejected (r15)") {
+    // sz32 == 1 declares a 64-bit largesize; boxLen in [8,16) passes the
+    // generic >= 8 check but puts bodyFrom (i+16) past the box end, handing
+    // handlers an inverted (from > until) range — the walk must reject it.
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32((v >>> 32).toInt) ++ be32(v.toInt)
+    val payload =
+      be32(16) ++ "ftyp".getBytes("US-ASCII") ++ new Array[Byte](8) ++
+        be32(1) ++ "moov".getBytes("US-ASCII") ++ be64(12L) ++ new Array[Byte](4)
+    assert(Mp4.decode(payload) === None) // and never a throw
+  }
+
   test("decodeImage dispatches on magic bytes across formats") {
     val (w, h, px) = ImagePhash.smoothPixels(9L)
     val png = Png.encode(w, h, px)

@@ -80,6 +80,32 @@ class MinHashIncrementalSpec extends SparkSpec {
     prep.unpersist()
   }
 
+  test("band index paths carry the minhash kernel version; the unversioned r14 layout still reads (r15)") {
+    import spark.implicits._
+    val kv = graft.plans.MinHashSignatureExpr.KernelVersion
+    val dir = tmpDir("bandidx-kv")
+    val prep = MinHashIncremental.prepared(
+      Seq((1L, doc(0, 0))).toDF("doc_id", "text"))
+    MinHashIncremental.writeBandIndex(prep, dir, nBuckets = 4)
+    // the probe surface lands under the VERSIONED sub-path: a future
+    // kernel bump makes this artifact invisible to readBandIndex, so a
+    // stale-signature index rebuilds instead of silently matching nothing
+    assert(new java.io.File(s"$dir/bands_$kv").exists)
+    assert(!new java.io.File(s"$dir/bands").exists)
+    val (bands, _) = MinHashIncremental.readBandIndex(spark, dir)
+    assert(bands.select("doc_id").distinct().count() === 1)
+    // legacy fallback: an unversioned pre-r15 artifact (same constants)
+    val legacy = tmpDir("bandidx-legacy")
+    MinHashIncremental.bandRows(prep)
+      .withColumn("bucket", pmod(col("sig"), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$legacy/bands")
+    prep.select(col("doc_id"), col("hset"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$legacy/sets")
+    val (lb, _) = MinHashIncremental.readBandIndex(spark, legacy)
+    assert(lb.select("doc_id").distinct().count() === 1)
+  }
+
   test("declared key matches a recomputed brute-force parity oracle at sf0.001") {
     import spark.implicits._
     val got = MinHashIncremental.dedupMinhashIncremental(spark, sf0001)

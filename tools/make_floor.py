@@ -37,9 +37,12 @@ def extract_map(tail, name):
         end = seg.find("}")
         seg = seg[: end if end >= 0 else len(seg)]
     else:
-        # map opening truncated away: harvest from the start of the tail up
-        # to the first closing brace that is followed by ," (map boundary)
-        seg = tail
+        # Map opening truncated away: the tail starts mid-map, so harvest
+        # only up to the first closing brace — past it lies a DIFFERENT
+        # map (e.g. "errors") whose "key":float pairs would otherwise be
+        # misattributed to this one and could deflate a floor.
+        end = tail.find("}")
+        seg = tail[: end if end >= 0 else len(tail)]
     return dict(re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', seg))
 
 
