@@ -101,6 +101,10 @@ object Probe {
         audioPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
+      case Some("audioembed") =>
+        audioEmbedProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(100000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("videophash") =>
         videoPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(20000),
@@ -115,7 +119,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | videophash | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -351,6 +355,92 @@ object Probe {
     println(s"[probe] audiophash verdicts: ${verdicts.length} drops, $exact onto " +
       s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
     assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
+  }
+
+  /** [[graft.operators.AudioEmbed]] at planted-verdict scale — BOTH halves
+    * of the audio vector pathway in one run. (1) Near-dup: `n` base WAVs +
+    * `nTwin` gain + `nTwin` half-rate twins, decode → 72-dim log-spectral
+    * profile → the shared simhash/banded/exact-cosine stack
+    * ([[graft.operators.ImageEmbed.embedNearDup]] verbatim) — verdicts
+    * must be EXACT (every twin onto its base, zero spurious pairs among
+    * `n` distinct clips). (2) Serving: the `n` base embeddings built into
+    * a persisted IVFADC index (c=64 lists, 4 PQ subspaces), the twins
+    * served as the query batch — planted-base top-1 and served-vs-exact
+    * agreement at the mediaann probe's gates. */
+  def audioEmbedProbe(spark: SparkSession, n: Int, nTwin: Int, c: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.operators.{AudioEmbed, AudioPhash, ImageEmbed, ProductQuant, Wav}
+    require(2 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audioembed").toString
+    val scOff = n.toLong           // gain twins of bases [0, nTwin)
+    val rsOff = n.toLong + nTwin   // half-rate twins of bases [nTwin, 2*nTwin)
+    val gen = spark.range(n).map { id =>
+      (id.longValue, Wav.encode(AudioPhash.SampleRate, AudioPhash.gridCodeSamples(id)))
+    }.union(spark.range(nTwin).map { i =>
+      (scOff + i, Wav.encode(AudioPhash.SampleRate,
+        AudioPhash.scaleTwin(AudioPhash.gridCodeSamples(i))))
+    }).union(spark.range(nTwin, 2L * nTwin).map { i =>
+      (rsOff + i, Wav.encode(AudioPhash.SampleRate / 2,
+        AudioPhash.resampleTwin(AudioPhash.gridCodeSamples(i))))
+    }).toDF("media_id", "payload")
+    timed(s"audioembed corpus write ($n base WAV + $nTwin gain + $nTwin half-rate twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    val df = spark.read.parquet(tmp)
+    val emb = AudioEmbed.audioEmbedFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val nEmb = emb.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] audioembed decode+profile: $nEmb clips in $sec%.2f s " +
+      f"(${nEmb / sec}%.0f clips/s)")
+    assert(nEmb == n.toLong + 2 * nTwin)
+    // (1) near-dup verdicts through the shared vector stack
+    val verdicts = timed(s"vec-simhash banded near-dup over $nEmb profiles") {
+      ImageEmbed.embedNearDup(emb, threshold = AudioEmbed.CosThreshold)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    val exact = verdicts.count { r =>
+      val id = r.getLong(0)
+      (id >= rsOff && id - rsOff == r.getLong(1)) ||
+        (id >= scOff && id < rsOff && id - scOff == r.getLong(1))
+    }
+    println(s"[probe] audioembed verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(verdicts.length == 2 * nTwin && exact == 2 * nTwin)
+    // (2) serving: base profiles → persisted IVFADC index → twin queries
+    val baseEmb = ProductQuant.normalized(
+      emb.filter(col("media_id") < n.toLong).withColumnRenamed("media_id", "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed(s"IVFADC index build+persist: $n × dim${AudioEmbed.Dim}, c=$c lists + PQ codes") {
+      ProductQuant.writeIvfPqIndex(spark, s"$tmp/idx", baseEmb, c,
+        lloydIters = 1, m = AudioEmbed.AnnSubspaces)
+    }
+    baseEmb.unpersist(blocking = false)
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, s"$tmp/idx")
+    val queries = ProductQuant.normalized(
+      emb.filter(col("media_id") >= n.toLong).withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.unpersist(blocking = false)
+    val shortlist = math.max(ProductQuant.Shortlist, n / c + 100)
+    val served = timed(s"serve ${2 * nTwin} twin queries from the persisted index (nProbe=2)") {
+      val r = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k = 1, nProbe = 2, shortlist = shortlist)
+        .select(col("q_id"), col("vec_id").as("top1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val plantedHits = served.filter(
+      (col("q_id") >= rsOff && col("top1") === col("q_id") - rsOff) ||
+        (col("q_id") < rsOff && col("top1") === col("q_id") - scOff)).count()
+    println(f"[probe] audioembed serving: planted-base top-1 $plantedHits/${2 * nTwin} " +
+      f"(${plantedHits.toDouble / (2 * nTwin)}%.3f) at candidate fraction " +
+      f"${2.0 / c}%.4f of rows × codes-only bytes")
+    served.unpersist(); queries.unpersist()
+    assert(plantedHits >= (2L * nTwin * 9) / 10,
+      s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/${2 * nTwin}")
   }
 
   /** [[graft.operators.VideoPhash]] at planted-verdict scale: `n` base

@@ -109,6 +109,14 @@ object SparkEntry {
     // Goertzel band energies → Haitsma-Kalker sign fingerprint →
     // the shared banded-Hamming dedup (gain/dither/resample twins)
     "audio_phash"   -> (AudioPhash.audioPhashQuery _),
+    // samples → log-spectral band profile → the vector stack: the
+    // second, independent audio content pathway over the same planted
+    // fixture (full log energies + cosine, not sign bits + Hamming)
+    "audio_embed"   -> (AudioEmbed.audioEmbedQuery _),
+    // audio embeddings through the PERSISTED IVFADC serving path: base
+    // clips indexed once, planted twins served as the query batch —
+    // the media_ann shape, proving the vector stack is modality-blind
+    "audio_ann"     -> (AudioEmbed.audioAnnQuery _),
     // the video modality's content level, completing the trio: AVI/MJPEG
     // chunk-walk decode → per-frame dHash through the shared image stack
     // at fixed TIME positions → banded Hamming over (slot, band) keys
@@ -839,6 +847,24 @@ object SparkEntry {
     "audio_phash" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the embedding pathway must recover the SAME planted audio structure
+    // from the same bytes through a different feature space (mean-centered
+    // log-spectral profile + cosine, not adjacent-band signs + Hamming) —
+    // two independent witnesses to the one WAV decode; measured margins:
+    // twin min cosine 0.99996 vs distinct max 0.7195 around the 0.985 floor
+    "audio_embed" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the serving composition for audio: every planted twin, served as a
+    // query against the persisted IVFADC index of the 400 base clips,
+    // must come back with its own base as top-1 — row equality certifies
+    // probe + ADC + rerank end-to-end over the audio-embedding column
+    "audio_ann" ->
+      s"""SELECT media_id, twin_of AS found_base
+         |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
+         |WHERE twin_of IS NOT NULL
          |ORDER BY media_id""".stripMargin,
     // video: Spark walks the RIFF/AVI container, JPEG-decodes the frames
     // sampled at fixed TIME positions (the half-frame-rate twins carry

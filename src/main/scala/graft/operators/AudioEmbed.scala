@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio → embedding: real CONTENT features from decoded samples
+  * (SURVEY.md §2.7 E4 — the audio member of the "every modality rides
+  * the one vector stack" matrix that [[ImageEmbed]] opened for images;
+  * reference scope `flink-samples` has no media operators, cited per
+  * SURVEY §2.7).
+  *
+  * The descriptor is the log-spectral band profile: the SAME 8-segment ×
+  * 9-band Goertzel analysis as the [[AudioPhash]] fingerprint (one
+  * decode, one band math — the fingerprint keeps only adjacent-band sign
+  * bits, the embedding keeps the full log energies), mean-centered per
+  * clip. Centering is what buys the twin invariances ANALYTICALLY:
+  *
+  *   - gain multiplies every band power by g², shifting every log energy
+  *     by the same 2·log g — a constant vector, exactly removed by
+  *     centering;
+  *   - decimation-by-2 halves every segment's sample count, scaling
+  *     every Goertzel power equally (the fixture's bands are bin-aligned
+  *     at both rates, so there is no leakage term) — again a uniform log
+  *     shift, centered out;
+  *   - dither is broadband noise ~55 dB under the weakest planted band —
+  *     a sub-LSB perturbation of the log energies.
+  *
+  * Distinct content meanwhile scrambles the profile: the fixture's codes
+  * are independent ±6 dB walks, so two distinct clips' centered vectors
+  * are near-orthogonal. This mirrors the published log-spectral /
+  * band-energy feature families (the filterbank front half of MFCC,
+  * Davis & Mermelstein 1980, without the cepstral rotation — a rotation
+  * is cosine-invariant anyway).
+  *
+  * Downstream the vector rides the engine's ONE vector stack — the
+  * `graft_vec_simhash` hyperplane signature, [[ImageEmbed.embedNearDup]]'s
+  * banded-Hamming candidate mining, exact-cosine verify — and the
+  * persisted IVFADC serving path ([[audioAnnQuery]]), unchanged: once
+  * samples become vectors, audio is just another embedding modality.
+  *
+  * Scale: decode+descriptor is one narrow mapPartitions pass (the
+  * [[ImagePhash.phashFrame]] shape); only (media_id, 72 doubles) leaves
+  * it — never samples — so the exchange carries ~600 B/clip regardless
+  * of clip length.
+  */
+object AudioEmbed {
+
+  /** Descriptor length: [[AudioPhash.Segments]] × [[AudioPhash.NBands]]
+    * log band energies (72 dims — divisible by the PQ subspace counts
+    * the serving path uses). */
+  val Dim: Int = AudioPhash.Segments * AudioPhash.NBands
+
+  /** Cosine floor for the verify stage. Fixture margins are measured in
+    * AudioEmbedSpec: planted-twin min cosine and distinct-clip max
+    * cosine must straddle this with room on both sides. */
+  val CosThreshold = 0.985
+
+  /** Mean-centered log-spectral band profile of a decoded clip (see
+    * object scaladoc for why centering yields the twin invariances). */
+  def bandProfile(rate: Int, samples: Array[Short]): Array[Double] = {
+    val v = new Array[Double](Dim)
+    val n = samples.length
+    var seg = 0
+    while (seg < AudioPhash.Segments) {
+      val from = seg * n / AudioPhash.Segments
+      val until = (seg + 1) * n / AudioPhash.Segments
+      var b = 0
+      while (b < AudioPhash.NBands) {
+        v(seg * AudioPhash.NBands + b) = math.log(
+          AudioPhash.goertzel(samples, from, until, AudioPhash.BandHz(b), rate) + 1e-9)
+        b += 1
+      }
+      seg += 1
+    }
+    var sum = 0.0
+    var i = 0
+    while (i < Dim) { sum += v(i); i += 1 }
+    val mean = sum / Dim
+    i = 0
+    while (i < Dim) { v(i) -= mean; i += 1 }
+    v
+  }
+
+  /** Decode + descriptor as one narrow pass: (media_id, payload) →
+    * (media_id, v). Non-audio payloads drop out (None), so the frame is
+    * safe over a mixed-modality corpus. */
+  def audioEmbedFrame(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Wav.decode(payload).map { case (rate, samples) =>
+          (id, bandProfile(rate, samples))
+        }
+      })
+      .toDF("media_id", "v")
+  }
+
+  /** Declared key (`audio_embed`): samples → embedding → vector-stack
+    * near-dup over the SAME planted fixture as `audio_phash` — row
+    * equality vs the planted ground truth certifies a SECOND,
+    * independent audio content pathway (full log-energy profile +
+    * cosine, not adjacent-band sign bits + Hamming; the two share only
+    * the decode and band analysis). The gain, dither, and HALF-RATE
+    * twins must all land on their bases with zero false pairs among the
+    * 400 distinct clips, through [[ImageEmbed.embedNearDup]] verbatim —
+    * the stack is modality-blind. */
+  def audioEmbedQuery(spark: SparkSession, dir: String): DataFrame = {
+    AudioPhash.ensureAudioPhashFixture(spark)
+    ImageEmbed.embedNearDup(
+        audioEmbedFrame(spark.read.parquet(AudioPhash.audioFixturePath)
+          .select("media_id", "payload")),
+        threshold = CosThreshold)
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------- persisted ANN serving path
+
+  /** Serving location for the audio-embedding IVFADC index — the
+    * [[ImageEmbed.mediaAnnIndexPath]] staleness discipline keyed on the
+    * audio FIXTURE's files. */
+  def audioAnnIndexPath: String =
+    "target/fixtures/audio_ivfpq_" +
+      graft.Tables.pathFingerprint(AudioPhash.audioFixturePath)
+
+  /** IVF centroid count / PQ subspaces for the audio index: [[Dim]]=72
+    * dims → 4 subspaces of 18 dims; 8 inverted lists over the 400-base
+    * corpus (the `media_ann` fixture ratios). */
+  val AnnClusters = 8
+  val AnnSubspaces = 4
+
+  /** Declared key (`audio_ann`): "find near-dups of this clip across the
+    * corpus" — audio embeddings through the PERSISTED IVFADC serving
+    * path, end to end ([[ImageEmbed.mediaAnnQuery]]'s shape over the
+    * audio fixture). The 400 base clips' band profiles are built into an
+    * IVF(+PQ) index at most once (completion-marker-gated; every later
+    * call SERVES, repeat-call bit-identical); the 300 planted twins
+    * (gain, dither, half-rate) are the query batch, probed +
+    * ADC-shortlisted + exact-reranked. Output: one row per twin with its
+    * top-1 base — row-equal to the planted twin_of, i.e. the audio
+    * column demonstrably rides the whole vector-serving stack: nProbe/c
+    * of the index read per query, codes before floats, floats only for
+    * the shortlist. */
+  def audioAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    AudioPhash.ensureAudioPhashFixture(spark)
+    val fix = spark.read.parquet(AudioPhash.audioFixturePath)
+    val idxPath = audioAnnIndexPath
+    if (!graft.Tables.artifactComplete(idxPath)) {
+      val baseEmb = ProductQuant.normalized(
+        audioEmbedFrame(fix.filter(col("kind") === "base")
+            .select("media_id", "payload"))
+          .withColumnRenamed("media_id", "vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
+        c = AnnClusters, m = AnnSubspaces)
+      baseEmb.unpersist(blocking = false)
+      graft.Tables.markArtifactComplete(idxPath)
+    }
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, idxPath)
+    val queries = ProductQuant.normalized(
+      audioEmbedFrame(fix.filter(col("kind") =!= "base")
+          .select("media_id", "payload"))
+        .withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+        queries, centroids, cbs, k = 1, nProbe = 2)
+      .select(col("q_id").as("media_id"), col("vec_id").as("found_base"))
+      .orderBy("media_id")
+  }
+}

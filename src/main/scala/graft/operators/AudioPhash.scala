@@ -45,8 +45,10 @@ object AudioPhash {
     * Nyquist so decimation by 2 is alias-free on bandlimited content. */
   val BandHz: Array[Int] = Array(256, 352, 480, 624, 800, 1008, 1232, 1472, 1760)
 
-  /** Goertzel power of frequency `hz` over samples [from, until). */
-  private def goertzel(samples: Array[Short], from: Int, until: Int,
+  /** Goertzel power of frequency `hz` over samples [from, until).
+    * (Shared with [[AudioEmbed]] — fingerprint and embedding run the
+    * same band analysis, so their verdicts can never drift on decode.) */
+  private[operators] def goertzel(samples: Array[Short], from: Int, until: Int,
       hz: Int, rate: Int): Double = {
     val w = 2.0 * math.Pi * hz / rate
     val coeff = 2.0 * math.cos(w)

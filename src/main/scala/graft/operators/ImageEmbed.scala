@@ -97,25 +97,45 @@ object ImageEmbed {
     * EXACT cosine verify at `threshold` on candidates only. Precision is
     * exact by construction (every emitted pair passed a true cosine);
     * recall is the signature-radius property the spec and fixture
-    * measure. Output: one row per input id, (media_id, dup_of, keep)
-    * with keep-first-by-id, the dedup family's verdict shape. */
+    * measure.
+    *
+    * TWO hash tables, OR-amplified (the classic L-table LSH construction,
+    * Indyk–Motwani STOC'98): table 2's signature hashes the coordinate-
+    * REVERSED vector, i.e. its hyperplanes are the reversal images of
+    * table 1's — a deterministic, equally-random, independent plane set
+    * with zero extra kernel surface. Why L=2: descriptor vectors that sit
+    * on an integer lattice (grid-coded fixtures; quantized real features
+    * too) put some hyperplane projections at EXACTLY zero, where the
+    * twin's sub-LSB jitter decides each sign by coin flip — a twin pair
+    * at cosine 0.9999999 was measured at signature Hamming 4 (> radius 3)
+    * with probability ≈ 3·10⁻⁴ at the 110k-clip probe. The two tables'
+    * zero-projection sets are independent, so the per-pair miss rate
+    * squares to ~10⁻⁷ — probe-exact at 100k-twin scale — while distinct
+    * pairs just face two exact-verify gates (precision unaffected).
+    * Output: one row per input id, (media_id, dup_of, keep) with
+    * keep-first-by-id, the dedup family's verdict shape. */
   def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
-    val hashed = emb.select(col("media_id"), col("v"),
-      Similarity.simhashFor(emb, col("v"), 64).as("sig"))
-    val banded = hashed.select(col("media_id"), col("sig"),
-      explode(array((0 until ImagePhash.Bands).map(b =>
-        struct(lit(b).as("b"),
-          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
-      .select(col("media_id"), col("sig"),
-        col("band.b").as("b"), col("band.v").as("bv"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
-        col("a.sig").as("sig_lo"), col("b.sig").as("sig_hi"))
+    def tableCand(hashed: DataFrame): DataFrame = {
+      val banded = hashed.select(col("media_id"), col("sig"),
+        explode(array((0 until ImagePhash.Bands).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
+        .select(col("media_id"), col("sig"),
+          col("band.b").as("b"), col("band.v").as("bv"))
+      banded.as("a").join(banded.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
+          col("a.sig").as("sig_lo"), col("b.sig").as("sig_hi"))
+        .distinct()
+        .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
+        .select("lo", "hi")
+    }
+    val cand = tableCand(emb.select(col("media_id"),
+        Similarity.simhashFor(emb, col("v"), 64).as("sig")))
+      .union(tableCand(emb.select(col("media_id"),
+        Similarity.simhashFor(emb, reverse(col("v")), 64).as("sig"))))
       .distinct()
-      .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
-      .select("lo", "hi")
     val verified = cand
       .join(emb.select(col("media_id").as("lo"), col("v").as("v_lo")), "lo")
       .join(emb.select(col("media_id").as("hi"), col("v").as("v_hi")), "hi")
