@@ -36,6 +36,10 @@ object SparkEntry {
     "join_outer"    -> (Relational.joinOuter _),
     "join_semi"     -> (Relational.joinSemi _),
     "join_star"     -> (Relational.joinStar _),
+    // the 100 TB layout lever: both fact tables persisted bucketed+sorted
+    // by the join key → SortMergeJoin with ZERO exchange and ZERO sort
+    // under it (PlanAuditSpec-pinned); same rows as the plain join
+    "bucket_join"   -> (BucketedJoin.bucketJoin _),
     "topk"          -> (Relational.topk _),
     "set_ops"       -> (Relational.setOps _),
     "rollup_agg"    -> (Relational.rollupAgg _),
@@ -514,6 +518,15 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // bucketing is a LAYOUT choice, never a semantics choice: the oracle
+    // recomputes the same aggregate from the RAW parquet with a plain
+    // join — row equality certifies the bucketed copies are faithful and
+    // the exchange-free plan loses nothing
+    "bucket_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // TPC-H Q3 shape — the macro multi-operator key: filter + 3-way join +
     // per-order aggregation + top-10. Grouping by o_orderkey makes the
     // oracle's GROUP BY equal Spark's pre-join per-order aggregate exactly.

@@ -566,4 +566,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning") || p.contains("Sort"),
       "only the deterministic output order may exchange")
   }
+
+  test("bucket_join: co-located SMJ from the bucketed layout — zero exchange, zero sort under the join") {
+    // The layout contract: both sides bucketed+sorted by the join key
+    // with equal counts and ONE file per bucket, so the scan reports
+    // HashPartitioning AND sort order — the SortMergeJoin must sit
+    // directly on the bucketed scans. Any Exchange under the join means
+    // co-location regressed (mismatched bucket counts, a lost output-
+    // partitioning report); any Sort under it means the one-file-per-
+    // bucket ingest invariant or the ordering conf regressed.
+    val df = SparkEntry.queries("bucket_join")(spark, sf)
+    df.collect() // AQE: materialize so toString prints the FINAL plan
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive toString appends the pre-AQE "Initial Plan" section —
+    // audit the FINAL plan only
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.take(cut) else full
+    val smj = p.indexOf("SortMergeJoin")
+    assert(smj >= 0, "the merge hint must plan a SortMergeJoin\n" + p.take(800))
+    val below = p.substring(p.indexOf('\n', smj) + 1)
+    assert(!below.contains("Exchange"),
+      "no shuffle may sit between the bucketed scans and the join:\n" + below)
+    assert(!below.contains("Sort"),
+      "bucket-sorted one-file reads must elide the SMJ sorts:\n" + below)
+    assert(count(below, "graft_bkt_") >= 2, "both sides read the bucketed artifacts")
+  }
 }
