@@ -126,6 +126,16 @@ object SparkEntry {
     // at fixed TIME positions → banded Hamming over (slot, band) keys
     // (requal / half-frame-rate / brightness twins)
     "video_phash"   -> (VideoPhash.videoPhashQuery _),
+    // frames → per-slot-normalized concatenated color-layout spectra →
+    // the vector stack: the second, independent video content pathway
+    // over the same planted fixture (spectral shape + cosine, not
+    // gradient signs + slot-majority Hamming)
+    "video_embed"   -> (VideoEmbed.videoEmbedQuery _),
+    // video embeddings through the PERSISTED IVFADC serving path: base
+    // videos indexed once, planted twins served as the query batch —
+    // closes the modality × pathway matrix (image/audio/video each
+    // fingerprinted, embedded, AND ANN-served)
+    "video_ann"     -> (VideoEmbed.videoAnnQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -890,6 +900,24 @@ object SparkEntry {
     "video_phash" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${VideoPhash.videoFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the embedding pathway must recover the SAME planted video structure
+    // from the same bytes through a different feature space (per-slot-
+    // normalized color-layout spectra + cosine, not gradient signs +
+    // slot-majority Hamming) — two independent witnesses to the one
+    // container walk + frame decode; margins measured in VideoEmbedSpec
+    "video_embed" ->
+      s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${VideoPhash.videoFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the serving composition for video: every planted twin, served as a
+    // query against the persisted IVFADC index of the 200 base videos,
+    // must come back with its own base as top-1 — row equality certifies
+    // probe + ADC + rerank end-to-end over the video-embedding column
+    "video_ann" ->
+      s"""SELECT media_id, twin_of AS found_base
+         |FROM read_parquet('${VideoPhash.videoFixturePath}/*.parquet')
+         |WHERE twin_of IS NOT NULL
          |ORDER BY media_id""".stripMargin,
     // Spark parses fmt/width/height from the payload BYTES (PNG IHDR /
     // JPEG SOF, MediaDecoder.decodeDims); the oracle answers from the

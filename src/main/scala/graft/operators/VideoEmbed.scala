@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Downstream the vector rides the engine's ONE vector stack
   * ([[ImageEmbed.embedNearDup]]: two-table simhash LSH → banded Hamming
-  * → exact-cosine verify) unchanged, and WOULD ride the persisted
-  * IVFADC serving path unchanged too (160 dims = 8 or 4 PQ subspaces;
-  * `media_ann`/`audio_ann` already certify that path is modality-blind,
-  * so the serving key is not triplicated).
+  * → exact-cosine verify) unchanged, and the persisted IVFADC serving
+  * path unchanged too ([[videoAnnQuery]], declared key `video_ann` —
+  * with `media_ann`/`audio_ann`, every embedded modality is also
+  * ANN-served, completing the modality × pathway matrix).
   *
   * Scale: decode+descriptor is one narrow mapPartitions pass (8 JPEG
   * frame decodes per video, the [[VideoPhash.videoPhashFrame]] cost
@@ -41,7 +41,8 @@ object VideoEmbed {
   /** Cosine floor for the verify stage — fixture margins measured in
     * VideoEmbedSpec (per-slot normalization tightens both sides: twins
     * average 8 near-1 slot cosines, distinct videos average 8
-    * independent draws, concentrating well below the floor). */
+    * independent draws, concentrating well below the floor; measured:
+    * twin min ≈ 0.9993 vs distinct max ≈ 0.45 around 0.985). */
   val CosThreshold = 0.985
 
   /** Decode + descriptor: per-slot-normalized concatenated color-layout
@@ -53,7 +54,8 @@ object VideoEmbed {
       val out = new Array[Double](Dim)
       val idx = VideoPhash.sampleIndices(v.frames.length)
       var j = 0
-      while (j < VideoPhash.Slots) {
+      var ok = true
+      while (ok && j < VideoPhash.Slots) {
         ImagePhash.decodeImage(v.frames(idx(j))) match {
           case Some((w, h, px)) =>
             val block = ImageEmbed.colorLayout(w, h, px)
@@ -65,11 +67,11 @@ object VideoEmbed {
             while (k < block.length) {
               out(j * ImageEmbed.NCoef + k) = block(k) * inv; k += 1
             }
-          case None => return None
+            j += 1
+          case None => ok = false
         }
-        j += 1
       }
-      Some(out)
+      if (ok) Some(out) else None
     }
   }
 
@@ -100,6 +102,61 @@ object VideoEmbed {
         videoEmbedFrame(spark.read.parquet(VideoPhash.videoFixturePath)
           .select("media_id", "payload")),
         threshold = CosThreshold)
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------- persisted ANN serving path
+
+  /** Serving location for the video-embedding IVFADC index — the
+    * [[ImageEmbed.mediaAnnIndexPath]] staleness discipline keyed on the
+    * video FIXTURE's files. */
+  def videoAnnIndexPath: String =
+    "target/fixtures/video_ivfpq_" +
+      graft.Tables.pathFingerprint(VideoPhash.videoFixturePath)
+
+  /** IVF centroid count / PQ subspaces for the video index: [[Dim]]=160
+    * dims → 4 subspaces of 40 dims; 8 inverted lists over the 200-base
+    * corpus (the `media_ann`/`audio_ann` fixture ratios). */
+  val AnnClusters = 8
+  val AnnSubspaces = 4
+
+  /** Declared key (`video_ann`): "find near-dups of this video across
+    * the corpus" — video embeddings through the PERSISTED IVFADC serving
+    * path, end to end, closing the modality × pathway matrix outright
+    * ([[ImageEmbed.mediaAnnQuery]]'s shape over the video fixture). The
+    * 200 base videos' descriptors are built into an IVF(+PQ) index at
+    * most once (completion-marker-gated; every later call SERVES,
+    * repeat-call bit-identical); the 200 planted twins (q70 requal,
+    * half-frame-rate, +12 brightness, re-containered MP4) are the query
+    * batch, probed + ADC-shortlisted + exact-reranked. Output: one row
+    * per twin with its top-1 base — row-equal to the planted twin_of,
+    * i.e. the video column demonstrably rides the whole vector-serving
+    * stack: nProbe/c of the index read per query, codes before floats,
+    * floats only for the shortlist. */
+  def videoAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    VideoPhash.ensureVideoPhashFixture(spark)
+    val fix = spark.read.parquet(VideoPhash.videoFixturePath)
+    val idxPath = videoAnnIndexPath
+    if (!graft.Tables.artifactComplete(idxPath)) {
+      val baseEmb = ProductQuant.normalized(
+        videoEmbedFrame(fix.filter(col("kind") === "base")
+            .select("media_id", "payload"))
+          .withColumnRenamed("media_id", "vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
+        c = AnnClusters, m = AnnSubspaces)
+      baseEmb.unpersist(blocking = false)
+      graft.Tables.markArtifactComplete(idxPath)
+    }
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, idxPath)
+    val queries = ProductQuant.normalized(
+      videoEmbedFrame(fix.filter(col("kind") =!= "base")
+          .select("media_id", "payload"))
+        .withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+        queries, centroids, cbs, k = 1, nProbe = 2)
+      .select(col("q_id").as("media_id"), col("vec_id").as("found_base"))
       .orderBy("media_id")
   }
 }
