@@ -148,12 +148,59 @@ object MinHashIncremental {
   def bandsSubPath(path: String): String =
     s"$path/bands_${graft.plans.MinHashSignatureExpr.KernelVersion}"
 
+  /** Kernel version of the pre-r15 UNVERSIONED `bands/` layout: it was
+    * written with the "mh2" constants before the sub-path carried the
+    * token. Legacy fallback, union, and append-migration are valid only
+    * while the CURRENT kernel still matches this — under any future
+    * kernel those rows probe to zero candidates. */
+  val LegacyLayoutKernel = "mh2"
+
+  private def legacyBandsDir(path: String) = new java.io.File(s"$path/bands")
+
+  /** A legacy layout under a bumped kernel cannot be read OR migrated —
+    * its signatures would probe to zero candidates and every near-dup
+    * against that corpus would leak with no error. Fail loudly (rebuild
+    * the index from corpus text) rather than serve a silent miss. */
+  private def requireLegacyCompatible(path: String): Unit = {
+    val kv = graft.plans.MinHashSignatureExpr.KernelVersion
+    require(kv == LegacyLayoutKernel,
+      s"unversioned band index at ${legacyBandsDir(path)} carries " +
+        s"$LegacyLayoutKernel-kernel signatures but the current kernel is " +
+        s"$kv; probing it would silently find zero candidates — rebuild " +
+        "the index from the corpus text")
+  }
+
+  /** Fold a pre-r15 unversioned `bands/` sub-table into the versioned
+    * sub-path. Without this, the first versioned APPEND would split the
+    * probe surface: [[step]] reads the legacy rows once (the fallback)
+    * but appends under the versioned path, and every LATER
+    * [[readBandIndex]] sees the versioned dir and would read only it —
+    * the legacy corpus's band rows vanish and near-dups against it leak
+    * silently. Copy-then-delete rather than rename: correct even when
+    * both layouts already coexist, and a crash between the copy and the
+    * delete leaves only DUPLICATE band rows, which the probe's candidate
+    * `distinct()` absorbs. */
+  def migrateLegacyBands(spark: SparkSession, path: String): Unit = {
+    requireLegacyCompatible(path)
+    spark.read.parquet(s"$path/bands")
+      .write.mode("append").partitionBy("bucket").parquet(bandsSubPath(path))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(legacyBandsDir(path))
+  }
+
   /** Persist (or append) a prepared frame's band rows + shingle sets.
     * Both sub-tables bucket by a stable hash so a batch's probe/verify
-    * joins can prune to matching buckets. */
+    * joins can prune to matching buckets. An append onto a pre-r15
+    * unversioned index first folds the legacy rows into the versioned
+    * sub-path ([[migrateLegacyBands]]) so the probe surface never
+    * splits across layouts. */
   def writeBandIndex(prep: DataFrame, path: String,
       nBuckets: Int = IndexBuckets, append: Boolean = false): Unit = {
     val mode = if (append) "append" else "overwrite"
+    if (append && legacyBandsDir(path).exists)
+      migrateLegacyBands(prep.sparkSession, path)
     bandRows(prep)
       .withColumn("bucket", pmod(col("sig"), lit(nBuckets)).cast("int"))
       .write.mode(mode).partitionBy("bucket").parquet(bandsSubPath(path))
@@ -162,16 +209,26 @@ object MinHashIncremental {
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/sets")
   }
 
-  /** Reads the CURRENT kernel's band sub-table (falling back to the
-    * unversioned pre-r15 layout, which carries the same "mh2" constants).
-    * An index written under a FUTURE kernel bump simply won't be found
-    * here — the desired failure mode (rebuild), never a silent
-    * zero-candidate probe. */
+  /** Reads the CURRENT kernel's band sub-table, plus the unversioned
+    * pre-r15 layout when one is still present (same [[LegacyLayoutKernel]]
+    * constants — enforced loudly): a read-only index that was never
+    * append-migrated may hold BOTH layouts, and the probe surface is
+    * their UNION — reading only the versioned half would silently drop
+    * the legacy corpus's band rows. An index written under a FUTURE
+    * kernel bump won't be found (versioned miss) or refuses (legacy
+    * kernel mismatch) — the desired failure mode is rebuild, never a
+    * silent zero-candidate probe. */
   def readBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val versionedExists = new java.io.File(bandsSubPath(path)).exists
+    val legacyExists = legacyBandsDir(path).exists
+    if (legacyExists) requireLegacyCompatible(path)
     val bands =
-      if (new java.io.File(bandsSubPath(path)).exists) bandsSubPath(path)
-      else s"$path/bands"
-    (spark.read.parquet(bands), spark.read.parquet(s"$path/sets"))
+      if (versionedExists && legacyExists)
+        spark.read.parquet(bandsSubPath(path))
+          .unionByName(spark.read.parquet(s"$path/bands"))
+      else if (versionedExists) spark.read.parquet(bandsSubPath(path))
+      else spark.read.parquet(s"$path/bands")
+    (bands, spark.read.parquet(s"$path/sets"))
   }
 
   /** One full incremental step: near-dedup `batch` against the index at

@@ -106,6 +106,64 @@ class MinHashIncrementalSpec extends SparkSpec {
     assert(lb.select("doc_id").distinct().count() === 1)
   }
 
+  test("appending to a pre-r15 unversioned index folds it in: the legacy corpus keeps dropping near-dups (r16)") {
+    import spark.implicits._
+    val kv = graft.plans.MinHashSignatureExpr.KernelVersion
+    val dir = tmpDir("bandidx-migrate")
+    // a pre-r15 index: band rows under UNVERSIONED $dir/bands, holding doc 1
+    val legacyPrep = MinHashIncremental.prepared(
+      Seq((1L, doc(0, 0))).toDF("doc_id", "text"))
+    MinHashIncremental.bandRows(legacyPrep)
+      .withColumn("bucket", pmod(col("sig"), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/bands")
+    legacyPrep.select(col("doc_id"), col("hset"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/sets")
+    // first versioned APPEND (a step with a distinct-family batch): the
+    // hazard was that this wrote bands_<kv> while the legacy rows stayed
+    // behind in $dir/bands, invisible to every later read
+    val s1 = MinHashIncremental.step(spark,
+      Seq((10L, doc(1, 0))).toDF("doc_id", "text"), dir, nBuckets = 4)
+    assert(s1.select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    // the legacy layout is gone, folded into the versioned sub-path
+    assert(!new java.io.File(s"$dir/bands").exists, "legacy dir migrated away")
+    assert(new java.io.File(s"$dir/bands_$kv").exists)
+    val (bands, sets) = MinHashIncremental.readBandIndex(spark, dir)
+    assert(bands.select("doc_id").distinct().count() === 2, "both corpora probe-able")
+    assert(sets.select("doc_id").distinct().count() === 2)
+    // the acid test: a near-dup of the LEGACY corpus's doc 1 must still
+    // die — before the fix its band rows had vanished and this leaked
+    val s2 = MinHashIncremental.step(spark,
+      Seq((20L, doc(0, 2)), (21L, doc(2, 0))).toDF("doc_id", "text"),
+      dir, nBuckets = 4)
+    assert(s2.select("doc_id").as[Long].collect().toSeq === Seq(21L))
+  }
+
+  test("both layouts coexisting on a read-only index probe as their union (r16)") {
+    import spark.implicits._
+    val dir = tmpDir("bandidx-union")
+    // versioned half holds doc 1 (family 0); legacy half holds doc 2
+    // (family 1) — e.g. an index touched by the pre-fix append bug, now
+    // mounted read-only: reads must see BOTH probe surfaces
+    val p1 = MinHashIncremental.prepared(Seq((1L, doc(0, 0))).toDF("doc_id", "text"))
+    MinHashIncremental.writeBandIndex(p1, dir, nBuckets = 4)
+    val p2 = MinHashIncremental.prepared(Seq((2L, doc(1, 0))).toDF("doc_id", "text"))
+    MinHashIncremental.bandRows(p2)
+      .withColumn("bucket", pmod(col("sig"), lit(4)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/bands")
+    p2.select(col("doc_id"), col("hset"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/sets")
+    val (bands, sets) = MinHashIncremental.readBandIndex(spark, dir)
+    assert(bands.select("doc_id").distinct().count() === 2)
+    // near-dups of EACH half's doc must both drop, without any append
+    val batch = Seq((10L, doc(0, 3)), (11L, doc(1, 3)), (12L, doc(3, 0)))
+      .toDF("doc_id", "text")
+    val got = MinHashIncremental.dedupNearAgainst(batch, bands, sets)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(12L))
+  }
+
   test("declared key matches a recomputed brute-force parity oracle at sf0.001") {
     import spark.implicits._
     val got = MinHashIncremental.dedupMinhashIncremental(spark, sf0001)
