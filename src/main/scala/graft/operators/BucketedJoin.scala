@@ -99,15 +99,10 @@ object BucketedJoin {
     * is a LAYOUT choice, never a semantics choice. Revenue sums as
     * DECIMAL (exact, order-independent — safe to hash-compare). */
   def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
-    // Spark 3+ stopped reading per-bucket sort order at planning time by
-    // default (it requires listing files to confirm ONE file per bucket —
-    // SPARK-28124's trade of planning cost for execution cost). Our
-    // ingest guarantees one file per bucket, so the listing is 2×16
-    // statuses and the payoff is the SMJ's sorts eliding entirely; a real
-    // deployment makes the same call when its writer enforces the
-    // one-file invariant. (Tables.events' defensive-conf precedent.)
-    if (spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false") != "true")
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Sort elision additionally needs spark.sql.legacy.bucketedTableScan
+    // .outputOrdering=true — set at session build (Engine.session, with
+    // the SPARK-28124 trade-off note), NOT here: a declared key must
+    // never mutate shared session state.
     val li = spark.table(ensureBucketed(spark, dir, "lineitem", "l_orderkey"))
     val ord = spark.table(ensureBucketed(spark, dir, "orders", "o_orderkey"))
     li.hint("merge")
