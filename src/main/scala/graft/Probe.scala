@@ -109,6 +109,15 @@ object Probe {
         videoPhashProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(20000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(1000))
+      case Some("videoembed") =>
+        videoEmbedProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(100000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(2500))
+      case Some("bucketjoin") =>
+        bucketJoinProbe(spark,
+          nOrders = args.lift(1).map(_.toInt).getOrElse(1000000),
+          liPerOrder = args.lift(2).map(_.toInt).getOrElse(4),
+          reps = args.lift(3).map(_.toInt).getOrElse(5))
       case Some("ivfpqappend") =>
         ivfpqAppendProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(2000000),
@@ -119,7 +128,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | bucketjoin | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -505,6 +514,185 @@ object Probe {
     println(s"[probe] videophash verdicts: ${verdicts.length} drops, $exact onto " +
       s"their planted base (expect ${3 * nTwin}/${3 * nTwin}, zero spurious)")
     assert(verdicts.length == 3 * nTwin && exact == 3 * nTwin)
+  }
+
+  /** [[graft.operators.VideoEmbed]] at planted-verdict scale — the
+    * audioembed probe shape over the videophash corpus: `n` base MJPEG
+    * AVIs + `nTwin` EACH of q70-requal, half-frame-rate, +12-brightness,
+    * and re-containered-MP4 twins (all four fixture families; twin id =
+    * n + base index, so every verdict check is `dup_of == id - n`).
+    * Measures (1) decode + 160-dim per-slot-normalized color-layout
+    * descriptor throughput, (2) the SHARED two-table LSH vector stack's
+    * near-dup verdict — the zero-projection hazard the audio probe
+    * caught must stay closed for video descriptors too — and (3) the
+    * persisted IVFADC serving path (`video_ann`'s composition) over the
+    * same embeddings. Verdicts exact: every planted twin drops onto /
+    * serves its base. */
+  def videoEmbedProbe(spark: SparkSession, n: Int, nTwin: Int, c: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImageEmbed, ProductQuant, VideoEmbed, VideoPhash}
+    require(4 * nTwin <= n, "twin ranges must be disjoint within the base set")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-videoembed").toString
+    val nT = 4L * nTwin
+    val gen = spark.range(n).map { id =>
+      (id.longValue, VideoPhash.baseVideo(id))
+    }.union(spark.range(nTwin).map { i =>
+      (n + i, VideoPhash.requalTwin(i))
+    }).union(spark.range(nTwin, 2L * nTwin).map { i =>
+      (n + i, VideoPhash.fpsTwin(i))
+    }).union(spark.range(2L * nTwin, 3L * nTwin).map { i =>
+      (n + i, VideoPhash.brightTwin(i))
+    }).union(spark.range(3L * nTwin, 4L * nTwin).map { i =>
+      (n + i, VideoPhash.mp4Twin(i))
+    }).toDF("media_id", "payload")
+    timed(s"videoembed corpus write ($n base AVI + $nTwin × {requal, half-rate, bright, MP4} twins)") {
+      gen.repartition(32).write.mode("overwrite").parquet(tmp)
+    }
+    // wide-binary-scan knob, as in videoPhashProbe: ~17 KB payloads ×
+    // 4096-row default batches OOM 32 concurrent vectorized readers
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256)
+    val df = spark.read.parquet(tmp)
+    val mb = df.agg(sum(length(col("payload")))).head.getLong(0) / 1e6
+    val emb = VideoEmbed.videoEmbedFrame(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val nEmb = emb.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] videoembed decode+descriptor: $nEmb videos in $sec%.2f s " +
+      f"(${nEmb / sec}%.0f videos/s, ${8 * nEmb / sec}%.0f frame decodes/s, " +
+      f"${mb / sec}%.1f MB/s of mixed AVI+MP4)")
+    assert(nEmb == n + nT)
+    // (1) near-dup through the shared two-table vector stack
+    val verdicts = timed(s"vec-simhash banded near-dup over $nEmb descriptors") {
+      ImageEmbed.embedNearDup(emb, threshold = VideoEmbed.CosThreshold)
+        .filter(!col("keep"))
+        .select(col("media_id"), col("dup_of")).collect()
+    }
+    val exact = verdicts.count(r => r.getLong(0) - n == r.getLong(1))
+    println(s"[probe] videoembed verdicts: ${verdicts.length} drops, $exact onto " +
+      s"their planted base (expect $nT/$nT, zero spurious)")
+    assert(verdicts.length == nT && exact == nT)
+    // (2) serving: base descriptors → persisted IVFADC index → twin queries
+    val baseEmb = ProductQuant.normalized(
+      emb.filter(col("media_id") < n.toLong).withColumnRenamed("media_id", "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed(s"IVFADC index build+persist: $n × dim${VideoEmbed.Dim}, c=$c lists + PQ codes") {
+      ProductQuant.writeIvfPqIndex(spark, s"$tmp/idx", baseEmb, c,
+        lloydIters = 1, m = VideoEmbed.AnnSubspaces)
+    }
+    baseEmb.unpersist(blocking = false)
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, s"$tmp/idx")
+    val queries = ProductQuant.normalized(
+      emb.filter(col("media_id") >= n.toLong).withColumnRenamed("media_id", "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.unpersist(blocking = false)
+    val shortlist = math.max(ProductQuant.Shortlist, n / c + 100)
+    val served = timed(s"serve $nT twin queries from the persisted index (nProbe=2)") {
+      val r = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k = 1, nProbe = 2, shortlist = shortlist)
+        .select(col("q_id"), col("vec_id").as("top1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val plantedHits = served.filter(col("top1") === col("q_id") - n).count()
+    println(f"[probe] videoembed serving: planted-base top-1 $plantedHits/$nT " +
+      f"(${plantedHits.toDouble / nT}%.3f) at candidate fraction " +
+      f"${2.0 / c}%.4f of rows × codes-only bytes")
+    served.unpersist(); queries.unpersist()
+    assert(plantedHits >= nT * 9 / 10,
+      s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/$nT")
+  }
+
+  /** [[graft.operators.BucketedJoin]]'s amortization claim, measured:
+    * bucketing pays the fact-fact shuffle ONCE at ingest, so repeated
+    * joins on the bucket key win after some N runs. Synthesizes a
+    * TPC-H-shaped corpus (`nOrders` orders × `liPerOrder` lineitems per
+    * order, deterministic column arithmetic), then times (a) the plain
+    * parquet ingest, (b) the bucketed ingest (the production
+    * [[graft.operators.BucketedJoin.ensureBucketed]], verbatim),
+    * (c) `reps` repetitions of the same join+aggregate on each layout
+    * (noop-written; min-over-reps adjudicates box noise), and reports
+    * the CROSSOVER — the N at which bucketed ingest + N fast joins
+    * undercuts N plain joins. Also pins, at probe scale, the two plan
+    * claims: the bucketed SMJ carries zero Exchange and zero Sort, and
+    * a groupBy on the bucket key elides its exchange entirely. Verdict
+    * exact: both layouts return identical aggregate rows. */
+  def bucketJoinProbe(spark: SparkSession, nOrders: Int, liPerOrder: Int,
+      reps: Int): Unit = {
+    import graft.operators.BucketedJoin
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketjoin").toString
+    val nLi = nOrders.toLong * liPerOrder
+    timed(s"plain ingest: $nOrders orders + $nLi lineitem rows") {
+      spark.range(nOrders)
+        .select(col("id").as("o_orderkey"),
+          concat(pmod(col("id"), lit(5)) + 1, lit("-PRIORITY")).as("o_orderpriority"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      spark.range(nLi)
+        .select(pmod(col("id"), lit(nOrders)).as("l_orderkey"),
+          ((pmod(xxhash64(col("id")), lit(90000)) + 10000) / lit(100.0))
+            .cast("decimal(18,2)").as("l_extendedprice"),
+          (pmod(xxhash64(col("id") * 7), lit(10)) / lit(100.0))
+            .cast("decimal(18,2)").as("l_discount"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    }
+    def sec[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (names, tBkt) = sec {
+      (BucketedJoin.ensureBucketed(spark, tmp, "lineitem", "l_orderkey"),
+        BucketedJoin.ensureBucketed(spark, tmp, "orders", "o_orderkey"))
+    }
+    println(f"[probe] bucketed ingest (repartition + bucketBy(${BucketedJoin.NumBuckets}).sortBy, both facts): $tBkt%.2f s")
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    def q(li: DataFrame, ord: DataFrame): DataFrame =
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+    def plain = q(spark.read.parquet(s"$tmp/lineitem.parquet"),
+      spark.read.parquet(s"$tmp/orders.parquet"))
+    def bucketed = q(spark.table(names._1), spark.table(names._2))
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // correctness first: the layout must never be a semantics choice
+    val a = plain.orderBy("o_orderpriority").collect().toSeq
+    val b = bucketed.orderBy("o_orderpriority").collect().toSeq
+    assert(a == b, "bucketed and plain layouts must agree row-for-row")
+    noop(plain); noop(bucketed) // warm (JIT, codegen, file listing)
+    val tPlain = (1 to reps).map(_ => sec(noop(plain))._2)
+    val tBuck = (1 to reps).map(_ => sec(noop(bucketed))._2)
+    println(("[probe] plain join reps:    " +
+      tPlain.map(t => f"$t%.2f").mkString(" ")) + " s")
+    println(("[probe] bucketed join reps: " +
+      tBuck.map(t => f"$t%.2f").mkString(" ")) + " s")
+    val (pMin, bMin) = (tPlain.min, tBuck.min)
+    val saving = pMin - bMin
+    val crossover = if (saving > 0) tBkt / saving else Double.PositiveInfinity
+    println(f"[probe] bucketjoin: plain min $pMin%.2f s vs bucketed min $bMin%.2f s " +
+      f"per join (${pMin / bMin}%.2f×); bucketed ingest $tBkt%.2f s amortizes " +
+      f"after ${crossover}%.1f joins (ran $reps)")
+    // plan claim 1: the bucketed SMJ sits directly on the scans
+    val pb = { val df = bucketed; df.collect(); df.queryExecution.executedPlan.toString }
+    val pFinal = { val cut = pb.indexOf("== Initial Plan =="); if (cut >= 0) pb.take(cut) else pb }
+    val smj = pFinal.indexOf("SortMergeJoin")
+    val below = pFinal.substring(pFinal.indexOf('\n', smj) + 1)
+    assert(smj >= 0 && !below.contains("Exchange") && !below.contains("Sort"),
+      "bucketed SMJ must carry zero Exchange and zero Sort:\n" + below)
+    // plan claim 2: groupBy on the bucket key skips its exchange
+    val g = spark.table(names._1).groupBy("l_orderkey")
+      .agg(sum(dec("l_extendedprice")).as("s"))
+    val (_, tG) = sec(noop(g))
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("Exchange"),
+      "groupBy(bucket key) over the bucketed fact must plan zero exchanges:\n" + gp)
+    val gPlain = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .groupBy("l_orderkey").agg(sum(dec("l_extendedprice")).as("s"))
+    val (_, tGPlain) = sec(noop(gPlain))
+    println(f"[probe] groupBy(l_orderkey) over $nLi rows: bucketed $tG%.2f s " +
+      f"(zero exchanges, plan-asserted) vs plain $tGPlain%.2f s")
   }
 
   /** [[graft.streaming.StreamingOps.streamingDocDedup]] at scale: `nDocs`

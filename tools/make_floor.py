@@ -97,6 +97,25 @@ def main():
             cur = floors.get(key)
             if cur is None or sec < cur["floor_sec"]:
                 floors[key] = {"floor_sec": sec, "round": rnd}
+    # Full LOCAL bench records (bench_runs/*.json): the complete JSON line
+    # graft.Bench prints, saved in-round because driver tails keep only the
+    # last ~2000 chars and so never give early-alphabet keys a floor.  These
+    # are untruncated, so their own "errors" map is authoritative — rule 2
+    # applies directly and rule 3's truncation workaround isn't needed.
+    for local_path in sorted(glob.glob(os.path.join(REPO, "bench_runs", "*.json"))):
+        rec = json.load(open(local_path))
+        rnd = int(rec.get("round", 0))
+        err_keys = set(rec.get("errors", {}))
+        timings = rec.get("queries_min") or rec.get("queries") or {}
+        for key, sec in timings.items():
+            if key in err_keys:
+                continue
+            sec = float(sec)
+            if sec <= 0:
+                continue
+            cur = floors.get(key)
+            if cur is None or sec < cur["floor_sec"]:
+                floors[key] = {"floor_sec": sec, "round": rnd}
     out = {
         "note": (
             "per-key minimum over every VALID recorded driver bench "
@@ -106,6 +125,8 @@ def main():
             "map AND present with err=null in that round's "
             "CORRECTNESS_r{n}.json - erroring rounds (e.g. r10's event keys) "
             "record bogus fast 'timings' that would poison the min. "
+            "Untruncated local bench lines under bench_runs/ also "
+            "contribute (their own errors map is authoritative). "
             "Regenerate with tools/make_floor.py."
         ),
         "keys": {k: floors[k] for k in sorted(floors)},
