@@ -113,6 +113,11 @@ object Probe {
         videoEmbedProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(2500))
+      case Some("incphash") =>
+        incPhashProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
+          nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
       case Some("bucketjoin") =>
         bucketJoinProbe(spark,
           nOrders = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -128,7 +133,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | bucketjoin | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | bucketjoin | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -602,6 +607,64 @@ object Probe {
     served.unpersist(); queries.unpersist()
     assert(plantedHits >= nT * 9 / 10,
       s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/$nT")
+  }
+
+  /** [[graft.operators.PhashIncremental]] at accumulated-corpus scale:
+    * `nIdx` images' hashes persisted as the band index, a batch of
+    * `nBatch` fresh images + `nTwin` twins of INDEX images (Hamming 2 —
+    * must die through the cross-index probe) + `nTwin` twins of
+    * LOWER-id BATCH images (must die through the in-batch keep-first).
+    * Hash-level by design: the decode stage's throughput is the
+    * phash/jpegphash probes' record (44.6k/7.1k imgs/s) and is
+    * embarrassingly parallel; what changes with corpus growth — and
+    * what this probe times — is the INDEX machinery: the (b, v) probe
+    * join against nIdx×4 persisted postings, the exact verify re-join,
+    * and the bucket-partitioned append. Hashes are splitmix64(id)
+    * (birthday-separated at radius 3: expected spurious pairs
+    * ~2·10⁻³ at 1M×1M). Verdict exact: drops ≡ the 2·nTwin planted
+    * twins, zero spurious. */
+  def incPhashProbe(spark: SparkSession, nIdx: Int, nBatch: Int, nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImagePhash, PhashIncremental}
+    require(nTwin <= nIdx && nTwin <= nBatch)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incphash").toString
+    val sm = ImagePhash.splitmix64 _
+    val idxHashes = spark.range(nIdx).map(id => (id.longValue, sm(id)))
+      .toDF("media_id", "phash")
+    timed(s"phash index build+persist: $nIdx images (${4 * nIdx} band rows, bucketed)") {
+      PhashIncremental.writePhashIndex(idxHashes, tmp)
+    }
+    val crossOff = nIdx.toLong + nBatch    // twins of index ids [0, nTwin)
+    val inOff = crossOff + nTwin           // twins of batch ids [nIdx, nIdx+nTwin)
+    val batch = spark.range(nIdx, nIdx.toLong + nBatch)
+      .map(id => (id.longValue, sm(id)))
+      .union(spark.range(nTwin).map(i =>
+        (crossOff + i, sm(i) ^ ((1L << 0) | (1L << 20)))))
+      .union(spark.range(nTwin).map(i =>
+        (inOff + i, sm(nIdx + i) ^ ((1L << 5) | (1L << 45)))))
+      .toDF("media_id", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (idxBands, idxH) = PhashIncremental.readPhashIndex(spark, tmp)
+    val drops = timed(s"probe+verify: ${nBatch + 2 * nTwin}-image batch vs the $nIdx-image index") {
+      PhashIncremental.nearDupDrops(batch, idxBands, idxH).collect()
+    }
+    val dropSet = drops.map(_.getLong(0)).toSet
+    val exact = dropSet.count(id => id >= crossOff)
+    println(s"[probe] incphash verdicts: ${drops.length} drops, $exact planted " +
+      s"(expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(drops.length == 2 * nTwin && exact == 2 * nTwin)
+    val dropFrame = dropSet.toSeq.toDF("media_id")
+    timed(s"append ${nBatch} survivors' bands+hashes to the index") {
+      PhashIncremental.writePhashIndex(
+        batch.join(broadcast(dropFrame), Seq("media_id"), "left_anti"),
+        tmp, append = true)
+    }
+    val (_, grown) = PhashIncremental.readPhashIndex(spark, tmp)
+    val total = grown.select("media_id").distinct().count()
+    println(s"[probe] incphash index after append: $total distinct images " +
+      s"(expect ${nIdx.toLong + nBatch})")
+    batch.unpersist(blocking = false)
+    assert(total == nIdx.toLong + nBatch)
   }
 
   /** [[graft.operators.BucketedJoin]]'s amortization claim, measured:

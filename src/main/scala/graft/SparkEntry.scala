@@ -101,6 +101,10 @@ object SparkEntry {
     // the lossy/cross-format half: baseline JPEG pixel decode (Huffman +
     // IDCT + YCbCr + restarts) — requal/PNG/grayscale twins, one dispatching pass
     "media_phash_jpeg" -> (ImagePhash.mediaPhashJpegQuery _),
+    // the media family's ARRIVAL MODE (E14 discipline on E4): arriving
+    // images near-dedup against a banded-Hamming index — even bases are
+    // the curated corpus, odd bases + all twins arrive as the batch
+    "media_phash_incremental" -> (PhashIncremental.mediaPhashIncremental _),
     // pixels → MPEG-7-style spectral descriptor → the vector stack
     // (simhash bands + exact-cosine verify): the second, independent
     // content pathway over the same planted fixture
@@ -831,6 +835,18 @@ object SparkEntry {
     "media_phash" ->
       s"""SELECT media_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${ImagePhash.fixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // the arrival mode over the same planted fixture: the batch is the
+    // odd bases + ALL twins; every twin dies (cross-index if its base is
+    // even — in the index — else in-batch keep-first against its base
+    // arriving in the same batch), so the survivors are exactly the odd
+    // bases. The oracle answers from kind/parity metadata the Spark plan
+    // never reads; Spark must reach the same set from payload bytes via
+    // the banded probe + exact-Hamming verify against the index frames.
+    "media_phash_incremental" ->
+      s"""SELECT media_id
+         |FROM read_parquet('${ImagePhash.fixturePath}/*.parquet')
+         |WHERE kind = 'base' AND media_id % 2 = 1
          |ORDER BY media_id""".stripMargin,
     // same certification shape for the lossy half: Spark decodes baseline
     // JPEG (and cross-format PNG) payloads to pixels and recovers the

@@ -444,7 +444,58 @@ object StreamingOps {
       radius: Int = graft.operators.ImagePhash.HammingMax)
       : org.apache.spark.sql.Dataset[MediaDupPair] = {
     import hashes.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    bandedMediaArrivals(hashes)
+      .groupByKey(m => (m.band, m.v))
+      .flatMapGroupsWithState[MediaBucket, MediaDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        phashBucketFunc(radius))
+  }
+
+  /** [EXT] streaming perceptual near-dup SEEDED from the persisted band
+    * index ([[graft.operators.PhashIncremental]]) — the media modality's
+    * batch→streaming hand-off, completing its arrival-mode set (batch
+    * [[graft.operators.ImagePhash.phashDedup]], incremental
+    * [[graft.operators.PhashIncremental.step]], streaming THIS): the
+    * (band, value) bucket state is loaded once at query start from the
+    * index's band rows re-joined with its 8 B hashes (the [[
+    * streamingDocDedupSeeded]] hand-off, per bucket instead of per
+    * fingerprint), and checkpointed with the query thereafter. A stream
+    * image within Hamming ≤ `radius` of an already-curated corpus image
+    * pairs against it even though the stream never saw the original —
+    * the pigeonhole recall holds identically for seeded members,
+    * earlier micro-batches, and the current batch. */
+  def streamingPhashPairsSeeded(hashes: DataFrame, idxBands: DataFrame,
+      idxHashes: DataFrame,
+      radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[MediaDupPair] = {
+    import hashes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // one MediaBucket per (band, v): fold the index's per-member rows —
+    // reduceGroups gives one row per key, the shape initial state needs
+    val initial = idxBands
+      .join(idxHashes.select("media_id", "phash"), Seq("media_id"))
+      .select(col("b").cast("int"), col("v").cast("long"),
+        col("media_id").cast("long"), col("phash").cast("long"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => MediaBucket(List((r._3, r._4))))
+      .reduceGroups((a, b) => MediaBucket(a.items ::: b.items))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    bandedMediaArrivals(hashes)
+      .groupByKey(m => (m.band, m.v))
+      .flatMapGroupsWithState[MediaBucket, MediaDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(
+        phashBucketFunc(radius))
+  }
+
+  /** The shared banded fan-out of a (media_id, phash) frame — 4 rows of
+    * (band, 16-bit value) per image, [[graft.operators.PhashIncremental
+    * .bandRows]]'s shape with the hash carried for the verify. */
+  private def bandedMediaArrivals(hashes: DataFrame)
+      : org.apache.spark.sql.Dataset[BandedMedia] = {
+    import hashes.sparkSession.implicits._
     import graft.operators.ImagePhash
     hashes
       .select(col("media_id"), col("phash"),
@@ -455,27 +506,33 @@ object StreamingOps {
       .select(col("bv.band").as("band"), col("bv.v").as("v"),
         col("media_id"), col("phash"))
       .as[BandedMedia]
-      .groupByKey(m => (m.band, m.v))
-      .flatMapGroupsWithState[MediaBucket, MediaDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Long), arrivals: Iterator[BandedMedia], state: GroupState[MediaBucket]) =>
-          var seen = state.getOption.map(_.items).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[MediaDupPair]()
-          arrivals.toSeq.sortBy(_.media_id).foreach { m =>
-            if (!seen.exists(_._1 == m.media_id)) { // replay-safe
-              seen.foreach { case (oid, oph) =>
-                val d = java.lang.Long.bitCount(oph ^ m.phash)
-                if (d <= radius)
-                  out += MediaDupPair(math.min(oid, m.media_id),
-                    math.max(oid, m.media_id), d)
-              }
-              seen = (m.media_id, m.phash) :: seen
-            }
-          }
-          state.update(MediaBucket(seen))
-          out.iterator
-      }
   }
+
+  /** The bucket-state transition shared by the seeded and unseeded
+    * streaming phash forms: pair each NEW arrival against every stored
+    * (media_id, phash) within Hamming ≤ `radius`, then store it.
+    * Replay-safe — re-arrivals of a stored id are ignored. */
+  private def phashBucketFunc(radius: Int)
+      : ((Int, Long), Iterator[BandedMedia],
+          org.apache.spark.sql.streaming.GroupState[MediaBucket])
+        => Iterator[MediaDupPair] =
+    (_, arrivals, state) => {
+      var seen = state.getOption.map(_.items).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[MediaDupPair]()
+      arrivals.toSeq.sortBy(_.media_id).foreach { m =>
+        if (!seen.exists(_._1 == m.media_id)) { // replay-safe
+          seen.foreach { case (oid, oph) =>
+            val d = java.lang.Long.bitCount(oph ^ m.phash)
+            if (d <= radius)
+              out += MediaDupPair(math.min(oid, m.media_id),
+                math.max(oid, m.media_id), d)
+          }
+          seen = (m.media_id, m.phash) :: seen
+        }
+      }
+      state.update(MediaBucket(seen))
+      out.iterator
+    }
 
   /** Bounded-state variant of the media fingerprint dedup — the media
     * twin of [[streamingNearDupPairsBounded]]: perceptual pairs are only

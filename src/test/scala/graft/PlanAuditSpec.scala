@@ -274,6 +274,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental media near-dup: banded fan-out emits (media_id, band) only — no payloads") {
+    import spark.implicits._
+    val imgs = (0L until 20L).map { i =>
+      val (w, h, px) = graft.operators.ImagePhash.basePixels(i)
+      (i, graft.operators.ImagePhash.Png.encode(w, h, px))
+    }.toDF("media_id", "payload")
+    val idx = graft.operators.ImagePhash.phashFrame(imgs.limit(5))
+    val df = graft.operators.PhashIncremental.dedupAgainst(
+      imgs, graft.operators.PhashIncremental.bandRows(idx), idx)
+    val blocks = nodeBlocks(df)
+    val gens = blocks.filter(b => b.contains(") Generate") && b.contains("explode"))
+    assert(gens.nonEmpty, "band explode present")
+    gens.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("payload"),
+        s"band fan-out must emit (media_id, band struct) only: $out")
+    }
+    // and no exchange anywhere in the dedup may carry the payload bytes
+    blocks.filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(!out.contains("payload"),
+          s"payload bytes must never shuffle — hashes re-join by id: $out")
+      }
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,

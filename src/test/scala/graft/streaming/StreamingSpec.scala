@@ -510,6 +510,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seeded streaming media near-dup: persisted-index members pair against stream arrivals") {
+    import graft.operators.{ImagePhash, Jpeg, PhashIncremental}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val (wA, hA, pxA) = ImagePhash.smoothPixels(11L)
+    val (wB, hB, pxB) = ImagePhash.smoothPixels(22L)
+    val (wC, hC, pxC) = ImagePhash.smoothPixels(33L)
+    // batch side: images 1 and 2 curated into the persisted band index
+    // (PhashIncremental's rolling-crawl artifact)
+    val idxDir = tmpDir("sphash-idx")
+    PhashIncremental.writePhashIndex(
+      ImagePhash.phashFrame(Seq(
+        (1L, ImagePhash.Png.encode(wA, hA, pxA)),
+        (2L, ImagePhash.Png.encode(wB, hB, pxB))).toDF("media_id", "payload")),
+      idxDir, nBuckets = 4)
+    val (idxBands, idxHashes) = PhashIncremental.readPhashIndex(spark, idxDir)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingPhashPairsSeeded(
+        ImagePhash.phashFrame(in.toDF().toDF("media_id", "payload")),
+        idxBands, idxHashes)
+      .writeStream.format("memory").queryName("seededpairs")
+      .outputMode("append").start()
+    try {
+      // batch 1: a re-encode of INDEXED image 1 — pairs against the seed
+      // even though the stream never saw the original — plus a fresh image
+      in.addData(
+        (10L, ImagePhash.Png.encode(wA, hA, pxA, filterFor = r => (r % 5))),
+        (11L, ImagePhash.Png.encode(wC, hC, pxC)))
+      q.processAllAvailable()
+      // batch 2: a cross-format twin of EARLIER-STREAM image 11 — seeded
+      // and accumulated state live side by side in the same buckets
+      in.addData((12L, Jpeg.encode(wC, hC, pxC, quality = 85)))
+      q.processAllAvailable()
+      val pairs = spark.table("seededpairs").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 10L), (11L, 12L)),
+        s"expected the seeded pair and the cross-batch pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
