@@ -113,6 +113,11 @@ object Probe {
         videoEmbedProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(100000),
           nTwin = args.lift(2).map(_.toInt).getOrElse(2500))
+      case Some("streamphash") =>
+        streamPhashProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nArrive = args.lift(2).map(_.toInt).getOrElse(200000),
+          nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
       case Some("incphash") =>
         incPhashProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -133,7 +138,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | bucketjoin | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | streamphash | bucketjoin | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -607,6 +612,65 @@ object Probe {
     served.unpersist(); queries.unpersist()
     assert(plantedHits >= nT * 9 / 10,
       s"planted-base top-1 must hold >=0.9 at this scale, got $plantedHits/$nT")
+  }
+
+  /** [[graft.streaming.StreamingOps.streamingPhashPairsSeeded]] at
+    * handed-off-corpus scale: `nIdx` images' persisted band index
+    * ([[graft.operators.PhashIncremental]]'s artifact) loaded as the
+    * INITIAL bucket state — ~nIdx×4 postings across ≤ 262,144 (band,
+    * value) buckets — then `nArrive` fresh arrivals + `nTwin` Hamming-2
+    * twins of INDEX images (must pair against seeded members the stream
+    * never saw) + `nTwin` twins of LOWER-id in-stream arrivals drained
+    * as NDJSON file drops in bounded micro-batches. Wall time covers
+    * the whole drain: file listing, JSON parse, band fan-out, state
+    * load + store, parquet sink. Verdict exact: the distinct pair set
+    * ≡ the 2·nTwin planted pairs (a pair may emit once per agreeing
+    * band — consumers dedupe, as documented on the operator). */
+  def streamPhashProbe(spark: SparkSession, nIdx: Int, nArrive: Int,
+      nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImagePhash, PhashIncremental}
+    require(nTwin <= nIdx && nTwin <= nArrive)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamphash").toString
+    val sm = ImagePhash.splitmix64 _
+    timed(s"phash index build+persist: $nIdx images") {
+      PhashIncremental.writePhashIndex(
+        spark.range(nIdx).map(id => (id.longValue, sm(id)))
+          .toDF("media_id", "phash"),
+        tmp)
+    }
+    val (idxBands, idxHashes) = PhashIncremental.readPhashIndex(spark, tmp)
+    val crossOff = nIdx.toLong + nArrive   // twins of index ids [0, nTwin)
+    val inOff = crossOff + nTwin           // twins of arrivals [nIdx, nIdx+nTwin)
+    val (src, out, ck) = (s"$tmp/src", s"$tmp/out", s"$tmp/ck")
+    spark.range(nIdx, nIdx.toLong + nArrive)
+      .map(id => (id.longValue, sm(id)))
+      .union(spark.range(nTwin).map(i =>
+        (crossOff + i, sm(i) ^ ((1L << 3) | (1L << 33)))))
+      .union(spark.range(nTwin).map(i =>
+        (inOff + i, sm(nIdx + i) ^ ((1L << 9) | (1L << 51)))))
+      .toDF("media_id", "phash")
+      .repartition(32).write.json(src)
+    val q = graft.streaming.StreamingOps.foreachBatchParquetSink(
+      graft.streaming.StreamingOps.streamingPhashPairsSeeded(
+        graft.streaming.StreamingOps.fileDropSource(
+          spark, src, "media_id LONG, phash LONG", maxFilesPerTrigger = 8),
+        idxBands, idxHashes).toDF(),
+      out, ck)
+    timed(s"seeded streaming drain: ${nArrive + 2 * nTwin} arrivals vs the " +
+        s"$nIdx-image seed (8-file micro-batches)") {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val pairs = spark.read.parquet(out)
+      .select("media_a", "media_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCross = (0L until nTwin).map(i => (i, crossOff + i)).toSet
+    val wantIn = (0L until nTwin).map(i => (nIdx + i, inOff + i)).toSet
+    println(s"[probe] streamphash pairs: ${pairs.size} distinct " +
+      s"(expect ${2 * nTwin}: $nTwin seeded-corpus + $nTwin in-stream), " +
+      s"${pairs.count(wantCross)} seeded exact, ${pairs.count(wantIn)} in-stream exact")
+    assert(pairs == wantCross ++ wantIn)
   }
 
   /** [[graft.operators.PhashIncremental]] at accumulated-corpus scale:
