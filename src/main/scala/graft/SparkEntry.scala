@@ -105,6 +105,9 @@ object SparkEntry {
     // images near-dedup against a banded-Hamming index — even bases are
     // the curated corpus, odd bases + all twins arrive as the batch
     "media_phash_incremental" -> (PhashIncremental.mediaPhashIncremental _),
+    // the same arrival mode for slot-ARRAY fingerprints: arriving videos
+    // probe a persisted (slot, band) index, verify by slot majority
+    "video_phash_incremental" -> (VideoPhashIncremental.videoPhashIncremental _),
     // pixels → MPEG-7-style spectral descriptor → the vector stack
     // (simhash bands + exact-cosine verify): the second, independent
     // content pathway over the same planted fixture
@@ -846,6 +849,15 @@ object SparkEntry {
     "media_phash_incremental" ->
       s"""SELECT media_id
          |FROM read_parquet('${ImagePhash.fixturePath}/*.parquet')
+         |WHERE kind = 'base' AND media_id % 2 = 1
+         |ORDER BY media_id""".stripMargin,
+    // the video fixture under the same parity harness: all four twin
+    // families (requal / half-frame-rate / brightness / MP4) must die —
+    // cross-index or in-batch by their base's parity — leaving exactly
+    // the odd base videos
+    "video_phash_incremental" ->
+      s"""SELECT media_id
+         |FROM read_parquet('${VideoPhash.videoFixturePath}/*.parquet')
          |WHERE kind = 'base' AND media_id % 2 = 1
          |ORDER BY media_id""".stripMargin,
     // same certification shape for the lossy half: Spark decodes baseline

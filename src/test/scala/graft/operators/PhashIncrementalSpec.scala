@@ -79,6 +79,23 @@ class PhashIncrementalSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("the index is fingerprint-generic: audio hashes ride the same machinery") {
+    import spark.implicits._
+    // AudioPhash.audioPhashFrame emits the same (media_id, 64-bit phash)
+    // shape — the incremental index takes it unchanged, as the batch
+    // phashDedup and the streaming bucket state do
+    def wav(samples: Array[Short]) = Wav.encode(AudioPhash.SampleRate, samples)
+    val idxHashes = AudioPhash.audioPhashFrame(
+      Seq((1L, wav(AudioPhash.gridCodeSamples(5L)))).toDF("media_id", "payload"))
+    val batch = AudioPhash.audioPhashFrame(Seq(
+      (10L, wav(AudioPhash.scaleTwin(AudioPhash.gridCodeSamples(5L)))), // gain twin of index clip
+      (11L, wav(AudioPhash.gridCodeSamples(6L))))                       // fresh clip
+      .toDF("media_id", "payload"))
+    val drops = PhashIncremental.nearDupDrops(batch,
+      PhashIncremental.bandRows(idxHashes), idxHashes)
+    assert(drops.as[Long].collect().toSeq === Seq(10L))
+  }
+
   test("declared key matches the planted parity ground truth at fixture scale") {
     import spark.implicits._
     ImagePhash.ensurePhashFixture(spark)
