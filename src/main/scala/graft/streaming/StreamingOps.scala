@@ -37,6 +37,13 @@ case class BucketDocs(docs: List[(Long, Seq[Long])])
   * modality's streaming near-dup: banded 16-bit keys over the 64-bit
   * perceptual hash, bucket state holds (media_id, phash). */
 case class BandedMedia(band: Int, v: Long, media_id: Long, phash: Long)
+
+/** Rows/state for [[StreamingOps.streamingVideoPhashPairs]] — the video
+  * modality's streaming near-dup: (slot × band, 16-bit value) keys over
+  * the slot-hash ARRAY, bucket state holds (media_id, phashes). */
+case class BandedVideo(sb: Int, v: Long, media_id: Long, phashes: Seq[Long])
+case class VideoBucket(items: List[(Long, Seq[Long])])
+case class VideoDupPair(media_a: Long, media_b: Long, slots_within: Int)
 case class MediaDupPair(media_a: Long, media_b: Long, hamming: Int)
 case class MediaBucket(items: List[(Long, Long)])
 
@@ -507,6 +514,109 @@ object StreamingOps {
         col("media_id"), col("phash"))
       .as[BandedMedia]
   }
+
+  /** [EXT] streaming VIDEO near-dup — the slot-array modality's streaming
+    * form ([[streamingPhashPairs]] one level up, exactly as the batch
+    * [[graft.operators.VideoPhash.videoPhashDedup]] and incremental
+    * [[graft.operators.VideoPhashIncremental]] forms lift their image
+    * counterparts): bucket state keys on (slot × band, 16-bit value),
+    * holds (media_id, 8-slot hash array), and an arrival pairs against a
+    * stored video when ≥ [[graft.operators.VideoPhash.SlotsMin]] slots
+    * are within Hamming ≤ `radius` — the slot-majority verify, computed
+    * against BOTH arrays in state. ~2.3 KB/video of state (32 buckets ×
+    * 72 B); pairs may emit once per agreeing (slot, band) — consumers
+    * dedupe on (media_a, media_b), as with the image form. */
+  def streamingVideoPhashPairs(videos: DataFrame,
+      radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[VideoDupPair] = {
+    val hashes = graft.operators.VideoPhash.videoPhashFrame(videos)
+    import hashes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    bandedVideoArrivals(hashes)
+      .groupByKey(m => (m.sb, m.v))
+      .flatMapGroupsWithState[VideoBucket, VideoDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        videoBucketFunc(radius))
+  }
+
+  /** Seeded form: bucket state loaded at query start from the persisted
+    * (slot, band) index ([[graft.operators.VideoPhashIncremental]]'s
+    * artifact) — the batch→streaming hand-off for the video modality,
+    * [[streamingPhashPairsSeeded]]'s shape with the array surfaces. */
+  def streamingVideoPhashPairsSeeded(videos: DataFrame, idxBands: DataFrame,
+      idxHashes: DataFrame,
+      radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[VideoDupPair] = {
+    val hashes = graft.operators.VideoPhash.videoPhashFrame(videos)
+    import hashes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val initial = idxBands
+      .join(idxHashes.select("media_id", "phashes"), Seq("media_id"))
+      .select(col("sb").cast("int"), col("v").cast("long"),
+        col("media_id").cast("long"), col("phashes"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => VideoBucket(List((r._3, r._4))))
+      .reduceGroups((a, b) => VideoBucket(a.items ::: b.items))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    bandedVideoArrivals(hashes)
+      .groupByKey(m => (m.sb, m.v))
+      .flatMapGroupsWithState[VideoBucket, VideoDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(
+        videoBucketFunc(radius))
+  }
+
+  /** The (slot × band) fan-out of a (media_id, phashes) frame —
+    * [[graft.operators.VideoPhashIncremental.bandRows]]'s shape with the
+    * array carried for the slot-majority verify. */
+  private def bandedVideoArrivals(hashes: DataFrame)
+      : org.apache.spark.sql.Dataset[BandedVideo] = {
+    import hashes.sparkSession.implicits._
+    import graft.operators.{ImagePhash, VideoPhash}
+    val keys = for (s <- 0 until VideoPhash.Slots; b <- 0 until ImagePhash.Bands)
+      yield struct(lit(s * ImagePhash.Bands + b).as("sb"),
+        shiftrightunsigned(element_at(col("phashes"), s + 1), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("v"))
+    hashes
+      .select(col("media_id"), col("phashes"),
+        explode(array(keys: _*)).as("bv"))
+      .select(col("bv.sb").as("sb"), col("bv.v").as("v"),
+        col("media_id"), col("phashes"))
+      .as[BandedVideo]
+  }
+
+  /** The bucket-state transition shared by the seeded and unseeded
+    * streaming VIDEO forms: slot-majority verify against every stored
+    * array, then store the arrival. Replay-safe. */
+  private def videoBucketFunc(radius: Int)
+      : ((Int, Long), Iterator[BandedVideo],
+          org.apache.spark.sql.streaming.GroupState[VideoBucket])
+        => Iterator[VideoDupPair] =
+    (_, arrivals, state) => {
+      import graft.operators.VideoPhash
+      var seen = state.getOption.map(_.items).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[VideoDupPair]()
+      arrivals.toSeq.sortBy(_.media_id).foreach { m =>
+        if (!seen.exists(_._1 == m.media_id)) { // replay-safe
+          seen.foreach { case (oid, oph) =>
+            var within = 0
+            var s = 0
+            while (s < oph.length && s < m.phashes.length) {
+              if (java.lang.Long.bitCount(oph(s) ^ m.phashes(s)) <= radius)
+                within += 1
+              s += 1
+            }
+            if (within >= VideoPhash.SlotsMin)
+              out += VideoDupPair(math.min(oid, m.media_id),
+                math.max(oid, m.media_id), within)
+          }
+          seen = (m.media_id, m.phashes) :: seen
+        }
+      }
+      state.update(VideoBucket(seen))
+      out.iterator
+    }
 
   /** The bucket-state transition shared by the seeded and unseeded
     * streaming phash forms: pair each NEW arrival against every stored

@@ -550,6 +550,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming video near-dup: cross-batch and seeded twins pair by slot majority") {
+    import graft.operators.{VideoPhash, VideoPhashIncremental}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // unseeded: a half-frame-rate twin pairs across micro-batches
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingVideoPhashPairs(
+        in.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("videopairs")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, VideoPhash.baseVideo(100L)), (2L, VideoPhash.baseVideo(101L)))
+      q.processAllAvailable()
+      in.addData((3L, VideoPhash.fpsTwin(100L)),
+        (4L, "not a video".getBytes)) // non-video: drops in the decode stage
+      q.processAllAvailable()
+      val pairs = spark.table("videopairs").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 3L)),
+        s"expected exactly the cross-frame-rate pair, got $pairs")
+      assert(spark.table("videopairs").collect()
+        .forall(_.getAs[Int]("slots_within") >= VideoPhash.SlotsMin))
+    } finally q.stop()
+    // seeded: the persisted (slot, band) index hands its corpus to the stream
+    val idxDir = tmpDir("svphash-idx")
+    VideoPhashIncremental.writeVideoIndex(
+      VideoPhash.videoPhashFrame(
+        Seq((7L, VideoPhash.baseVideo(102L))).toDF("media_id", "payload")),
+      idxDir, nBuckets = 4)
+    val (idxBands, idxHashes) = VideoPhashIncremental.readVideoIndex(spark, idxDir)
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamingOps.streamingVideoPhashPairsSeeded(
+        in2.toDF().toDF("media_id", "payload"), idxBands, idxHashes)
+      .writeStream.format("memory").queryName("videopairs_seeded")
+      .outputMode("append").start()
+    try {
+      // a re-containered MP4 twin of the SEEDED video (the stream never
+      // saw the AVI original) and a fresh video
+      in2.addData((10L, VideoPhash.mp4Twin(102L)), (11L, VideoPhash.baseVideo(103L)))
+      q2.processAllAvailable()
+      val pairs = spark.table("videopairs_seeded").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((7L, 10L)),
+        s"expected exactly the seeded cross-container pair, got $pairs")
+    } finally q2.stop()
+  }
+
   test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
