@@ -118,6 +118,11 @@ object Probe {
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nArrive = args.lift(2).map(_.toInt).getOrElse(200000),
           nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
+      case Some("incvphash") =>
+        incVideoPhashProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
+          nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
       case Some("incphash") =>
         incPhashProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -138,7 +143,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | streamphash | bucketjoin | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -671,6 +676,71 @@ object Probe {
       s"(expect ${2 * nTwin}: $nTwin seeded-corpus + $nTwin in-stream), " +
       s"${pairs.count(wantCross)} seeded exact, ${pairs.count(wantIn)} in-stream exact")
     assert(pairs == wantCross ++ wantIn)
+  }
+
+  /** [[graft.operators.VideoPhashIncremental]] at accumulated-corpus
+    * scale — the slot-array lift of the incphash probe: the index holds
+    * nIdx × 32 (sb, v) postings (8× the image index's fan-out — THE
+    * scale question for the video form), the batch carries `nTwin`
+    * twins of INDEX videos and `nTwin` twins of LOWER-id batch videos,
+    * each twin = every slot hash perturbed by ≤ 3 bits (within the
+    * per-slot radius in all 8 slots → passes the 6-of-8 majority).
+    * Hash-level by design (the container walk + frame decode throughput
+    * is the videophash probe's record, 3.1k videos/s). Verdict exact:
+    * drops ≡ the 2·nTwin planted twins, zero spurious. */
+  def incVideoPhashProbe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nTwin: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{ImagePhash, VideoPhash, VideoPhashIncremental}
+    require(nTwin <= nIdx && nTwin <= nBatch)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incvphash").toString
+    val sm = ImagePhash.splitmix64 _
+    def arr(seed: Long): Array[Long] =
+      Array.tabulate(VideoPhash.Slots)(s => sm(seed * VideoPhash.Slots + s))
+    def twin(seed: Long, bits: (Int, Int)): Array[Long] =
+      arr(seed).map(h => h ^ ((1L << bits._1) | (1L << bits._2)))
+    val idxHashes = spark.range(nIdx).map(id => (id.longValue, arr(id)))
+      .toDF("media_id", "phashes")
+    timed(s"video index build+persist: $nIdx videos (${32L * nIdx} (sb, v) postings, bucketed)") {
+      VideoPhashIncremental.writeVideoIndex(idxHashes, tmp)
+    }
+    val crossOff = nIdx.toLong + nBatch
+    val inOff = crossOff + nTwin
+    val batch = spark.range(nIdx, nIdx.toLong + nBatch)
+      .map(id => (id.longValue, arr(id)))
+      .union(spark.range(nTwin).map(i => (crossOff + i, twin(i, (2, 22)))))
+      .union(spark.range(nTwin).map(i => (inOff + i, twin(nIdx + i, (7, 41)))))
+      .toDF("media_id", "phashes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // generator artifact, not engine behavior: a typed map over range
+    // carries range's 8 B/row size estimate, so Catalyst broadcasts the
+    // ~100 MB array frame and blows the driver. Real corpora enter the
+    // operator as parquet payload scans whose (much larger) stats keep
+    // the planner honest; here we disable the estimate-driven broadcast.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val (idxBands, idxH) = VideoPhashIncremental.readVideoIndex(spark, tmp)
+    val drops = timed(s"probe+verify: ${nBatch + 2 * nTwin}-video batch vs the $nIdx-video index") {
+      VideoPhashIncremental.nearDupDrops(batch, idxBands, idxH).collect()
+    }
+    val dropSet = drops.map(_.getLong(0)).toSet
+    val exact = dropSet.count(id => id >= crossOff)
+    println(s"[probe] incvphash verdicts: ${drops.length} drops, $exact planted " +
+      s"(expect ${2 * nTwin}/${2 * nTwin}, zero spurious)")
+    assert(drops.length == 2 * nTwin && exact == 2 * nTwin)
+    val dropFrame = dropSet.toSeq.toDF("media_id")
+    timed(s"append $nBatch survivors' postings+arrays to the index") {
+      VideoPhashIncremental.writeVideoIndex(
+        batch.join(broadcast(dropFrame), Seq("media_id"), "left_anti"),
+        tmp, append = true)
+    }
+    val (_, grown) = VideoPhashIncremental.readVideoIndex(spark, tmp)
+    val total = grown.select("media_id").distinct().count()
+    println(s"[probe] incvphash index after append: $total distinct videos " +
+      s"(expect ${nIdx.toLong + nBatch})")
+    batch.unpersist(blocking = false)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(total == nIdx.toLong + nBatch)
   }
 
   /** [[graft.operators.PhashIncremental]] at accumulated-corpus scale:

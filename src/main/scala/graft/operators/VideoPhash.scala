@@ -94,15 +94,30 @@ object VideoPhash {
       .toDF("media_id", "phashes")
   }
 
+  /** Candidate cut: a pair must share ≥ this many of the Slots×Bands=32
+    * (slot, band) keys to reach the verify. EXACT-recall-preserving
+    * AND-amplification the slot-majority contract makes free: a true
+    * near-dup has ≥ [[SlotsMin]] = 6 slots within the per-slot radius,
+    * EACH contributing ≥ 1 shared key (the per-slot pigeonhole) → ≥ 6
+    * shared keys ≫ 2. What it buys at corpus scale: a RANDOM pair
+    * matches ≥ 1 of the 32 16-bit keys with p ≈ 32/2¹⁶ ≈ 4.9·10⁻⁴ —
+    * at a 1M-video corpus that is ~500 spurious candidates per video
+    * (each dragging two 64 B arrays through the verify join; measured
+    * blowing up the 1M×1M incvphash probe) — while ≥ 2 keys has
+    * p ≈ C(32,2)/2³² ≈ 1.2·10⁻⁷, ~4000× fewer. */
+  val MinSharedKeys = 2
+
   /** Banded-Hamming near-dup over slot-hash arrays ([[ImagePhash
     * .phashDedup]] one level up): LSH keys are (slot×band, 16-bit band
-    * value); survivors need ≥ [[SlotsMin]] slots within the radius.
+    * value); candidates need ≥ [[MinSharedKeys]] shared keys (recall
+    * unharmed, see there); survivors need ≥ [[SlotsMin]] slots within
+    * the radius.
     *
     * Exchange discipline (the `embedDedup` shape PlanAuditSpec pins):
     * banded rows carry ONLY (media_id, 8 B key) — the full 64 B `phashes`
     * array never rides the Slots×Bands=32-way explode, the self-join, or
-    * the pair `distinct()`; the arrays re-join by id AFTER the distinct,
-    * once per surviving candidate pair instead of 32× per video. */
+    * the pair aggregate; the arrays re-join by id AFTER the key-count
+    * cut, once per surviving candidate pair instead of 32× per video. */
   def videoPhashDedup(hashes: DataFrame): DataFrame = {
     val keys = for (s <- 0 until Slots; b <- 0 until ImagePhash.Bands) yield
       struct(lit(s * ImagePhash.Bands + b).as("sb"),
@@ -115,8 +130,10 @@ object VideoPhash {
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.sb") === col("b.sb") && col("a.v") === col("b.v") &&
           col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"))
-      .distinct()
+      .groupBy(col("a.media_id").as("lo"), col("b.media_id").as("hi"))
+      .agg(count(lit(1)).as("nkeys"))
+      .filter(col("nkeys") >= MinSharedKeys)
+      .select("lo", "hi")
     val slotsWithin: (Column, Column) => Column = (a, b) =>
       size(filter(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
         d => d <= lit(ImagePhash.HammingMax)))

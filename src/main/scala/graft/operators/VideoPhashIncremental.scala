@@ -55,15 +55,23 @@ object VideoPhashIncremental {
       d => d <= lit(ImagePhash.HammingMax)))
 
   /** Media_ids of `batchHashes` videos that slot-majority-match a
-    * LOWER-id batch video or ANY index video. */
+    * LOWER-id batch video or ANY index video. Candidates need
+    * ≥ [[VideoPhash.MinSharedKeys]] shared (sb, v) keys — the exact-
+    * recall-preserving cut (a true near-dup shares ≥ SlotsMin keys by
+    * the per-slot pigeonhole) that keeps the verify join candidate-
+    * bounded at 1M+ corpora instead of drowning in singleton 16-bit
+    * collisions (measured: ~500 spurious candidates per video without
+    * it at 1M×1M, ~4000× fewer with it). */
   def nearDupDrops(batchHashes: DataFrame, idxBands: DataFrame,
       idxHashes: DataFrame): DataFrame = {
     val bb = bandRows(batchHashes)
     val inCand = bb.as("x").join(bb.as("y"),
         col("x.sb") === col("y.sb") && col("x.v") === col("y.v") &&
           col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
-      .distinct()
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("nkeys"))
+      .filter(col("nkeys") >= VideoPhash.MinSharedKeys)
+      .select("id_a", "id_b")
     val inDrops = inCand
       .join(batchHashes.select(col("media_id").as("id_a"), col("phashes").as("h_a")), Seq("id_a"))
       .join(batchHashes.select(col("media_id").as("id_b"), col("phashes").as("h_b")), Seq("id_b"))
@@ -71,8 +79,10 @@ object VideoPhashIncremental {
       .select(col("id_b").as("media_id"))
     val crossCand = bb.as("x").join(idxBands.as("i"),
         col("x.sb") === col("i.sb") && col("x.v") === col("i.v"))
-      .select(col("x.media_id").as("media_id"), col("i.media_id").as("idx_id"))
-      .distinct()
+      .groupBy(col("x.media_id").as("media_id"), col("i.media_id").as("idx_id"))
+      .agg(count(lit(1)).as("nkeys"))
+      .filter(col("nkeys") >= VideoPhash.MinSharedKeys)
+      .select("media_id", "idx_id")
     val crossDrops = crossCand
       .join(batchHashes.select(col("media_id"), col("phashes").as("h_b")), Seq("media_id"))
       .join(idxHashes.select(col("media_id").as("idx_id"), col("phashes").as("h_i")), Seq("idx_id"))

@@ -525,7 +525,12 @@ object StreamingOps {
     * are within Hamming ≤ `radius` — the slot-majority verify, computed
     * against BOTH arrays in state. ~2.3 KB/video of state (32 buckets ×
     * 72 B); pairs may emit once per agreeing (slot, band) — consumers
-    * dedupe on (media_a, media_b), as with the image form. */
+    * dedupe on (media_a, media_b), as with the image form. (The batch /
+    * incremental forms add the ≥ [[graft.operators.VideoPhash
+    * .MinSharedKeys]] candidate cut across buckets; per-bucket state
+    * cannot, so each singleton 16-bit collision costs one cheap in-state
+    * array compare here — fine at stream rates, and the majority verify
+    * still kills every random collision.) */
   def streamingVideoPhashPairs(videos: DataFrame,
       radius: Int = graft.operators.ImagePhash.HammingMax)
       : org.apache.spark.sql.Dataset[VideoDupPair] = {
