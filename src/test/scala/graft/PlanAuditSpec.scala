@@ -300,6 +300,30 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("incremental video near-dup: banded fan-out emits (media_id, key) only — no payloads, no arrays") {
+    import spark.implicits._
+    val vids = (0L until 6L).map { i =>
+      (i, graft.operators.VideoPhash.baseVideo(i))
+    }.toDF("media_id", "payload")
+    val idx = graft.operators.VideoPhash.videoPhashFrame(vids.limit(2))
+    val df = graft.operators.VideoPhashIncremental.dedupAgainst(
+      vids, graft.operators.VideoPhashIncremental.bandRows(idx), idx)
+    val blocks = nodeBlocks(df)
+    val gens = blocks.filter(b => b.contains(") Generate") && b.contains("explode"))
+    assert(gens.nonEmpty, "(slot, band) explode present")
+    gens.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("payload") && !out.contains("phashes"),
+        s"fan-out must emit (media_id, band struct) only: $out")
+    }
+    blocks.filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(!out.contains("payload"),
+          s"payload bytes must never shuffle: $out")
+      }
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,
