@@ -128,6 +128,10 @@ object Probe {
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
           nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
+      case Some("sortlayout") =>
+        sortLayoutProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(20000000),
+          reps = args.lift(2).map(_.toInt).getOrElse(5))
       case Some("bucketjoin") =>
         bucketJoinProbe(spark,
           nOrders = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -143,7 +147,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -799,6 +803,85 @@ object Probe {
       s"(expect ${nIdx.toLong + nBatch})")
     batch.unpersist(blocking = false)
     assert(total == nIdx.toLong + nBatch)
+  }
+
+  /** The SECOND physical-layout lever after [[bucketJoinProbe]]'s
+    * co-location: SORT order inside files = zone-map skipping. The same
+    * `n` (user, ts, val) events are written (a) in hash-scrambled order
+    * and (b) range-partitioned + sorted by ts, so in layout (b) every
+    * parquet ROW GROUP covers a narrow ts slice and its min/max
+    * statistics let the pushed-down range predicate skip it without
+    * decoding. Layout (a) must decode everything — same pushed filter,
+    * useless statistics. The query is a ~1%-selective ts-range
+    * aggregate, identical on both layouts (result-asserted); min over
+    * `reps` timed runs each. At 100 TB the ingest-time sort is what
+    * turns every time-ranged scan from a corpus read into a slice
+    * read — the standard log/event-table layout decision, measured. */
+  def sortLayoutProbe(spark: SparkSession, n: Int, reps: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sortlayout").toString
+    val base = spark.range(n).select(
+      pmod(xxhash64(col("id") * 31), lit(100000)).as("user"),
+      // ts uniform over [0, n): the scramble decorrelates it from row order
+      pmod(xxhash64(col("id")), lit(n.toLong)).as("ts"),
+      (pmod(xxhash64(col("id") * 7), lit(1000)) / 10.0).as("val"))
+    timed(s"scrambled-layout ingest: $n events, hash order") {
+      base.repartition(32).write.mode("overwrite").parquet(s"$tmp/scrambled")
+    }
+    timed(s"sorted-layout ingest: range-partition + sortWithinPartitions(ts)") {
+      base.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$tmp/sorted")
+    }
+    val lo = n / 2L; val hi = lo + n / 100L // ~1% of the ts domain
+    // val sums as exact deci-units: a float sum's low bits would differ
+    // between layouts (different add order) and fail the equality gate
+    def q(path: String) = spark.read.parquet(path)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .agg(count(lit(1)).as("n"),
+        sum((col("val") * 10).cast("long")).as("s_deci"),
+        countDistinct("user").as("u"))
+    val a = q(s"$tmp/scrambled").collect()(0)
+    val b = q(s"$tmp/sorted").collect()(0)
+    assert(a == b, "layout must never change the answer")
+    def sec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def run(path: String): Double =
+      (1 to reps).map(_ => sec {
+        q(path).write.format("noop").mode("overwrite").save()
+      }).min
+    q(s"$tmp/scrambled").write.format("noop").mode("overwrite").save() // warm
+    q(s"$tmp/sorted").write.format("noop").mode("overwrite").save()
+    val tScr = run(s"$tmp/scrambled")
+    val tSrt = run(s"$tmp/sorted")
+    // the pushed filter is identical on both; only the statistics differ
+    val plan = q(s"$tmp/sorted").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "the range predicate must reach the parquet reader:\n" + plan.take(600))
+    // rows SURVIVING the scan (post row-group skip, pre filter node): the
+    // skipping evidence itself, independent of fixed task/listing overhead
+    def scannedRows(path: String): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE buries the scan under AdaptiveSparkPlan → QueryStage leaf
+      // wrappers that collectLeaves() does NOT see through — recurse
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val df = q(path); df.collect()
+      scans(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val (rScr, rSrt) = (scannedRows(s"$tmp/scrambled"), scannedRows(s"$tmp/sorted"))
+    println(f"[probe] sortlayout: 1%%-selective ts-range agg over $n rows — " +
+      f"scrambled $tScr%.2f s / $rScr rows decoded vs ts-sorted $tSrt%.2f s / " +
+      f"$rSrt rows decoded (${tScr / tSrt}%.1f× wall, ${rScr.toDouble / rSrt}%.0f× " +
+      f"fewer rows through the reader via row-group min/max skipping; " +
+      f"min over $reps reps — wall is task-overhead-bound at this SF, " +
+      f"the row ratio is what scales to 100 TB)")
+    assert(rSrt * 10 < rScr, "skipping must prune ≥90% of decoded rows")
   }
 
   /** [[graft.operators.BucketedJoin]]'s amortization claim, measured:
