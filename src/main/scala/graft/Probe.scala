@@ -128,6 +128,11 @@ object Probe {
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
           nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
+      case Some("skewjoin") =>
+        skewJoinProbe(spark,
+          nFact = args.lift(1).map(_.toInt).getOrElse(20000000),
+          nDim = args.lift(2).map(_.toInt).getOrElse(8000000),
+          reps = args.lift(3).map(_.toInt).getOrElse(3))
       case Some("sortlayout") =>
         sortLayoutProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(20000000),
@@ -147,7 +152,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -803,6 +808,85 @@ object Probe {
       s"(expect ${nIdx.toLong + nBatch})")
     batch.unpersist(blocking = false)
     assert(total == nIdx.toLong + nBatch)
+  }
+
+  /** The JOIN half of the skew story (`skew_agg` pins the aggregation
+    * half with explicit salting): a fact-fact SortMergeJoin where ~30%
+    * of the fact lands on ONE key, run with AQE's runtime skew-join
+    * splitting on vs off. With it on, the oversized post-shuffle
+    * partition is split at runtime (the matching build rows duplicated
+    * per split) — the plan stamps `skew=true` — so the hot key's sort
+    * and merge spread across cores instead of one straggler task.
+    * Thresholds are scaled to probe SF (skewedPartitionThresholdInBytes
+    * 4m — shuffle partition sizes are COMPRESSED bytes — / advisory 8m; production keeps the 256m defaults because real
+    * partitions are GBs). The right side is a second FACT (`nDim` ≫
+    * broadcast threshold, each key once) — this probe is about the SMJ
+    * case; broadcastable dims don't have a skew problem (a pruned-pad
+    * dim was tried and the planner correctly broadcast it). Results
+    * asserted equal both ways. Expectation setting: at probe SF the
+    * hot partition sorts in well under a second, so wall clock lands at
+    * parity — what the probe PINS is that detection fires (plan stamped
+    * `skew=true`), the split changes no answer, and the machinery is
+    * armed for the real case, a multi-GB hot partition on a cluster
+    * where one straggler task IS the job's wall clock. */
+  def skewJoinProbe(spark: SparkSession, nFact: Int, nDim: Int, reps: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skewjoin").toString
+    timed(s"ingest: $nFact-row fact (~30% on one key) + $nDim-row fact-sized dim") {
+      spark.range(nFact).select(
+          when(pmod(col("id"), lit(10)) < 3, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
+          pmod(xxhash64(col("id") * 13), lit(1000)).as("v"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/fact")
+      spark.range(nDim).select(col("id").as("k"),
+          pmod(xxhash64(col("id")), lit(100)).as("dv"))
+        .repartition(16).write.mode("overwrite").parquet(s"$tmp/dim")
+    }
+    def q() = spark.read.parquet(s"$tmp/fact")
+      .join(spark.read.parquet(s"$tmp/dim"), Seq("k"))
+      .groupBy("dv")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    def sec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def setConfs(enabled: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      // coalescing pulls the MEDIAN partition up toward the advisory
+      // size, so the default 5× factor compares hot vs ~advisory-sized
+      // medians; 2× keeps the detection meaningful at probe volumes
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    }
+    setConfs(enabled = true)
+    val withRows = q().orderBy("dv").collect()
+    val dfSkew = q(); dfSkew.collect()
+    val skewStamped = dfSkew.queryExecution.executedPlan.toString.contains("skew=true")
+    q().write.format("noop").mode("overwrite").save() // warm
+    val tOn = (1 to reps).map(_ => sec {
+      q().write.format("noop").mode("overwrite").save()
+    }).min
+    setConfs(enabled = false)
+    val withoutRows = q().orderBy("dv").collect()
+    q().write.format("noop").mode("overwrite").save()
+    val tOff = (1 to reps).map(_ => sec {
+      q().write.format("noop").mode("overwrite").save()
+    }).min
+    prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(withRows.toSeq == withoutRows.toSeq,
+      "skew splitting must never change the answer")
+    println(f"[probe] skewjoin: hot-key SMJ over $nFact rows — AQE skew split " +
+      f"ON $tOn%.2f s vs OFF $tOff%.2f s (${tOff / tOn}%.2f×; " +
+      f"plan stamped skew=true: $skewStamped; min over $reps reps)")
+    assert(skewStamped, "AQE must detect and split the skewed partition")
   }
 
   /** The SECOND physical-layout lever after [[bucketJoinProbe]]'s
