@@ -160,6 +160,11 @@ object SparkEntry {
       Sampling.sampleWeighted(s, d)),
     "bm25_topk"         -> ((s: SparkSession, d: String) =>
       Ranking.bm25Topk(s, d)),
+    // the production cadence: index the corpus once (inverted postings
+    // partitioned by term bucket + doclen + stats, corpus-fingerprinted,
+    // completion-marker-gated), serve every query from the artifact
+    "bm25_serve"        -> ((s: SparkSession, d: String) =>
+      Ranking.bm25Serve(s, d)),
     "contamination"     -> (Contamination.contamination _),
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
@@ -445,6 +450,29 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** The full-recompute BM25 ranking in DuckDB — one source of truth
+    * gating BOTH the scan form (`bm25_topk`) and the served form
+    * (`bm25_serve`): the served form must reproduce it from the
+    * persisted index alone. */
+  private def bm25OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |${Ranking.QueryTerms.map(t =>
+           s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n")}
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |), s AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |${Ranking.QueryTerms.map(t =>
+           s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
+       |  FROM t
+       |), sc AS (
+       |  SELECT doc_id,
+       |    ROUND(${Ranking.QueryTerms.map(Ranking.termScoreSql).mkString("\n      + ")}, 6) AS score
+       |  FROM t, s
+       |)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "session_count" ->
       """WITH s AS (
@@ -1128,24 +1156,11 @@ object SparkEntry {
     // from Ranking.QueryTerms / Ranking.termScoreSql (single source of
     // truth), so the oracle's arithmetic is association-identical to the
     // Spark column expression; avgdl derives from an exact integer Σdl
-    "bm25_topk" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, len(toks) AS dl,
-         |${Ranking.QueryTerms.map(t =>
-             s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n")}
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-         |), s AS (
-         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-         |${Ranking.QueryTerms.map(t =>
-             s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
-         |  FROM t
-         |), sc AS (
-         |  SELECT doc_id,
-         |    ROUND(${Ranking.QueryTerms.map(Ranking.termScoreSql).mkString("\n      + ")}, 6) AS score
-         |  FROM t, s
-         |)
-         |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_topk" -> bm25OracleSql,
+    // the SAME full-recompute oracle gates the SERVED form: row equality
+    // certifies the persisted postings/doclen/stats artifact end to end
+    // (pruned-bucket read, posting-derived dfs, matched-docs-only scoring)
+    "bm25_serve" -> bm25OracleSql,
     // decontamination: containment is an exact int/int division, so rows
     // hash-match bitwise; knobs interpolate from Contamination
     "contamination" ->

@@ -94,10 +94,113 @@ object Ranking {
     // signals (the frame is k rows by construction, so one partition is
     // the point). pmod(doc_id, 1) rather than lit(1) because Catalyst
     // prunes FOLDABLE partition expressions and the warning returns.
+    rankTail(ranked)
+  }
+
+  /** Shared rank-stamping tail for both BM25 forms (see the WindowExec
+    * note above). */
+  private def rankTail(ranked: DataFrame): DataFrame =
     ranked.withColumn("rank",
         row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
           .orderBy(col("score").desc, col("doc_id"))))
       .select("rank", "doc_id", "score")
       .orderBy("rank")
+
+  // ------------------------------------------------ persisted serving form
+
+  /** Term-bucket count for the inverted postings — the partition column a
+    * query's term set prunes on. */
+  val PostingBuckets = 64
+
+  private def termBucket(t: Column): Column =
+    pmod(xxhash64(t), lit(PostingBuckets)).cast("int")
+
+  /** Serving location of the BM25 index — corpus-fingerprinted (the
+    * BPE-merge-table discipline) and completion-marker-gated. */
+  def bm25IndexPath(dir: String): String =
+    "target/fixtures/bm25_" + Tables.corpusFingerprint(dir, "documents")
+
+  /** Build (at most once per corpus) the query-INDEPENDENT serving
+    * artifact a production retrieval deployment persists instead of
+    * re-scanning the corpus per query:
+    *   - `postings/`: (term, doc_id, tf) inverted index, partitioned by
+    *     [[termBucket]] so a query's term set PRUNES the read to its own
+    *     buckets;
+    *   - `doclen/`:   (doc_id, dl);
+    *   - `stats/`:    one row (n, dlsum) — exact integer Σdl, the
+    *     [[bm25Topk]] determinism contract.
+    * One tokenize pass feeds all three. */
+  def ensureBm25Index(spark: SparkSession, dir: String): String = {
+    val path = bm25IndexPath(dir)
+    if (!Tables.artifactComplete(path)) synchronized {
+      if (!Tables.artifactComplete(path)) {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toks.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", termBucket(col("term")))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/postings")
+        toks.select(col("doc_id"), size(col("toks")).as("dl"))
+          .write.mode("overwrite").parquet(s"$path/doclen")
+        toks.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dlsum"))
+          .write.mode("overwrite").parquet(s"$path/stats")
+        toks.unpersist(blocking = false)
+        Tables.markArtifactComplete(path)
+      }
+    }
+    path
+  }
+
+  /** Declared key (`bm25_serve`): the SAME ranking as [[bm25Topk]],
+    * answered from the persisted index instead of a corpus scan — the
+    * production cadence (index once per corpus, serve every query from
+    * the artifact). A query reads ONLY its terms' posting buckets
+    * (partition-pruned), computes per-term dfs from them, joins document
+    * lengths for the matched docs alone, and scores with the identical
+    * [[termScore]] arithmetic over identical integer inputs — so the
+    * DuckDB oracle (the full-recompute `bm25_topk` SQL) hash-matches,
+    * certifying the artifact path end to end. Docs containing NO query
+    * term score 0 in the scan form and are absent here; equality holds
+    * whenever ≥ k docs match, which the fixed [[QueryTerms]] guarantee
+    * at every shipped SF (dfs are in the hundreds at sf0.001). */
+  def bm25Serve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val path = ensureBm25Index(spark, dir)
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketsOf(QueryTerms): _*) &&
+        col("term").isin(QueryTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc tf columns for the matched docs (absent posting → tf 0)
+    val tfCols = QueryTerms.map(t =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
+    val perDoc = post.groupBy("doc_id")
+      .agg(tfCols.head, tfCols.tail: _*)
+      .join(spark.read.parquet(s"$path/doclen"), Seq("doc_id"))
+    // corpus stats + per-term dfs: one tiny row, broadcast back
+    val dfCols = QueryTerms.map(t =>
+      sum((col("term") === t).cast("long")).as(s"df_$t"))
+    val dfsRow = post.agg(dfCols.head, dfCols.tail: _*)
+    val stats = spark.read.parquet(s"$path/stats")
+      .withColumn("avgdl", col("dlsum").cast("double") / col("n"))
+      .crossJoin(dfsRow)
+    val score = QueryTerms.map(t =>
+      termScore(col(s"tf_$t"), col("dl"), col("n"), col(s"df_$t"), col("avgdl")))
+      .reduce(_ + _)
+    post.unpersist(blocking = false)
+    rankTail(perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k))
+  }
+
+  /** The posting buckets a term set lives in — computed with the SAME
+    * xxhash64 the writer used, via a tiny local dataframe round-trip so
+    * engine and artifact can never disagree on the hash. */
+  def bucketsOf(terms: Seq[String]): Seq[Int] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    terms.toDF("t").select(termBucket(col("t"))).collect()
+      .map(_.getInt(0)).toSeq.distinct
   }
 }

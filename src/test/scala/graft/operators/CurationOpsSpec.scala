@@ -128,6 +128,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(scores(0L) > scores(3L) && scores(3L) > scores(1L))
   }
 
+  test("bm25_serve: the persisted index reproduces the scan form's ranking, served not rebuilt") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark window merge spark window merge"),
+      (1L, ("spark " + Seq.fill(60)("pad").mkString(" "))),
+      (2L, Seq.fill(40)("noise").mkString(" ")),                  // no query terms
+      (3L, "spark window other other other other other other")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("bm25serve")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scan = Ranking.bm25Topk(spark, dir, 10).collect()
+    val served = Ranking.bm25Serve(spark, dir, 10).collect()
+    // the served form ranks MATCHED docs only — identical prefix to the
+    // scan form; the zero-score doc (2) exists only in the scan ranking
+    assert(served.map(_.getLong(1)).toSeq === Seq(0L, 3L, 1L))
+    assert(served.toSeq === scan.toSeq.take(3),
+      "rank/doc_id/score must be bit-equal on the matched prefix")
+    // second call must SERVE from the artifact (no rebuild: the postings'
+    // mtime is untouched) and return identical rows
+    val marker = new java.io.File(
+      s"${Ranking.bm25IndexPath(dir)}/postings/_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified()
+    val again = Ranking.bm25Serve(spark, dir, 10).collect()
+    assert(marker.lastModified() === mtime, "second call must not rebuild")
+    assert(again.toSeq === served.toSeq)
+    // the pruned read touches only the query terms' buckets
+    val nBuckets = new java.io.File(s"${Ranking.bm25IndexPath(dir)}/postings")
+      .listFiles().count(_.getName.startsWith("bucket="))
+    assert(Ranking.bucketsOf(Ranking.QueryTerms).size <= 3 && nBuckets >= 3,
+      "a 3-term query must map to at most 3 of the term buckets")
+  }
+
   test("contamination flags exactly the brute-force containment pairs at sf0.01") {
     val hits = Contamination.contamination(spark, "/root/testdata/sf0.01").collect()
     val pairs = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
