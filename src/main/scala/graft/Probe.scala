@@ -128,6 +128,10 @@ object Probe {
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
           nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
+      case Some("bm25serve") =>
+        bm25ServeProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(10000000),
+          reps = args.lift(2).map(_.toInt).getOrElse(3))
       case Some("skewjoin") =>
         skewJoinProbe(spark,
           nFact = args.lift(1).map(_.toInt).getOrElse(20000000),
@@ -152,7 +156,7 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | bm25serve | mediaann | bpepack)")
     }
     spark.stop()
   }
@@ -808,6 +812,55 @@ object Probe {
       s"(expect ${nIdx.toLong + nBatch})")
     batch.unpersist(blocking = false)
     assert(total == nIdx.toLong + nBatch)
+  }
+
+  /** [[graft.operators.Ranking.bm25Serve]]'s value claim, measured: at
+    * corpus scale the SCAN form re-tokenizes every document per query
+    * while the SERVED form reads only the query terms' posting buckets
+    * from the persisted index. `nDocs` synthetic documents (40 filler
+    * tokens each; the three fixed query terms planted into ~2/5/10% of
+    * docs so dfs differ), ranked by both forms — results asserted
+    * row-equal — then each form timed over `reps` repeated queries
+    * (min): the ratio is the per-query saving, the one-time index
+    * build is the amortized cost. */
+  def bm25ServeProbe(spark: SparkSession, nDocs: Int, reps: Int): Unit = {
+    import graft.operators.Ranking
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25serve").toString
+    timed(s"corpus write: $nDocs docs × ~40 tokens, terms at ~2/5/10% df") {
+      val base = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(lit("t"), pmod(xxhash64(col("id") * 53 + j), lit(50000)))))
+      spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          concat(base,
+            when(pmod(xxhash64(col("id") * 3), lit(100)) < 2, lit(" spark")).otherwise(lit("")),
+            when(pmod(xxhash64(col("id") * 5), lit(100)) < 5, lit(" window")).otherwise(lit("")),
+            when(pmod(xxhash64(col("id") * 7), lit(100)) < 10, lit(" merge")).otherwise(lit("")))
+            .as("text"),
+          lit("en").as("lang"), lit("probe").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    }
+    val scanRows = Ranking.bm25Topk(spark, tmp).collect()
+    val tBuild = { val t0 = System.nanoTime()
+      Ranking.ensureBm25Index(spark, tmp); (System.nanoTime() - t0) / 1e9 }
+    println(f"[probe] bm25 index build+persist (postings + doclen + stats): $tBuild%.2f s")
+    val servedRows = Ranking.bm25Serve(spark, tmp).collect()
+    assert(servedRows.toSeq == scanRows.toSeq,
+      "served ranking must be row-equal to the scan ranking")
+    def sec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val tScan = (1 to reps).map(_ => sec {
+      Ranking.bm25Topk(spark, tmp).collect(): Unit
+    }).min
+    val tServe = (1 to reps).map(_ => sec {
+      Ranking.bm25Serve(spark, tmp).collect(): Unit
+    }).min
+    println(f"[probe] bm25serve: top-10 over $nDocs docs — full scan $tScan%.2f s/query " +
+      f"vs served $tServe%.2f s/query (${tScan / tServe}%.1f×; index build $tBuild%.2f s " +
+      f"amortizes after ${tBuild / math.max(tScan - tServe, 1e-9)}%.1f queries; " +
+      f"rankings row-equal; min over $reps)")
+    assert(tServe < tScan, "the served form must win at corpus scale")
   }
 
   /** The JOIN half of the skew story (`skew_agg` pins the aggregation

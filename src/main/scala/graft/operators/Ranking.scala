@@ -134,9 +134,15 @@ object Ranking {
     val path = bm25IndexPath(dir)
     if (!Tables.artifactComplete(path)) synchronized {
       if (!Tables.artifactComplete(path)) {
-        val toks = Tables.documents(spark, dir)
+        // Deliberately NOT cached: the tokenized corpus is an
+        // array-of-strings per doc — caching it (memory OR disk) starves
+        // the posting aggregation's hash maps and OOMs at the 10M-doc
+        // probe. Each sub-table re-streams the parquet scan instead; the
+        // tokenize is a narrow codegen'd projection, and a build is a
+        // once-per-corpus event — streaming three passes is the
+        // 100 TB-safe shape.
+        def toks = Tables.documents(spark, dir)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         toks.select(col("doc_id"), explode(col("toks")).as("term"))
           .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
           .withColumn("bucket", termBucket(col("term")))
@@ -146,7 +152,6 @@ object Ranking {
           .write.mode("overwrite").parquet(s"$path/doclen")
         toks.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dlsum"))
           .write.mode("overwrite").parquet(s"$path/stats")
-        toks.unpersist(blocking = false)
         Tables.markArtifactComplete(path)
       }
     }
