@@ -324,6 +324,23 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("bm25_serve: the posting read is pruned to the query terms' buckets") {
+    // the serving claim at 100 TB: a query touches nProbe-like slices of
+    // the index, not the corpus — the bucket partition column must reach
+    // the scan as a PartitionFilter (whole directories skipped at
+    // listing), and the corpus text is never read at all
+    val df = SparkEntry.queries("bm25_serve")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val postingScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("/postings")).getOrElse("")
+    assert(postingScan.contains("PartitionFilters: [bucket") ||
+      postingScan.contains("PartitionFilters: [cast(bucket"),
+      "bucket pruning must reach the posting scan's PartitionFilters:\n" + postingScan)
+    assert(!p.contains("documents.parquet"),
+      "the served form must never scan the corpus text")
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,
