@@ -128,6 +128,12 @@ object SparkEntry {
     // clips indexed once, planted twins served as the query batch —
     // the media_ann shape, proving the vector stack is modality-blind
     "audio_ann"     -> (AudioEmbed.audioAnnQuery _),
+    // the audio ARRIVAL MODE (the media_phash_incremental parity harness
+    // with the WAV/Goertzel decode stage): arriving clips near-dedup
+    // against the banded-Hamming index of the even-id curated corpus —
+    // the declared-key witness that the fingerprint index is
+    // modality-blind, closing the arrival-mode matrix's last cell
+    "audio_phash_incremental" -> (PhashIncremental.audioPhashIncremental _),
     // the video modality's content level, completing the trio: AVI/MJPEG
     // chunk-walk decode → per-frame dHash through the shared image stack
     // at fixed TIME positions → banded Hamming over (slot, band) keys
@@ -180,6 +186,13 @@ object SparkEntry {
     "domain_mix"        -> (DomainMix.domainMix _),
     "substring_dedup"   -> (SubstringDedup.substringDedup _),
     "substring_drop"    -> (SubstringDedup.substringDrop _),
+    // E13's ARRIVAL MODE (the last dedup family to gain one): odd docs
+    // arrive as the batch, their windows probing the even docs' persisted
+    // digest index by membership + the in-batch count — exactly the batch
+    // operator's spans restricted to the batch, without re-mining the
+    // accumulated half
+    "substring_dedup_incremental" ->
+      (SubstringIncremental.substringDedupIncremental _),
     // §2.7 [EXT] incremental dedup: batch vs persisted fingerprint index
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
     // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
@@ -945,6 +958,17 @@ object SparkEntry {
          |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
          |WHERE twin_of IS NOT NULL
          |ORDER BY media_id""".stripMargin,
+    // the audio fixture under the parity harness: every twin dies —
+    // cross-index if its base is even (in the index), in-batch keep-first
+    // if odd (its base arrives in the same batch with a lower id) —
+    // leaving exactly the odd base clips. The oracle answers from
+    // kind/parity metadata; Spark must reach the same 200 ids from WAV
+    // bytes via Goertzel fingerprints and the banded index probe.
+    "audio_phash_incremental" ->
+      s"""SELECT media_id
+         |FROM read_parquet('${AudioPhash.audioFixturePath}/*.parquet')
+         |WHERE kind = 'base' AND media_id % 2 = 1
+         |ORDER BY media_id""".stripMargin,
     // video: Spark walks the RIFF/AVI container, JPEG-decodes the frames
     // sampled at fixed TIME positions (the half-frame-rate twins carry
     // HALF the frames at DOUBLE the frame period and still land on their
@@ -1379,6 +1403,20 @@ object SparkEntry {
          |       MAX(pos) + ${SubstringDedup.SpanL - 1} AS end_tok,
          |       MAX(pos) + ${SubstringDedup.SpanL} - MIN(pos) AS span_len
          |FROM r GROUP BY doc_id, region ORDER BY doc_id, start_tok""".stripMargin,
+    // the arrival mode's oracle is the batch key's own full-corpus
+    // recomputation restricted to the odd (batch) documents: a batch
+    // window is duplicated-against-(index ∪ batch) iff its digest count
+    // over the WHOLE corpus is ≥ 2 (it contributes one occurrence
+    // itself), and regions merge per-document, so the restriction
+    // commutes with the merge. Spark must reach the same rows through
+    // the membership probe against the even half's digest index.
+    "substring_dedup_incremental" ->
+      s"""WITH $substrRegionCtes
+         |SELECT doc_id, MIN(pos) AS start_tok,
+         |       MAX(pos) + ${SubstringDedup.SpanL - 1} AS end_tok,
+         |       MAX(pos) + ${SubstringDedup.SpanL} - MIN(pos) AS span_len
+         |FROM r WHERE doc_id % 2 = 1
+         |GROUP BY doc_id, region ORDER BY doc_id, start_tok""".stripMargin,
     // the cut half: regions (shared CTEs) expand to covered positions, an
     // anti-join keeps the uncut tokens, and the cut text is pinned by its
     // md5 digest — one row per INPUT document (fully-cut docs keep n_kept

@@ -93,16 +93,38 @@ object PhashIncremental {
     * in-operator release discipline); the lazy default keeps the full
     * plan visible for audits. */
   def dedupAgainst(batch: DataFrame, idxBands: DataFrame,
-      idxHashes: DataFrame, materialize: Boolean = false): DataFrame = {
-    val hashes = ImagePhash.phashFrame(batch.select("media_id", "payload"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = batch.join(nearDupDrops(hashes, idxBands, idxHashes),
-      Seq("media_id"), "left_anti")
-    if (!materialize) out
+      idxHashes: DataFrame, materialize: Boolean = false): DataFrame =
+    dedupHashedAgainst(batch,
+      ImagePhash.phashFrame(batch.select("media_id", "payload")),
+      idxBands, idxHashes, materialize)
+
+  /** The modality-generic core of [[dedupAgainst]]: the caller supplies
+    * the (media_id, phash) fingerprint frame, so ANY 64-bit perceptual
+    * hash rides the same index — audio fingerprints are certified
+    * machinery-identical (PhashIncrementalSpec), and [[
+    * audioPhashIncremental]] is exactly this with [[AudioPhash
+    * .audioPhashFrame]] as the decode stage.
+    *
+    * Cache discipline: the hash frame is referenced ~4× by the
+    * probe/verify joins; persist it only on the materialize path, where
+    * the eager localCheckpoint bounds the cache's lifetime to this call
+    * ([[graft.Caching]]'s contract — the r16 lazy-path persist leaked
+    * into the session). The lazy path is the plan-audit hook: fully
+    * visible, nothing cached. */
+  def dedupHashedAgainst(batch: DataFrame, decoded: DataFrame,
+      idxBands: DataFrame, idxHashes: DataFrame,
+      materialize: Boolean): DataFrame = {
+    if (!materialize)
+      batch.join(nearDupDrops(decoded, idxBands, idxHashes),
+        Seq("media_id"), "left_anti")
     else {
-      val m = out.localCheckpoint(true)
-      hashes.unpersist(blocking = false)
-      m
+      val hashes = decoded
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Caching.withCleanup(hashes) {
+        batch.join(nearDupDrops(hashes, idxBands, idxHashes),
+            Seq("media_id"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
   }
 
@@ -164,10 +186,47 @@ object PhashIncremental {
       fix.filter(col("kind") === "base" && col("media_id") % 2 === 0)
         .select("media_id", "payload"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dedupAgainst(
+    // materialize=true bounds both caches to this call: the survivors are
+    // localCheckpointed inside dedupAgainst, so by the time we return the
+    // index hashes (probed 2×) are released too — no declared key leaves
+    // a cache in the session (CacheHygieneSpec pins this).
+    graft.Caching.withCleanup(idxHashes) {
+      dedupAgainst(
         fix.filter(col("kind") =!= "base" || col("media_id") % 2 === 1)
           .select("media_id", "payload"),
-        bandRows(idxHashes), idxHashes)
+        bandRows(idxHashes), idxHashes, materialize = true)
+    }
+      .select("media_id")
+      .orderBy("media_id")
+  }
+
+  /** Declared key (`audio_phash_incremental`): the [[
+    * mediaPhashIncremental]] parity harness over the AUDIO fixture —
+    * even-id base clips are the curated corpus (index), odd bases + ALL
+    * planted twins (gain / dither / 4 kHz-resample) arrive as the batch.
+    * Twin ids share their base's parity (the offsets are even), so twins
+    * of even bases die through the CROSS-INDEX probe and twins of odd
+    * bases die IN-BATCH against their base arriving with a lower id;
+    * survivors ≡ exactly the odd bases. The decode stage is [[AudioPhash
+    * .audioPhashFrame]] (WAV chunk walk → Goertzel → sign fingerprint);
+    * everything after it is [[dedupHashedAgainst]] unchanged — the
+    * declared-key witness that the fingerprint index is modality-blind,
+    * closing the last arrival-mode matrix cell (image/video landed in
+    * r16). The oracle answers from planted kind/parity metadata the
+    * Spark plan never reads. */
+  def audioPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    AudioPhash.ensureAudioPhashFixture(spark)
+    val fix = spark.read.parquet(AudioPhash.audioFixturePath)
+    val idxHashes = AudioPhash.audioPhashFrame(
+      fix.filter(col("kind") === "base" && col("media_id") % 2 === 0)
+        .select("media_id", "payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = fix.filter(col("kind") =!= "base" || col("media_id") % 2 === 1)
+      .select("media_id", "payload")
+    graft.Caching.withCleanup(idxHashes) {
+      dedupHashedAgainst(batch, AudioPhash.audioPhashFrame(batch),
+        bandRows(idxHashes), idxHashes, materialize = true)
+    }
       .select("media_id")
       .orderBy("media_id")
   }

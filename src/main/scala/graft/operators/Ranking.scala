@@ -172,10 +172,14 @@ object Ranking {
     * at every shipped SF (dfs are in the hundreds at sf0.001). */
   def bm25Serve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val path = ensureBm25Index(spark, dir)
+    // Deliberately NOT cached: the per-doc tf aggregation and the df row
+    // each read the postings once, but both reads are bucket-pruned to the
+    // query terms' partitions — two pruned scans of a few-bucket slice are
+    // cheaper than a persist whose lifetime would have to outlive this
+    // (lazy) plan, and the returned frame stays audit-visible end to end.
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(bucketsOf(QueryTerms): _*) &&
         col("term").isin(QueryTerms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc tf columns for the matched docs (absent posting → tf 0)
     val tfCols = QueryTerms.map(t =>
       coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
@@ -192,7 +196,6 @@ object Ranking {
     val score = QueryTerms.map(t =>
       termScore(col(s"tf_$t"), col("dl"), col("n"), col(s"df_$t"), col("avgdl")))
       .reduce(_ + _)
-    post.unpersist(blocking = false)
     rankTail(perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))

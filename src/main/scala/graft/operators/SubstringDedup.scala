@@ -56,7 +56,23 @@ object SubstringDedup {
     * 1-based inclusive. Regions whose gap is ≤ L merge (their L-token
     * windows overlap or abut, so the covered text is contiguous). */
   def duplicatedSpans(docs: DataFrame, spanL: Int = SpanL): DataFrame = {
-    val windows = docs
+    // step 2: duplicated-window mark via a count window on the digest —
+    // one exchange, no self-join, and the text is never scanned twice
+    val dup = windowDigests(docs, spanL)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") >= 2)
+      .select("doc_id", "pos")
+    mergeRegions(dup, spanL)
+  }
+
+  /** Step 1 alone: every L-token window of every document as a
+    * (doc_id, pos, g) row — pos 1-based, g = md5 of the space-joined
+    * window. The operator's exchange currency, factored so the batch form
+    * and the incremental form ([[SubstringIncremental]]) build the
+    * identical digest space (and the persisted index stores exactly these
+    * `g` values). */
+  def windowDigests(docs: DataFrame, spanL: Int = SpanL): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= spanL)
       .select(col("doc_id"),
@@ -65,16 +81,16 @@ object SubstringDedup {
           i => struct(i.cast("long").as("pos"),
             md5(concat_ws(" ", slice(col("toks"), i, lit(spanL)))).as("g")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    // step 2: duplicated-window mark via a count window on the digest —
-    // one exchange, no self-join, and the text is never scanned twice
-    val dup = windows
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") >= 2)
-    // step 3: session-merge duplicated positions per document (gap > L
-    // breaks a region; ≤ L keeps it contiguous since windows span L tokens)
+
+  /** Step 3 alone: session-merge duplicated window positions per document
+    * (gap > L breaks a region; ≤ L keeps it contiguous since windows span
+    * L tokens) into maximal (doc_id, start_tok, end_tok, span_len) rows —
+    * shared by the batch and incremental forms, so a span means the same
+    * thing in every arrival mode. */
+  def mergeRegions(dupPos: DataFrame, spanL: Int = SpanL): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dup
+    dupPos
       .withColumn("brk",
         when(lag(col("pos"), 1).over(wDoc).isNull
           || col("pos") - lag(col("pos"), 1).over(wDoc) > spanL, 1L)

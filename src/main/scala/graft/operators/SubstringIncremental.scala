@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental exact substring deduplication against a persisted
+  * window-digest index (SURVEY.md §2.7 E13 in the E14 arrival mode —
+  * the last dedup family to gain one): a rolling corpus accumulates, and
+  * re-running [[SubstringDedup.duplicatedSpans]] over the full
+  * accumulation per arriving batch re-mines every window ever seen;
+  * instead the index persists the DISTINCT L-token window digests of all
+  * accepted text (16 B md5 rows — already the batch operator's exchange
+  * currency), and a batch's spans are found from the batch's own windows
+  * plus one membership probe.
+  *
+  * Semantics are EXACTLY the batch operator's restricted to the batch:
+  * a batch window is part of a duplicated span iff its digest occurs
+  * ≥ 2 times in (accumulated ∪ batch) — and since every batch window
+  * contributes one occurrence itself, that is equivalent to
+  *
+  *   (digest occurs ≥ 2 times within the batch)  OR  (digest ∈ index)
+  *
+  * so membership (not counts) is all the index must answer, and the
+  * index stays distinct under append. Region merging is [[SubstringDedup
+  * .mergeRegions]] unchanged — a span means the same thing in every
+  * arrival mode.
+  *
+  * Scale: the in-batch half is the batch operator's one digest exchange
+  * at BATCH size; the cross half is a semi-join of batch digests against
+  * the bucket-partitioned index (narrow 16 B rows both sides, no
+  * payload, no counts); the append writes only digests the index lacks.
+  * Per-batch cost is O(batch windows + matched index buckets), never
+  * O(accumulated corpus) — the [[IncrementalDedup]] discipline one
+  * level down, at window granularity.
+  *
+  * Reference grounding: Lee et al. 2022 (ExactSubstr) define the batch
+  * semantics; the arrival mode extends SURVEY.md §2.7 E13/E14
+  * (`flink-samples` has no dedup surface).
+  */
+object SubstringIncremental {
+
+  import SubstringDedup.{SpanL, windowDigests, mergeRegions}
+
+  /** Maximal duplicated regions of `batch` against an index given as a
+    * digest frame (one `g` column; extra columns are ignored) — the
+    * incremental core, frame-in/frame-out for the declared key and the
+    * persisted [[step]] alike. */
+  def duplicatedSpansAgainst(batch: DataFrame, idxDigests: DataFrame,
+      spanL: Int = SpanL): DataFrame = {
+    val w = windowDigests(batch, spanL)
+    // in-batch duplicated windows: the batch operator's count window —
+    // one exchange on the digest, map-side-combinable
+    val inBatch = w
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") >= 2)
+      .select("doc_id", "pos")
+    // cross-index: membership probe — left-semi keeps only (doc_id, pos)
+    // whose digest the accumulated corpus has seen
+    val inIdx = w.join(idxDigests.select("g"), Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    mergeRegions(inBatch.union(inIdx).distinct(), spanL)
+  }
+
+  // ---------------------------------------------------- persisted index
+
+  /** Bucket count for the digest table ([[IncrementalDedup.IndexBuckets]]
+    * sizing rationale). */
+  val IndexBuckets = 64
+
+  /** Persist (or append) a digest frame's DISTINCT `g` values,
+    * bucket-partitioned by a stable hash of the digest so probe joins
+    * and anti-joins shuffle narrow 16 B rows into aligned buckets. */
+  def writeDigestIndex(digests: DataFrame, path: String,
+      nBuckets: Int = IndexBuckets, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    digests.select("g").distinct()
+      .withColumn("bucket", pmod(xxhash64(col("g")), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/digests")
+  }
+
+  def readDigestIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/digests")
+
+  /** One full incremental step: mark `batch`'s duplicated spans against
+    * the index at `path`, append the digests the index lacks (keeping the
+    * "distinct digests of all text seen" invariant — in-batch duplicates
+    * are new text too: their THIRD occurrence, next batch, must still be
+    * marked), and return the span rows. Spans are eagerly
+    * `localCheckpoint`ed BEFORE the append — the [[IncrementalDedup
+    * .step]] guard: the append invalidates cached plans scanning the
+    * index path, and a lazy span frame re-evaluated after it would see
+    * the batch's own digests and mark every window. */
+  def step(spark: SparkSession, batch: DataFrame, path: String,
+      spanL: Int = SpanL, nBuckets: Int = IndexBuckets): DataFrame = {
+    val idx = readDigestIndex(spark, path)
+    val spans = duplicatedSpansAgainst(batch, idx, spanL).localCheckpoint(true)
+    val fresh = windowDigests(batch, spanL).select("g").distinct()
+      .join(idx.select("g"), Seq("g"), "left_anti")
+    writeDigestIndex(fresh, path, nBuckets, append = true)
+    spans
+  }
+
+  /** Declared key (`substring_dedup_incremental`): the [[PhashIncremental
+    * .mediaPhashIncremental]] parity harness at window granularity —
+    * EVEN-id documents play the accumulated corpus (their distinct window
+    * digests are the index), ODD documents arrive as the batch. For an
+    * odd document's window, "duplicated against index ∪ batch" is
+    * exactly the full-corpus [[SubstringDedup.duplicatedSpans]] predicate
+    * (total count ≥ 2 ⟺ another odd occurrence ∨ an even occurrence),
+    * so the DuckDB oracle is the batch key's own full-corpus
+    * recomputation restricted to odd documents — certifying that the
+    * incremental probe finds precisely the spans the batch operator
+    * would, without re-mining the even half. */
+  def substringDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    duplicatedSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        windowDigests(docs.filter(col("doc_id") % 2 === 0)).select("g"))
+      .orderBy("doc_id", "start_tok")
+  }
+}

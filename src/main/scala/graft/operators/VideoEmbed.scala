@@ -137,16 +137,21 @@ object VideoEmbed {
     VideoPhash.ensureVideoPhashFixture(spark)
     val fix = spark.read.parquet(VideoPhash.videoFixturePath)
     val idxPath = videoAnnIndexPath
-    if (!graft.Tables.artifactComplete(idxPath)) {
-      val baseEmb = ProductQuant.normalized(
-        videoEmbedFrame(fix.filter(col("kind") === "base")
-            .select("media_id", "payload"))
-          .withColumnRenamed("media_id", "vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
-        c = AnnClusters, m = AnnSubspaces)
-      baseEmb.unpersist(blocking = false)
-      graft.Tables.markArtifactComplete(idxPath)
+    // double-checked synchronized build gate (the ensureBm25Index
+    // discipline): two threads racing the first call must not interleave
+    // writes under the same index path
+    if (!graft.Tables.artifactComplete(idxPath)) synchronized {
+      if (!graft.Tables.artifactComplete(idxPath)) {
+        val baseEmb = ProductQuant.normalized(
+          videoEmbedFrame(fix.filter(col("kind") === "base")
+              .select("media_id", "payload"))
+            .withColumnRenamed("media_id", "vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ProductQuant.writeIvfPqIndex(spark, idxPath, baseEmb,
+          c = AnnClusters, m = AnnSubspaces)
+        baseEmb.unpersist(blocking = false)
+        graft.Tables.markArtifactComplete(idxPath)
+      }
     }
     val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, idxPath)
     val queries = ProductQuant.normalized(

@@ -96,15 +96,21 @@ object VideoPhashIncremental {
     * construction ([[PhashIncremental.dedupAgainst]]'s contract). */
   def dedupAgainst(batch: DataFrame, idxBands: DataFrame,
       idxHashes: DataFrame, materialize: Boolean = false): DataFrame = {
-    val hashes = VideoPhash.videoPhashFrame(batch.select("media_id", "payload"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = batch.join(nearDupDrops(hashes, idxBands, idxHashes),
-      Seq("media_id"), "left_anti")
-    if (!materialize) out
+    val decoded = VideoPhash.videoPhashFrame(batch.select("media_id", "payload"))
+    // Persist only on the materialize path, where the eager checkpoint
+    // bounds the cache to this call ([[PhashIncremental.dedupAgainst]]'s
+    // hygiene, verbatim); the lazy path is the plan-audit hook.
+    if (!materialize)
+      batch.join(nearDupDrops(decoded, idxBands, idxHashes),
+        Seq("media_id"), "left_anti")
     else {
-      val m = out.localCheckpoint(true)
-      hashes.unpersist(blocking = false)
-      m
+      val hashes = decoded
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Caching.withCleanup(hashes) {
+        batch.join(nearDupDrops(hashes, idxBands, idxHashes),
+            Seq("media_id"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
   }
 
@@ -157,10 +163,14 @@ object VideoPhashIncremental {
       fix.filter(col("kind") === "base" && col("media_id") % 2 === 0)
         .select("media_id", "payload"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dedupAgainst(
+    // materialize=true + withCleanup: both caches die with this call
+    // (the CacheHygieneSpec contract — see mediaPhashIncremental).
+    graft.Caching.withCleanup(idxHashes) {
+      dedupAgainst(
         fix.filter(col("kind") =!= "base" || col("media_id") % 2 === 1)
           .select("media_id", "payload"),
-        bandRows(idxHashes), idxHashes)
+        bandRows(idxHashes), idxHashes, materialize = true)
+    }
       .select("media_id")
       .orderBy("media_id")
   }

@@ -1,0 +1,30 @@
+package graft
+
+/** No declared key may leave a Dataset cache behind in the session
+  * (`Caching.withCleanup` is the library-wide contract; a long-lived
+  * Verify/Bench session runs every key, so one leaked persist per run
+  * compounds). The r16 audit found unreleased persists on the
+  * phash-incremental key paths and an inert persist in bm25Serve — this
+  * spec pins the fix by running the affected keys to completion and
+  * asserting the session cache manager is exactly as empty as before.
+  *
+  * localCheckpoint blocks are NOT tracked by the cache manager (they live
+  * in the block manager until their RDDs are GC'd), so this asserts the
+  * persist/unpersist discipline specifically — which is the leak class
+  * the audit flagged. */
+class CacheHygieneSpec extends SparkSpec {
+
+  /** Keys whose implementations persist internally and must release. */
+  private val cachingKeys = Seq(
+    "media_phash_incremental", "video_phash_incremental",
+    "audio_phash_incremental", "bm25_serve")
+
+  test("declared keys that persist internally release every cache") {
+    spark.sharedState.cacheManager.clearCache()
+    cachingKeys.foreach { key =>
+      SparkEntry.queries(key)(spark, sf0001).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"declared key '$key' left cached frame(s) in the session")
+    }
+  }
+}

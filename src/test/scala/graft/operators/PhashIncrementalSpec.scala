@@ -96,6 +96,18 @@ class PhashIncrementalSpec extends SparkSpec {
     assert(drops.as[Long].collect().toSeq === Seq(10L))
   }
 
+  test("audio declared key matches the planted parity ground truth at fixture scale") {
+    import spark.implicits._
+    AudioPhash.ensureAudioPhashFixture(spark)
+    val got = PhashIncremental.audioPhashIncremental(spark, "unused")
+      .as[Long].collect().toSeq
+    val want = spark.read.parquet(AudioPhash.audioFixturePath)
+      .filter(col("kind") === "base" && col("media_id") % 2 === 1)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(want.size === AudioPhash.NBaseAudio / 2)
+    assert(got === want)
+  }
+
   test("declared key matches the planted parity ground truth at fixture scale") {
     import spark.implicits._
     ImagePhash.ensurePhashFixture(spark)
