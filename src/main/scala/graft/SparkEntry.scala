@@ -171,6 +171,11 @@ object SparkEntry {
     // completion-marker-gated), serve every query from the artifact
     "bm25_serve"        -> ((s: SparkSession, d: String) =>
       Ranking.bm25Serve(s, d)),
+    // the batch serving cadence: N term-sets answered from ONE
+    // union-of-buckets pruned posting read, per-query fixed-order
+    // scoring, bounded-heap top-k per query
+    "bm25_serve_batch"  -> ((s: SparkSession, d: String) =>
+      Ranking.bm25ServeBatch(s, d)),
     "contamination"     -> (Contamination.contamination _),
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
@@ -467,24 +472,41 @@ object SparkEntry {
     * gating BOTH the scan form (`bm25_topk`) and the served form
     * (`bm25_serve`): the served form must reproduce it from the
     * persisted index alone. */
-  private def bm25OracleSql: String =
+  /** Full-recompute BM25 top-10 for an arbitrary fixed term set — the
+    * single source of truth for all three bm25 oracles (`bm25_topk`,
+    * `bm25_serve`, and per-qid for `bm25_serve_batch`); the term-score
+    * association order comes from [[graft.operators.Ranking
+    * .termScoreSql]], mirroring the Spark side exactly. */
+  private def bm25RecomputeSql(terms: Seq[String]): String =
     s"""WITH t AS (
        |  SELECT doc_id, len(toks) AS dl,
-       |${Ranking.QueryTerms.map(t =>
+       |${terms.map(t =>
            s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n")}
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
        |), s AS (
        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-       |${Ranking.QueryTerms.map(t =>
+       |${terms.map(t =>
            s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
        |  FROM t
        |), sc AS (
        |  SELECT doc_id,
-       |    ROUND(${Ranking.QueryTerms.map(Ranking.termScoreSql).mkString("\n      + ")}, 6) AS score
+       |    ROUND(${terms.map(Ranking.termScoreSql).mkString("\n      + ")}, 6) AS score
        |  FROM t, s
        |)
        |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  private def bm25OracleSql: String = bm25RecomputeSql(Ranking.QueryTerms)
+
+  /** The batch-serving oracle: each query's own full recompute, stamped
+    * with its qid and unioned — certifying that the ONE pruned-read batch
+    * plan answers every query exactly as a dedicated scan would. */
+  private def bm25BatchOracleSql: String =
+    s"""SELECT * FROM (
+       |${Ranking.BatchQueries.map { case (q, ts) =>
+           s"SELECT '$q' AS qid, * FROM (\n${bm25RecomputeSql(ts)}\n)" }
+          .mkString("\nUNION ALL\n")}
+       |) ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "session_count" ->
@@ -1185,6 +1207,7 @@ object SparkEntry {
     // certifies the persisted postings/doclen/stats artifact end to end
     // (pruned-bucket read, posting-derived dfs, matched-docs-only scoring)
     "bm25_serve" -> bm25OracleSql,
+    "bm25_serve_batch" -> bm25BatchOracleSql,
     // decontamination: containment is an exact int/int division, so rows
     // hash-match bitwise; knobs interpolate from Contamination
     "contamination" ->

@@ -202,6 +202,75 @@ object Ranking {
       .limit(k))
   }
 
+  /** Fixed query BATCH for the declared `bm25_serve_batch` key — the
+    * production serving cadence prices per-QUERY work (the 10M-doc probe:
+    * 1.27 s/query served one at a time), so the batch form answers N
+    * term-sets from ONE union-of-buckets pruned posting read. Three
+    * queries with distinct lengths and overlapping vocabulary (q_ranking
+    * IS [[QueryTerms]], so the batch reproduces `bm25_topk`'s rows for
+    * that qid — cross-checked in CurationOpsSpec). */
+  val BatchQueries: Seq[(String, Seq[String])] = Seq(
+    ("q_ranking", QueryTerms),
+    ("q_stream",  Seq("stream", "filter")),
+    ("q_storage", Seq("scan", "column", "sort", "table")))
+
+  /** Declared key (`bm25_serve_batch`): answer every [[BatchQueries]]
+    * term set from the persisted index in ONE plan. The posting read is
+    * pruned to the UNION of all queries' term buckets (adding a query
+    * adds at most its own buckets, never a corpus scan); per-(query, doc)
+    * term frequencies pivot into a small map; document frequencies and
+    * corpus stats collapse to one broadcast row; each query's score is
+    * its own FIXED-ORDER sum (a CASE over qid), so the arithmetic
+    * association order matches the per-query oracle SQL exactly — the
+    * [[bm25Topk]] determinism contract, per qid. Top-k per query uses
+    * [[TopKPerKey.TopKAgg]]'s bounded heap: map-side partials shrink each
+    * partition to ≤ k rows per query BEFORE the exchange, so the final
+    * ranking never sorts a query's full match set — the 100 TB shape for
+    * "k best of millions of matches × N queries". */
+  def bm25ServeBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val path = ensureBm25Index(spark, dir)
+    val allTerms = BatchQueries.flatMap(_._2).distinct
+    // ONE pruned read feeds both aggregations (tf's and df's) — the
+    // bm25Serve double-read note applies: both passes prune to the same
+    // few buckets, nothing corpus-sized is ever touched
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketsOf(allTerms): _*) &&
+        col("term").isin(allTerms: _*))
+    val qt = BatchQueries.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF("qid", "term")
+    val perDoc = post.join(broadcast(qt), Seq("term"))
+      .groupBy("qid", "doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf"))))
+        .as("tfm"))
+      .join(spark.read.parquet(s"$path/doclen"), Seq("doc_id"))
+    val dfCols = allTerms.map(t =>
+      sum((col("term") === t).cast("long")).as(s"df_$t"))
+    val dfsRow = post.agg(dfCols.head, dfCols.tail: _*)
+    val stats = spark.read.parquet(s"$path/stats")
+      .withColumn("avgdl", col("dlsum").cast("double") / col("n"))
+      .crossJoin(dfsRow)
+    // per-query score: tf 0 for query terms the doc lacks (absent map
+    // key), summed in the query's own declared term order
+    def scoreFor(terms: Seq[String]): Column = terms.map(t =>
+      termScore(coalesce(element_at(col("tfm"), lit(t)), lit(0L)),
+        col("dl"), col("n"), col(s"df_$t"), col("avgdl")))
+      .reduce(_ + _)
+    val score = BatchQueries.tail.foldLeft(
+        when(col("qid") === BatchQueries.head._1, scoreFor(BatchQueries.head._2))) {
+      case (acc, (q, ts)) => acc.when(col("qid") === q, scoreFor(ts))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), round(score, 6).as("score"))
+    val topk = udaf(new TopKPerKey.TopKAgg(k))
+    scored.groupBy("qid")
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top.entries")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** The posting buckets a term set lives in — computed with the SAME
     * xxhash64 the writer used, via a tiny local dataframe round-trip so
     * engine and artifact can never disagree on the hash. */

@@ -54,6 +54,12 @@ case class BandedMediaTs(band: Int, v: Long, media_id: Long, phash: Long,
     ts: java.sql.Timestamp)
 case class TimedMediaBucket(items: List[(Long, Long, Long)])
 
+/** Rows/state for [[StreamingOps.streamingVideoPhashPairsBounded]] — the
+  * video bucket rows/state with the event-time instant carried. */
+case class BandedVideoTs(sb: Int, v: Long, media_id: Long, phashes: Seq[Long],
+    ts: java.sql.Timestamp)
+case class TimedVideoBucket(items: List[(Long, Seq[Long], Long)])
+
 /** Rows/state for [[StreamingOps.streamingNearDupPairsBounded]] — the
   * timed twin: each stored doc carries its event-time millis so the
   * horizon can evict per-doc, and the whole bucket dies by timeout. */
@@ -571,6 +577,143 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(
         videoBucketFunc(radius))
   }
+
+  /** Bounded-state variant of [[streamingVideoPhashPairs]] — the video
+    * twin of [[streamingPhashPairsBounded]], closing the one unbounded
+    * hole left in the streaming layer (the NoTimeout video forms grow
+    * ~2.3 KB/video of bucket state with the corpus on an endless crawl):
+    * slot-majority pairs are only sought within an EVENT-TIME horizon,
+    * and bucket state is evicted once the watermark passes it. The
+    * container walk carries the timestamp through the typed decode pass
+    * (a mapPartitions emits fresh attributes, so the watermark is
+    * applied to the OUTPUT frame's `ts` — the image twin's note,
+    * verbatim). Contract: a pair is emitted iff ≥ [[graft.operators
+    * .VideoPhash.SlotsMin]] slots are within Hamming ≤ `radius` AND the
+    * event times differ by ≤ `horizonMs`. */
+  def streamingVideoPhashPairsBounded(videos: DataFrame, tsCol: String,
+      horizonMs: Long, radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[VideoDupPair] = {
+    import videos.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    timedVideoArrivals(videos, tsCol, horizonMs)
+      .groupByKey(m => (m.sb, m.v))
+      .flatMapGroupsWithState[TimedVideoBucket, VideoDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        timedVideoBucketFunc(horizonMs, radius))
+  }
+
+  /** Seeded + bounded: bucket state loaded at query start from the
+    * persisted (slot, band) index, every seed stamped with `seedTsMs` as
+    * its event time — the batch→streaming hand-off where the curated
+    * corpus seeds the horizon window and then AGES OUT of it like any
+    * stream arrival (watermark past `seedTsMs + horizon` evicts the
+    * seeds; initial-state-only buckets get their timeout on the first
+    * batch, which visits every seeded key). The production shape for
+    * "recent corpus tail + live crawl" near-time dedup. */
+  def streamingVideoPhashPairsSeededBounded(videos: DataFrame, tsCol: String,
+      horizonMs: Long, idxBands: DataFrame, idxHashes: DataFrame,
+      seedTsMs: Long, radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[VideoDupPair] = {
+    import videos.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val initial = idxBands
+      .join(idxHashes.select("media_id", "phashes"), Seq("media_id"))
+      .select(col("sb").cast("int"), col("v").cast("long"),
+        col("media_id").cast("long"), col("phashes"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .mapValues(r => TimedVideoBucket(List((r._3, r._4, seedTsMs))))
+      .reduceGroups((a, b) => TimedVideoBucket(a.items ::: b.items))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    timedVideoArrivals(videos, tsCol, horizonMs)
+      .groupByKey(m => (m.sb, m.v))
+      .flatMapGroupsWithState[TimedVideoBucket, VideoDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(), initial)(
+        timedVideoBucketFunc(horizonMs, radius))
+  }
+
+  /** Decode + watermark + (slot × band) fan-out with the event time
+    * carried — the bounded forms' shared input stage. The watermark
+    * (delay = the horizon) is applied to the DECODED frame's `ts`: the
+    * typed container-walk pass emits fresh attributes, so tagging the
+    * input column would not survive it ([[streamingMediaPhashPairsBounded]]'s
+    * note, verbatim), and the fan-out projection below preserves the
+    * watermarked attribute itself. */
+  private def timedVideoArrivals(videos: DataFrame, tsCol: String,
+      horizonMs: Long): org.apache.spark.sql.Dataset[BandedVideoTs] = {
+    import videos.sparkSession.implicits._
+    import graft.operators.{ImagePhash, VideoPhash}
+    val hashed = videos
+      .select(col("media_id").cast("long"), col("payload"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, payload, t) =>
+        VideoPhash.videoPhash(payload).map(hs => (id, hs, t))
+      })
+      .toDF("media_id", "phashes", "ts")
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    val keys = for (s <- 0 until VideoPhash.Slots; b <- 0 until ImagePhash.Bands)
+      yield struct(lit(s * ImagePhash.Bands + b).as("sb"),
+        shiftrightunsigned(element_at(col("phashes"), s + 1), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("v"))
+    hashed
+      .select(col("media_id"), col("phashes"), col("ts"),
+        explode(array(keys: _*)).as("bv"))
+      .select(col("bv.sb").as("sb"), col("bv.v").as("v"),
+        col("media_id"), col("phashes"), col("ts"))
+      .as[BandedVideoTs]
+  }
+
+  /** The timed bucket-state transition shared by the bounded video forms:
+    * [[videoBucketFunc]]'s slot-majority verify gated by the horizon,
+    * plus the two eviction moves of [[streamingPhashPairsBounded]] —
+    * per-item watermark filtering and whole-bucket EventTimeTimeout. */
+  private def timedVideoBucketFunc(horizonMs: Long, radius: Int)
+      : ((Int, Long), Iterator[BandedVideoTs],
+          org.apache.spark.sql.streaming.GroupState[TimedVideoBucket])
+        => Iterator[VideoDupPair] =
+    (_, arrivals, state) => {
+      import graft.operators.VideoPhash
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val wmMs = state.getCurrentWatermarkMs()
+        // evict videos that can never again pair in-horizon: future
+        // arrivals have event time ≥ watermark
+        var seen = state.getOption.map(_.items).getOrElse(Nil)
+          .filter(_._3 + horizonMs >= wmMs)
+        val out = scala.collection.mutable.ArrayBuffer[VideoDupPair]()
+        arrivals.toSeq.sortBy(m => (m.ts.getTime, m.media_id)).foreach { m =>
+          if (!seen.exists(_._1 == m.media_id)) { // replay-safe
+            val tMs = m.ts.getTime
+            seen.foreach { case (oid, oph, oMs) =>
+              if (math.abs(tMs - oMs) <= horizonMs) {
+                var within = 0
+                var s = 0
+                while (s < oph.length && s < m.phashes.length) {
+                  if (java.lang.Long.bitCount(oph(s) ^ m.phashes(s)) <= radius)
+                    within += 1
+                  s += 1
+                }
+                if (within >= VideoPhash.SlotsMin)
+                  out += VideoDupPair(math.min(oid, m.media_id),
+                    math.max(oid, m.media_id), within)
+              }
+            }
+            seen = (m.media_id, m.phashes, tMs) :: seen
+          }
+        }
+        if (seen.isEmpty) state.remove()
+        else {
+          state.update(TimedVideoBucket(seen))
+          state.setTimeoutTimestamp(
+            math.max(seen.map(_._3).max + horizonMs, wmMs + 1))
+        }
+        out.iterator
+      }
+    }
 
   /** The (slot × band) fan-out of a (media_id, phashes) frame —
     * [[graft.operators.VideoPhashIncremental.bandRows]]'s shape with the

@@ -341,6 +341,26 @@ class PlanAuditSpec extends SparkSpec {
       "the served form must never scan the corpus text")
   }
 
+  test("bm25_serve_batch: one pruned posting read answers every query; no corpus scan") {
+    // the batch-serving claim: N term-sets cost the UNION of their
+    // buckets, not N corpus scans — bucket pruning must reach every
+    // posting scan's PartitionFilters, and documents.parquet never
+    // appears in the plan
+    val df = SparkEntry.queries("bm25_serve_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val postingScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("/postings")).toList
+    assert(postingScans.nonEmpty, "expected a posting scan in:\n" + p)
+    postingScans.foreach { s =>
+      assert(s.contains("PartitionFilters: [bucket") ||
+        s.contains("PartitionFilters: [cast(bucket"),
+        "bucket pruning must reach the posting scan's PartitionFilters:\n" + s)
+    }
+    assert(!p.contains("documents.parquet"),
+      "the batch served form must never scan the corpus text")
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,

@@ -163,6 +163,23 @@ class CurationOpsSpec extends SparkSpec {
       "a 3-term query must map to at most 3 of the term buckets")
   }
 
+  test("bm25_serve_batch: each batched query reproduces its dedicated ranking") {
+    // real corpus: every BatchQueries term set must return exactly the
+    // rows a dedicated single-query pipeline computes — q_ranking against
+    // bm25Topk's scan form (matched prefix, the bm25_serve contract),
+    // every other qid against a one-query batch of itself
+    val batch = Ranking.bm25ServeBatch(spark, sf0001, 10).collect()
+      .groupBy(_.getString(0))
+    assert(batch.keySet === Ranking.BatchQueries.map(_._1).toSet)
+    batch.values.foreach(rows => assert(rows.length === 10))
+    val scan = Ranking.bm25Topk(spark, sf0001, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val qRanking = batch("q_ranking").sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(qRanking.toSeq === scan.toSeq.take(qRanking.length),
+      "the batched q_ranking must be bit-equal to the scan form's matched prefix")
+  }
+
   test("contamination flags exactly the brute-force containment pairs at sf0.01") {
     val hits = Contamination.contamination(spark, "/root/testdata/sf0.01").collect()
     val pairs = hits.map(r => (r.getLong(0), r.getLong(1))).toSet

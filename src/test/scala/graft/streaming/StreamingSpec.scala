@@ -597,6 +597,115 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bounded streaming video dedup: pairs within horizon, state evicted past it") {
+    import graft.operators.VideoPhash
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = StreamingOps.streamingVideoPhashPairsBounded(
+        in.toDF().toDF("ts", "media_id", "payload"), "ts", horizonMs = 5000L)
+      .toDF()
+      .writeStream.format("memory").queryName("bndvideo_out")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      in.addData((ts(1), 1L, VideoPhash.baseVideo(100L)),
+        (ts(1), 2L, VideoPhash.baseVideo(101L)))
+      q.processAllAvailable()
+      // in-horizon half-frame-rate twin of video 1 (+ a non-video payload
+      // that must drop in the decode stage)
+      in.addData((ts(2), 3L, VideoPhash.fpsTwin(100L)),
+        (ts(2), 4L, "not a video".getBytes))
+      q.processAllAvailable()
+      val before = stateRows
+      assert(before >= 32L, s"three videos should hold >=32 bucket rows, got $before")
+      // sentinel far ahead: watermark passes, stored state past horizon
+      in.addData((ts(100), 5L, VideoPhash.baseVideo(102L)))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires the timeouts
+      val after = stateRows
+      assert(after < before,
+        s"bucket state must shrink after the horizon passes ($before -> $after)")
+      // the SAME content as video 1 again, 100 s later: PAST horizon → no pair
+      in.addData((ts(101), 6L, VideoPhash.baseVideo(100L)))
+      q.processAllAvailable()
+      // a fresh in-horizon requal twin of 6 → pair (6, 7)
+      in.addData((ts(103), 7L, VideoPhash.requalTwin(100L)))
+      q.processAllAvailable()
+      val pairs = spark.table("bndvideo_out").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 3L), (6L, 7L)),
+        s"expected only the in-horizon pairs, got $pairs")
+      assert(spark.table("bndvideo_out").collect()
+        .forall(_.getAs[Int]("slots_within") >= VideoPhash.SlotsMin))
+    } finally q.stop()
+  }
+
+  test("bounded streaming video dedup: in-horizon state survives a restart") {
+    // the bounded video form keeps the checkpoint-restart guarantee of
+    // its unbounded twin: video 3 arrives AFTER a stop/start and must
+    // still pair with pre-restart video 1 because bucket state (and the
+    // watermark) live in the checkpoint
+    import graft.operators.VideoPhash
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmpDir("bndvideo-out")
+    val ckDir  = tmpDir("bndvideo-ck")
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    def startQuery() = StreamingOps.foreachBatchParquetSink(
+      StreamingOps.streamingVideoPhashPairsBounded(
+        in.toDF().toDF("ts", "media_id", "payload"), "ts",
+        horizonMs = 10000L).toDF(),
+      outDir, ckDir)
+    in.addData((ts(1), 1L, VideoPhash.baseVideo(120L)),
+      (ts(2), 2L, VideoPhash.baseVideo(121L)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // while the query is DOWN: an in-horizon twin of pre-restart video 1
+    in.addData((ts(5), 3L, VideoPhash.fpsTwin(120L)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val pairs = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs === Set((1L, 3L)),
+      s"post-restart arrival must pair with pre-restart in-horizon video, got $pairs")
+  }
+
+  test("bounded seeded streaming video dedup: seeds pair in-horizon, then age out") {
+    import graft.operators.{VideoPhash, VideoPhashIncremental}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val idxDir = tmpDir("bsvphash-idx")
+    VideoPhashIncremental.writeVideoIndex(
+      VideoPhash.videoPhashFrame(
+        Seq((7L, VideoPhash.baseVideo(110L))).toDF("media_id", "payload")),
+      idxDir, nBuckets = 4)
+    val (idxBands, idxHashes) = VideoPhashIncremental.readVideoIndex(spark, idxDir)
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = StreamingOps.streamingVideoPhashPairsSeededBounded(
+        in.toDF().toDF("ts", "media_id", "payload"), "ts", horizonMs = 5000L,
+        idxBands, idxHashes, seedTsMs = ts(1).getTime)
+      .toDF()
+      .writeStream.format("memory").queryName("bsvideo_out")
+      .outputMode("append").start()
+    try {
+      // an MP4 twin of the SEEDED corpus video, in-horizon of the seed ts
+      in.addData((ts(2), 10L, VideoPhash.mp4Twin(110L)))
+      q.processAllAvailable()
+      // advance the watermark far past seedTs + horizon, then replay the
+      // same twin content: the seed must have aged out → no second pair
+      in.addData((ts(100), 11L, VideoPhash.baseVideo(111L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      in.addData((ts(101), 12L, VideoPhash.mp4Twin(110L)))
+      q.processAllAvailable()
+      val pairs = spark.table("bsvideo_out").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((7L, 10L)),
+        s"expected only the in-horizon seeded pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
