@@ -48,6 +48,21 @@ object Probe {
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
+      case Some("inccuration") =>
+        incCurationProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(200000),
+          nDup = args.lift(3).map(_.toInt).getOrElse(20000),
+          nJunk = args.lift(4).map(_.toInt).getOrElse(20000))
+      case Some("incsubstr") =>
+        incSubstrProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(200000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(200000),
+          nPlant = args.lift(3).map(_.toInt).getOrElse(2000))
+      case Some("bm25batch") =>
+        bm25ServeBatchProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(10000000),
+          reps = args.lift(2).map(_.toInt).getOrElse(3))
       case Some("pq") =>
         pqProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -861,6 +876,57 @@ object Probe {
       f"amortizes after ${tBuild / math.max(tScan - tServe, 1e-9)}%.1f queries; " +
       f"rankings row-equal; min over $reps)")
     assert(tServe < tScan, "the served form must win at corpus scale")
+  }
+
+  /** `bm25_serve_batch` at scale: per-QUERY cost vs batch size N from the
+    * same persisted index. 12 planted terms at ~2-10% df over `nDocs`
+    * docs; batches of N ∈ {1, 3, 6, 12} three-term queries answered in
+    * ONE union-of-buckets plan each. What falls with N is everything a
+    * dedicated query would repay per query — job/plan overhead, the
+    * doclen join setup, the stats read — while the posting read grows
+    * only with the UNION of buckets; correctness is pinned by the N=1
+    * batch of a query being row-equal to that query inside the N=12
+    * batch. */
+  def bm25ServeBatchProbe(spark: SparkSession, nDocs: Int, reps: Int): Unit = {
+    import graft.operators.Ranking
+    val terms = (0 until 12).map(i => s"qt$i")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25batch").toString
+    timed(s"corpus write: $nDocs docs × ~40 tokens, 12 query terms at 2-10% df") {
+      val base = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(lit("t"), pmod(xxhash64(col("id") * 53 + j), lit(50000)))))
+      val planted = terms.zipWithIndex.map { case (t, i) =>
+        when(pmod(xxhash64(col("id") * (3 + 2 * i)), lit(100)) < 2 + (i % 5) * 2,
+          lit(" " + t)).otherwise(lit(""))
+      }
+      spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          concat(base +: planted: _*).as("text"),
+          lit("en").as("lang"), lit("probe").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    }
+    val tBuild = { val t0 = System.nanoTime()
+      Ranking.ensureBm25Index(spark, tmp); (System.nanoTime() - t0) / 1e9 }
+    println(f"[probe] bm25 index build+persist: $tBuild%.2f s")
+    val queries = (0 until 12).map(i =>
+      (f"q$i%02d", Seq(terms(i), terms((i + 5) % 12), terms((i + 9) % 12))))
+    def sec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val batch12 = Ranking.bm25ServeBatch(spark, tmp, 10, queries).collect()
+    val solo = Ranking.bm25ServeBatch(spark, tmp, 10, queries.take(1)).collect()
+    assert(batch12.filter(_.getString(0) == "q00").toSeq == solo.toSeq,
+      "a query's rows must be identical alone and inside the batch")
+    val perQ = Seq(1, 3, 6, 12).map { n =>
+      val qs = queries.take(n)
+      val t = (1 to reps).map(_ => sec {
+        Ranking.bm25ServeBatch(spark, tmp, 10, qs).collect(): Unit
+      }).min
+      println(f"[probe] bm25batch: N=$n%2d  total $t%.2f s  per-query ${t / n}%.3f s")
+      (n, t / n)
+    }
+    assert(perQ.last._2 < perQ.head._2,
+      "per-query cost must fall as the batch grows (shared pruned read + stats)")
   }
 
   /** The JOIN half of the skew story (`skew_agg` pins the aggregation
@@ -1778,6 +1844,144 @@ object Probe {
     out.unpersist()
     assert(nOut == 2L * nPlant && exact == nOut && planted == nOut,
       "planted spans must be recovered exactly — one (21,40) span per planted doc, nothing else")
+  }
+
+  /** `curation_incremental` at scale: night 1 curates an `nIdx`-doc
+    * corpus into fresh state (fp index + cursor); night 2 steps an
+    * `nBatch`-doc batch with `nDup` planted duplicates of night-1 docs
+    * (cross-index drop), `nJunk` junk docs (gate drop), and fresh
+    * remainder. Asserted exactly: the survivor set is precisely the
+    * fresh train-shard docs, night 2's FIRST offset equals night 1's
+    * packed-token total (the seam), offsets are gap-free, and the cursor
+    * advances by exactly night 2's packed tokens. Night-2 cost is
+    * O(batch) — the 1M accumulated corpus is touched only through its
+    * 32 B/doc fingerprint index. */
+  def incCurationProbe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nDup: Int, nJunk: Int): Unit = {
+    import graft.operators.{CurationIncremental, Sampling}
+    require(nBatch > nDup + nJunk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-inccur").toString
+    def freshText(idc: Column) = concat_ws(" ",
+      concat(lit("a the "),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          j => concat(lit("d"), idc, lit("x"), j)))))
+    val night1 = spark.range(nIdx).select(col("id").as("doc_id"),
+      freshText(col("id")).as("text"))
+    val t1 = timed(s"night 1 (init): curate $nIdx docs into fresh state") {
+      CurationIncremental.step(spark, night1, dir, init = true)
+        .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    }
+    val cur1 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    assert(cur1 == t1, "cursor must equal night 1's packed total")
+    // batch ids nIdx…: [0, nDup) duplicate night-1 text, [nDup,
+    // nDup+nJunk) junk, rest fresh
+    val bid = col("doc_id") - nIdx
+    val night2 = spark.range(nIdx, nIdx.toLong + nBatch)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(bid < nDup, freshText(bid))
+          .when(bid < nDup + nJunk,
+            concat_ws(" ", transform(sequence(lit(1), lit(30)), _ => lit("x"))))
+          .otherwise(freshText(col("doc_id")))
+          .as("text"))
+    val out2 = timed(s"night 2: $nBatch-doc batch vs $nIdx-doc state " +
+        s"($nDup dups, $nJunk junk)") {
+      val o = CurationIncremental.step(spark, night2, dir)
+      o.cache().count()
+      o
+    }
+    val expected = spark.range(nIdx.toLong + nDup + nJunk, nIdx.toLong + nBatch)
+      .filter(Sampling.hashBucket(col("id")) < Sampling.TrainUpper).count()
+    val got = out2.count()
+    val minStart = out2.agg(min("start_tok")).head().getLong(0)
+    val sumTok = out2.agg(sum("n_tok")).head().getLong(0)
+    val maxEnd = out2.agg(max(col("start_tok") + col("n_tok"))).head().getLong(0)
+    val cur2 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    println(s"[probe] inccuration: night-2 survivors $got (expected $expected), " +
+      s"first offset $minStart (night-1 total $cur1), " +
+      s"gap-free ${maxEnd == cur1 + sumTok}, cursor $cur2")
+    out2.unpersist()
+    assert(got == expected, "survivors must be exactly the fresh train-shard docs")
+    assert(minStart == cur1, "night 2 must start EXACTLY at night 1's total — the seam")
+    assert(maxEnd == cur1 + sumTok, "offsets must be gap-free")
+    assert(cur2 == cur1 + sumTok, "cursor must advance by night 2's packed tokens")
+  }
+
+  /** `substring_dedup_incremental` at scale: an `nIdx`-doc accumulated
+    * corpus's window digests persisted bucket-partitioned, then an
+    * `nBatch`-doc batch steps against it. Planted ground truth exercises
+    * BOTH marking paths: `nPlant` batch docs repeat a passage from an
+    * INDEX doc (cross-index membership hit) and `nPlant` batch docs share
+    * passages pairwise WITHIN the batch (the in-batch count); all other
+    * text is globally unique. Every planted doc must recover exactly its
+    * (21, 40, 20) region and nothing else, and the append must leave the
+    * batch's text findable (a re-sent batch doc fully marks). Per-step
+    * cost is O(batch windows + matched buckets) — the index half is never
+    * re-mined, which is the whole point vs re-running the batch operator
+    * over nIdx + nBatch docs. */
+  def incSubstrProbe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nPlant: Int): Unit = {
+    import graft.operators.{SubstringDedup, SubstringIncremental}
+    require(nBatch >= 2 * nPlant && nIdx >= nPlant)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsubstr").toString
+    val uniq = (tag: String, lo: Int, hi: Int) =>
+      transform(sequence(lit(lo), lit(hi)),
+        j => concat(lit(tag), col("doc_id"), lit("x"), j))
+    // index docs 0..nIdx-1: docs < nPlant carry cross passage c<k>
+    val crossPassage = (pref: Column) => transform(sequence(lit(21), lit(40)),
+      j => concat(lit("c"), pref, lit("q"), j))
+    val idxDocs = spark.range(nIdx).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") < nPlant,
+          concat_ws(" ", concat(uniq("i", 1, 20), crossPassage(col("doc_id")),
+            uniq("i", 41, 60))))
+          .otherwise(concat_ws(" ", uniq("i", 1, 60)))
+          .as("text"))
+    timed(s"digest index build: $nIdx docs (~53 windows/doc)") {
+      SubstringIncremental.writeDigestIndex(
+        SubstringDedup.windowDigests(idxDocs), dir)
+    }
+    // batch docs nIdx..nIdx+nBatch-1 (b-ids 0..nBatch-1):
+    //   b < nPlant            → cross passage c<b> (shared with index doc b)
+    //   nPlant ≤ b < 2*nPlant → in-batch passage p<(b-nPlant)/2>, pairwise
+    //   else                  → unique noise
+    val bid = col("doc_id") - nIdx
+    val inBatchPassage = transform(sequence(lit(21), lit(40)),
+      j => concat(lit("p"), expr(s"(doc_id - $nIdx - $nPlant) div 2"), lit("q"), j))
+    val batch = spark.range(nIdx, nIdx.toLong + nBatch)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(bid < nPlant,
+          concat_ws(" ", concat(uniq("b", 1, 20), crossPassage(bid),
+            uniq("b", 41, 60))))
+          .when(bid < 2L * nPlant,
+            concat_ws(" ", concat(uniq("b", 1, 20), inBatchPassage,
+              uniq("b", 41, 60))))
+          .otherwise(concat_ws(" ", uniq("b", 1, 60)))
+          .as("text"))
+    val spans = timed(s"incremental step: $nBatch-doc batch vs $nIdx-doc index") {
+      val s = SubstringIncremental.step(spark, batch, dir)
+      s.cache().count()
+      s
+    }
+    val nOut = spans.count()
+    val exact = spans.filter(col("start_tok") === 21 && col("end_tok") === 40
+      && col("span_len") === 20 && col("doc_id") - nIdx < 2L * nPlant).count()
+    val docs = spans.select("doc_id").distinct().count()
+    println(s"[probe] incsubstr: spans $nOut (expected ${2 * nPlant}), " +
+      s"exact-match $exact, docs-with-span $docs")
+    spans.unpersist()
+    assert(nOut == 2L * nPlant && exact == nOut && docs == nOut,
+      "planted spans must be recovered exactly — cross-index AND in-batch, nothing else")
+    // append invariant at scale: a batch-2 doc repeating batch-1 noise
+    // text must fully mark from the updated index
+    val resent = spark.range(1).select(
+      lit(nIdx + nBatch + 1L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        j => concat(lit("b"), lit(nIdx.toLong + nBatch - 1), lit("x"), j))).as("text"))
+    val spans2 = SubstringIncremental.step(spark, resent, dir).collect()
+    assert(spans2.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 60L)),
+      "a re-sent batch-1 doc must fully mark against the appended index")
   }
 
   /** `pq_topk` at scale: the same clustered 1M × dim64 geometry as the

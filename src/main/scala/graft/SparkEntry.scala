@@ -234,6 +234,12 @@ object SparkEntry {
     // every optional stage live: redact + quality + dedup + split + mix +
     // pack as one plan (r12)
     "curation_full"     -> (Curation.curationFull _),
+    // the macro in the E14 arrival mode: night 1 (even docs) curates into
+    // fresh state, night 2 (odd docs) dedups against night 1's accepted
+    // fingerprints and packs CONTINUING at night 1's train-token total —
+    // the nightly shape of an accumulating corpus, seam-free by oracle
+    "curation_incremental" ->
+      (CurationIncremental.curationIncremental _),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -1304,6 +1310,54 @@ object SparkEntry {
          |SELECT doc_id, quality, n_tok, start_tok,
          |       start_tok // ${Packing.SeqBudget} AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the two-night arrival-mode recompute: night 1 = the curation
+    // stages over even docs from offset 0; night 2 = odd docs, keep-first
+    // within the batch THEN excluded by night 1's accepted fingerprints,
+    // packed from night 1's train total — the first odd start_tok equals
+    // that total EXACTLY or rows go red (the seam the key exists to prove)
+    "curation_incremental" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, $qualitySqlExpr AS quality FROM documents),
+         |f AS (
+         |  SELECT doc_id, quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM scored WHERE quality >= 0.35),
+         |acc1 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 0) WHERE rn = 1),
+         |train1 AS (
+         |  SELECT doc_id, quality, n_tok FROM acc1
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |c1 AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_tok
+         |  FROM train1),
+         |t1 AS (SELECT COALESCE(SUM(n_tok), 0) AS tot FROM train1),
+         |acc2 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 1)
+         |  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM acc1)),
+         |train2 AS (
+         |  SELECT doc_id, quality, n_tok FROM acc2
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |c2 AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      + (SELECT tot FROM t1) AS BIGINT) AS start_tok
+         |  FROM train2)
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, doc_id, quality, n_tok, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c1
+         |  UNION ALL
+         |  SELECT 2 AS batch, doc_id, quality, n_tok, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c2
+         |) ORDER BY start_tok""".stripMargin,
     // the full macro: all six stages chained as CTEs — planting and scrub
     // from the redact oracle, quality/dedup/split/pack from the
     // curation_pipeline oracle, mix from the domain_mix oracle, each over

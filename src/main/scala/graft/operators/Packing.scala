@@ -63,7 +63,7 @@ object Packing {
     * `spark.catalog.clearCache()` / `withCleanup` once the result is
     * materialized (Verify and Bench both do). */
   def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
-      budget: Int, bucketWidth: Long): DataFrame = {
+      budget: Int, bucketWidth: Long, offset: Long = 0L): DataFrame = {
     val bucketed = docs.withColumn("bucket", expr(s"$idCol div $bucketWidth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -82,11 +82,14 @@ object Packing {
     // phase 2 + 4: within-bucket running sum, plus the broadcast offset
     val wIn = Window.partitionBy("bucket").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `offset` continues a PRIOR corpus's global token position (the
+    // incremental arrival mode: batch N+1 packs where batch N ended —
+    // [[CurationIncremental]]); 0 is the standalone batch form
     bucketed
       .withColumn("start_tok",
         sum(nTokCol).over(wIn) - col(nTokCol))
       .join(broadcast(offsets), "bucket")
-      .withColumn("start_tok", col("start_tok") + col("boff"))
+      .withColumn("start_tok", col("start_tok") + col("boff") + lit(offset))
       .withColumn("seq_id", expr(s"start_tok div $budget"))
       .drop("bucket", "boff")
   }

@@ -227,17 +227,18 @@ object Ranking {
     * partition to ≤ k rows per query BEFORE the exchange, so the final
     * ranking never sorts a query's full match set — the 100 TB shape for
     * "k best of millions of matches × N queries". */
-  def bm25ServeBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bm25ServeBatch(spark: SparkSession, dir: String, k: Int = 10,
+      queries: Seq[(String, Seq[String])] = BatchQueries): DataFrame = {
     import spark.implicits._
     val path = ensureBm25Index(spark, dir)
-    val allTerms = BatchQueries.flatMap(_._2).distinct
+    val allTerms = queries.flatMap(_._2).distinct
     // ONE pruned read feeds both aggregations (tf's and df's) — the
     // bm25Serve double-read note applies: both passes prune to the same
     // few buckets, nothing corpus-sized is ever touched
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(bucketsOf(allTerms): _*) &&
         col("term").isin(allTerms: _*))
-    val qt = BatchQueries.flatMap { case (q, ts) => ts.map((q, _)) }
+    val qt = queries.flatMap { case (q, ts) => ts.map((q, _)) }
       .toDF("qid", "term")
     val perDoc = post.join(broadcast(qt), Seq("term"))
       .groupBy("qid", "doc_id")
@@ -256,8 +257,8 @@ object Ranking {
       termScore(coalesce(element_at(col("tfm"), lit(t)), lit(0L)),
         col("dl"), col("n"), col(s"df_$t"), col("avgdl")))
       .reduce(_ + _)
-    val score = BatchQueries.tail.foldLeft(
-        when(col("qid") === BatchQueries.head._1, scoreFor(BatchQueries.head._2))) {
+    val score = queries.tail.foldLeft(
+        when(col("qid") === queries.head._1, scoreFor(queries.head._2))) {
       case (acc, (q, ts)) => acc.when(col("qid") === q, scoreFor(ts))
     }
     val scored = perDoc.crossJoin(broadcast(stats))

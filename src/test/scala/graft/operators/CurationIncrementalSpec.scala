@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The curation macro's incremental arrival mode — the declared key is
+  * oracle-gated (two-night recompute); these specs pin the persisted
+  * [[CurationIncremental.step]] on a crafted corpus with hand-checkable
+  * ground truth (gate drop, cross-index drop, in-batch keep-first,
+  * val-shard fingerprint still indexed, EXACT offset continuation and
+  * cursor advance), and the persisted two-step form's equivalence to the
+  * declared key's frames-as-index form on real data. */
+class CurationIncrementalSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_tok", "start_tok", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("persisted step: gate, cross-index dedup, offset continuation, cursor") {
+    import spark.implicits._
+    val dir = tmpDir("curinc")
+    // md5-first-2 train membership: 2, 4 train; 0 val (accepted, indexed,
+    // NOT packed) — all distinct-token docs clear the 0.35 quality gate
+    val n1 = Seq(
+      (0L, "solo val shard doc"),
+      (2L, "alpha beta gamma delta"),
+      (4L, "one two three four")).toDF("doc_id", "text")
+    val out1 = CurationIncremental.step(spark, n1, dir,
+      budget = 8, bucketWidth = 2, init = true)
+    assert(rows(out1) === Set((2L, 4L, 0L, 0L), (4L, 4L, 4L, 0L)))
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 8L,
+      "the cursor must advance by night 1's packed train tokens")
+    // night 2: 1 fresh (train), 3 = exact bag-of-words dup of indexed doc
+    // 2 (cross-index drop), 5 = junk (gate drop), 7 fresh (train),
+    // 9 = in-batch dup of doc 1 (keep-first drop)
+    val n2 = Seq(
+      (1L, "five six seven eight"),
+      (3L, "delta gamma beta alpha"),
+      (5L, "x x x x x x x x x x"),
+      (7L, "nine ten eleven twelve"),
+      (9L, "eight seven six five")).toDF("doc_id", "text")
+    val out2 = CurationIncremental.step(spark, n2, dir,
+      budget = 8, bucketWidth = 2)
+    assert(rows(out2) === Set((1L, 4L, 8L, 1L), (7L, 4L, 12L, 1L)),
+      "night 2 must continue at offset 8 — the seam the operator removes")
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 16L)
+    // the val-shard doc 0's fingerprint IS in the index: its dup dies on
+    // night 3 even though doc 0 was never packed
+    val n3 = Seq((11L, "doc shard val solo")).toDF("doc_id", "text")
+    val out3 = CurationIncremental.step(spark, n3, dir,
+      budget = 8, bucketWidth = 2)
+    assert(out3.count() === 0,
+      "a duplicate of a val-shard accepted doc must still be suppressed")
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 16L,
+      "an all-duplicate night must not move the cursor")
+  }
+
+  test("persisted two-step form equals the declared key's frames-as-index form") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dir = tmpDir("curinc-eq")
+    val s1 = CurationIncremental.step(spark,
+      docs.filter(col("doc_id") % 2 === 0), dir, init = true)
+    val s2 = CurationIncremental.step(spark,
+      docs.filter(col("doc_id") % 2 === 1), dir)
+    val persisted = rows(s1) ++ rows(s2)
+    val declared = rows(CurationIncremental.curationIncremental(spark, sf0001))
+    assert(declared.nonEmpty && persisted === declared)
+  }
+}

@@ -100,15 +100,24 @@ def main():
     # Full LOCAL bench records (bench_runs/*.json): the complete JSON line
     # graft.Bench prints, saved in-round because driver tails keep only the
     # last ~2000 chars and so never give early-alphabet keys a floor.  These
-    # are untruncated, so their own "errors" map is authoritative — rule 2
-    # applies directly and rule 3's truncation workaround isn't needed.
+    # are untruncated, so their own "errors" map carries rule 2 directly —
+    # but rule 3 still applies: a key that benched clean locally yet failed
+    # that round's CORRECTNESS gate was producing wrong answers, and a
+    # wrong-answer timing must not seed a floor.  When the matching round's
+    # correctness file is absent (e.g. a record saved before the round's
+    # gate ran), fall back to the record's own errors map alone.
     for local_path in sorted(glob.glob(os.path.join(REPO, "bench_runs", "*.json"))):
         rec = json.load(open(local_path))
         rnd = int(rec.get("round", 0))
         err_keys = set(rec.get("errors", {}))
+        corr_path = os.path.join(REPO, "CORRECTNESS_r%02d.json" % rnd)
+        ok_keys = None
+        if os.path.exists(corr_path):
+            corr = json.load(open(corr_path))
+            ok_keys = {k for k, v in corr.items() if v.get("err") is None}
         timings = rec.get("queries_min") or rec.get("queries") or {}
         for key, sec in timings.items():
-            if key in err_keys:
+            if key in err_keys or (ok_keys is not None and key not in ok_keys):
                 continue
             sec = float(sec)
             if sec <= 0:
@@ -126,7 +135,9 @@ def main():
             "CORRECTNESS_r{n}.json - erroring rounds (e.g. r10's event keys) "
             "record bogus fast 'timings' that would poison the min. "
             "Untruncated local bench lines under bench_runs/ also "
-            "contribute (their own errors map is authoritative). "
+            "contribute (their own errors map carries rule 2; rule 3 "
+            "cross-checks the matching round's correctness file when it "
+            "exists). "
             "Regenerate with tools/make_floor.py."
         ),
         "keys": {k: floors[k] for k in sorted(floors)},
