@@ -48,6 +48,10 @@ object Probe {
         substrProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(200000),
           nPlant = args.lift(2).map(_.toInt).getOrElse(2000))
+      case Some("keytime") =>
+        keyTimeProbe(spark,
+          keys = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("skew_agg")),
+          reps = args.lift(2).map(_.toInt).getOrElse(6))
       case Some("inccuration") =>
         incCurationProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -1844,6 +1848,34 @@ object Probe {
     out.unpersist()
     assert(nOut == 2L * nPlant && exact == nOut && planted == nOut,
       "planted spans must be recovered exactly — one (21,40) span per planted doc, nothing else")
+  }
+
+  /** Isolated per-key timing — the floor-adjudication diagnostic: run the
+    * named declared keys through the exact Bench harness (noop-format
+    * write, warmup pass, clearCache between passes) in a FRESH session
+    * with nothing else competing, `reps` passes each, and print min /
+    * median. Distinguishes "the old FLOOR is attainable on a quiet box"
+    * (min ≈ floor → fleet noise) from "a constant overhead moved" (min
+    * stays above floor even isolated → investigate the plan/session). */
+  def keyTimeProbe(spark: SparkSession, keys: Seq[String], reps: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def runOnce(k: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    keys.foreach(runOnce) // warmup (JIT + codegen)
+    spark.catalog.clearCache()
+    val times = (1 to reps).flatMap { _ =>
+      val t = keys.map(k => k -> runOnce(k))
+      spark.catalog.clearCache()
+      t
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    keys.foreach { k =>
+      val s = times(k)
+      println(f"[probe] keytime $k%-24s min ${s.head}%.3f s  median ${s(s.length / 2)}%.3f s  ($reps reps)")
+    }
   }
 
   /** `curation_incremental` at scale: night 1 curates an `nIdx`-doc
