@@ -58,6 +58,11 @@ object Probe {
           nBatch = args.lift(2).map(_.toInt).getOrElse(200000),
           nDup = args.lift(3).map(_.toInt).getOrElse(20000),
           nJunk = args.lift(4).map(_.toInt).getOrElse(20000))
+      case Some("streamsubstr") =>
+        streamSubstrProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(200000),
+          nArrive = args.lift(2).map(_.toInt).getOrElse(200000),
+          nPlant = args.lift(3).map(_.toInt).getOrElse(10000))
       case Some("incsubstr") =>
         incSubstrProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(200000),
@@ -1937,6 +1942,68 @@ object Probe {
     assert(minStart == cur1, "night 2 must start EXACTLY at night 1's total — the seam")
     assert(maxEnd == cur1 + sumTok, "offsets must be gap-free")
     assert(cur2 == cur1 + sumTok, "cursor must advance by night 2's packed tokens")
+  }
+
+  /** The streaming substring form's drain record: an `nIdx`-doc corpus's
+    * window digests persisted, handed to `streamingSubstringMarksSeeded`
+    * as initial state, then `nArrive` NDJSON docs drain through file-drop
+    * micro-batches — `nPlant` of them repeat a SEEDED passage (every one
+    * must mark its exact (21, 40) region; seeded hits are deterministic
+    * regardless of how the file batches split), the rest are globally
+    * unique (zero marks). Span recovery via [[graft.operators
+    * .SubstringDedup.mergeRegions]] over the drained marks — exact
+    * because each doc's marks land in one micro-batch. */
+  def streamSubstrProbe(spark: SparkSession, nIdx: Int, nArrive: Int,
+      nPlant: Int): Unit = {
+    import graft.operators.{SubstringDedup, SubstringIncremental}
+    require(nIdx >= nPlant && nArrive >= nPlant)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssubstr").toString
+    val (idx, src, out, ck) = (s"$tmp/idx", s"$tmp/src", s"$tmp/out", s"$tmp/ck")
+    val uniq = (tag: String, lo: Int, hi: Int) =>
+      transform(sequence(lit(lo), lit(hi)),
+        j => concat(lit(tag), col("doc_id"), lit("x"), j))
+    val passage = (pref: Column) => transform(sequence(lit(21), lit(40)),
+      j => concat(lit("c"), pref, lit("q"), j))
+    val idxDocs = spark.range(nIdx).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") < nPlant,
+          concat_ws(" ", concat(uniq("i", 1, 20), passage(col("doc_id")),
+            uniq("i", 41, 60))))
+          .otherwise(concat_ws(" ", uniq("i", 1, 60)))
+          .as("text"))
+    timed(s"seed digest index: $nIdx docs") {
+      SubstringIncremental.writeDigestIndex(
+        SubstringDedup.windowDigests(idxDocs), idx)
+    }
+    val bid = col("doc_id") - nIdx
+    spark.range(nIdx, nIdx.toLong + nArrive)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(bid < nPlant,
+          concat_ws(" ", concat(uniq("s", 1, 20), passage(bid),
+            uniq("s", 41, 60))))
+          .otherwise(concat_ws(" ", uniq("s", 1, 60)))
+          .as("text"))
+      .repartition(32).write.json(src)
+    val q = graft.streaming.StreamingOps.foreachBatchParquetSink(
+      graft.streaming.StreamingOps.streamingSubstringMarksSeeded(
+        graft.streaming.StreamingOps.fileDropSource(
+          spark, src, "doc_id LONG, text STRING", maxFilesPerTrigger = 8),
+        SubstringIncremental.readDigestIndex(spark, idx)),
+      out, ck)
+    timed(s"streamingSubstringMarksSeeded drain of $nArrive docs " +
+        s"($nPlant seeded-passage hits, 8-file batches)") {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val spans = SubstringDedup.mergeRegions(
+      spark.read.parquet(out).select("doc_id", "pos"))
+    val n = spans.count()
+    val exact = spans.filter(col("start_tok") === 21 && col("end_tok") === 40
+      && col("doc_id") - nIdx < nPlant).count()
+    println(s"[probe] streamsubstr: spans $n (expected $nPlant), exact $exact")
+    assert(n == nPlant.toLong && exact == n,
+      "every seeded-passage arrival must mark exactly its (21, 40) region")
   }
 
   /** `substring_dedup_incremental` at scale: an `nIdx`-doc accumulated

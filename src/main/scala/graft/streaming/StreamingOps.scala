@@ -792,6 +792,69 @@ object StreamingOps {
       out.iterator
     }
 
+  /** [EXT] streaming exact substring dedup — E13's STREAMING arrival
+    * mode, completing that family's batch/incremental/streaming triple
+    * (batch `SubstringDedup.duplicatedSpans`, incremental
+    * `SubstringIncremental.step`): every arriving document's L-token
+    * windows probe a checkpointed seen-digest set, and a window MARKS
+    * iff its digest was seen in an EARLIER micro-batch or occurs ≥ 2
+    * times in THIS one — exactly [[graft.operators.SubstringIncremental
+    * .duplicatedSpansAgainst]]'s predicate with the state store as the
+    * index. Prefix-causal semantics: the batch form marks ALL
+    * occurrences including the first, but a stream cannot retroactively
+    * mark an already-passed first occurrence — the [[streamingDocDedup]]
+    * emit-once discipline at window granularity (replays of a marked
+    * doc re-mark; at-least-once upstreams dedupe downstream on
+    * (doc_id, pos)).
+    *
+    * Output is the MARKED (doc_id, pos) rows; all of one document's
+    * marks land in the same micro-batch (a doc arrives as one row; its
+    * windows fan out and fold within the batch), so consumers recover
+    * maximal spans exactly by running [[graft.operators.SubstringDedup
+    * .mergeRegions]] per micro-batch in `foreachBatch` — spec'd.
+    * State: one Boolean per DISTINCT window digest, checkpointed (~the
+    * incremental index held by the state store; at cluster scale back
+    * it with RocksDB, as [[streamingDocDedup]]). */
+  def streamingSubstringMarks(docs: DataFrame,
+      spanL: Int = graft.operators.SubstringDedup.SpanL): DataFrame =
+    substringMarks(docs, spanL, None)
+
+  /** Seeded form: the seen-digest state loaded at query start from the
+    * persisted [[graft.operators.SubstringIncremental]] digest index —
+    * the batch→streaming hand-off (accumulated corpus text suppresses
+    * spans in the live stream from the first micro-batch). */
+  def streamingSubstringMarksSeeded(docs: DataFrame, idxDigests: DataFrame,
+      spanL: Int = graft.operators.SubstringDedup.SpanL): DataFrame =
+    substringMarks(docs, spanL, Some(idxDigests))
+
+  private def substringMarks(docs: DataFrame, spanL: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = graft.operators.SubstringDedup.windowDigests(docs, spanL)
+      .select(col("g"), col("doc_id"), col("pos"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+    val fold = (_: String, arrivals: Iterator[(String, Long, Long)],
+        state: GroupState[Boolean]) => {
+      val items = arrivals.toList
+      val dup = state.exists || items.lengthCompare(2) >= 0
+      if (!state.exists) state.update(true)
+      if (dup) items.iterator.map(t => (t._2, t._3)) else Iterator.empty
+    }
+    val marked = seed match {
+      case Some(idx) =>
+        val initial = idx.select(col("g")).as[String]
+          .groupByKey(identity).mapValues(_ => true)
+        keyed.flatMapGroupsWithState[Boolean, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(fold)
+      case None =>
+        keyed.flatMapGroupsWithState[Boolean, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+    }
+    marked.toDF("doc_id", "pos")
+  }
+
   /** Bounded-state variant of the media fingerprint dedup — the media
     * twin of [[streamingNearDupPairsBounded]]: perceptual pairs are only
     * sought within an EVENT-TIME horizon, and bucket state is evicted

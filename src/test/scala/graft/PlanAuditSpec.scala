@@ -324,6 +324,54 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("incremental substring dedup: no exchange carries document text — digests only") {
+    // the operator's 100 TB claim: everything after windowDigests ships
+    // 16 B md5 rows + two longs; the text stays in the scan stage. The
+    // count-window exchange, the membership semi-join, and the
+    // region-merge exchange must all be text-free. (The declared key is
+    // fully lazy — no interior checkpoint — so the whole plan audits.)
+    val blocks = nodeBlocks(SparkEntry.queries("substring_dedup_incremental")(spark, sf))
+    val exchanges = blocks.filter(
+      _.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, "expected the digest/count/merge exchanges")
+    exchanges.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("text"),
+        s"document text must never shuffle — digests carry the probe: $out")
+    }
+  }
+
+  test("curation_incremental: accepted() ships no text; the only SinglePartition is the offsets frame") {
+    import org.apache.spark.sql.functions.col
+    // the dedup half, audited through its lazy hook (the declared key
+    // checkpoints the accepted frame, hiding this interior plan): every
+    // exchange past the narrow projection carries (doc_id, quality, fp,
+    // n_tok), never the text
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    import spark.implicits._
+    val acc = graft.operators.CurationIncremental.accepted(
+      docs, Seq.empty[String].toDF("fp"))
+    nodeBlocks(acc)
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(!out.contains("text"),
+          s"document text must never shuffle in the curation macro: $out")
+      }
+    // the packing half keeps the two-phase prefix-sum guarantee: any
+    // SinglePartition exchange is the #buckets-row offsets frame
+    val packed = graft.operators.CurationIncremental.packBatch(
+      acc.filter(col("doc_id") < 100), 0L)
+    nodeBlocks(packed)
+      .filter(b => b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
+        && b.contains("SinglePartition"))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(out.contains("bucket") || out.contains("btot"),
+          s"the only SinglePartition step is the #buckets offsets frame: $b")
+      }
+  }
+
   test("bm25_serve: the posting read is pruned to the query terms' buckets") {
     // the serving claim at 100 TB: a query touches nProbe-like slices of
     // the index, not the corpus — the bucket partition column must reach

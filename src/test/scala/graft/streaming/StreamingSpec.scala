@@ -706,6 +706,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming substring dedup: cross-batch and in-batch windows mark, spans recover") {
+    import graft.operators.{SubstringDedup, SubstringIncremental}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
+    val r8 = (1 to 8).map(j => s"r$j").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingSubstringMarks(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("substr_marks")
+      .outputMode("append").start()
+    try {
+      // batch 1: first occurrences only → nothing marks (prefix-causal)
+      in.addData((1L, s"a1 a2 a3 a4 a5 $s10 b1 b2 b3 b4 b5"),
+        (2L, (1 to 20).map(j => s"n$j").mkString(" ")))
+      q.processAllAvailable()
+      assert(spark.table("substr_marks").count() === 0,
+        "first occurrences must not mark")
+      // batch 2: doc 3 repeats doc 1's passage (cross-batch, via state);
+      // docs 4/5 share r8 within the batch (in-batch count)
+      in.addData((3L, s"u1 u2 u3 u4 u5 $s10 v1 v2 v3 v4 v5"),
+        (4L, s"w1 w2 $r8 w3 w4"),
+        (5L, s"x1 x2 $r8 x3 x4"))
+      q.processAllAvailable()
+      val marks = spark.table("substr_marks").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+      assert(marks === Set((3L, 6L), (3L, 7L), (3L, 8L), (4L, 3L), (5L, 3L)),
+        s"expected exactly the duplicated windows, got $marks")
+      // per-micro-batch span recovery: mergeRegions over the marks is the
+      // foreachBatch consumer contract — maximal regions, exact
+      val spans = SubstringDedup.mergeRegions(
+          spark.table("substr_marks").select("doc_id", "pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(spans === Set((3L, 6L, 15L), (4L, 3L, 10L), (5L, 3L, 10L)))
+    } finally q.stop()
+    // seeded: the persisted digest index hands the accumulated corpus to
+    // the stream — a seeded passage marks in the FIRST micro-batch
+    val idxDir = tmpDir("ssubstr-idx")
+    SubstringIncremental.writeDigestIndex(
+      SubstringDedup.windowDigests(
+        Seq((100L, s"i1 i2 i3 $s10 i4 i5")).toDF("doc_id", "text")),
+      idxDir, nBuckets = 4)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.streamingSubstringMarksSeeded(
+        in2.toDF().toDF("doc_id", "text"),
+        SubstringIncremental.readDigestIndex(spark, idxDir))
+      .writeStream.format("memory").queryName("substr_marks_seeded")
+      .outputMode("append").start()
+    try {
+      in2.addData((10L, s"z1 z2 z3 $s10 z4 z5"),
+        (11L, (1 to 20).map(j => s"m$j").mkString(" ")))
+      q2.processAllAvailable()
+      val marks = spark.table("substr_marks_seeded").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+      assert(marks === Set((10L, 4L), (10L, 5L), (10L, 6L)),
+        s"the seeded passage must mark from the first batch, got $marks")
+    } finally q2.stop()
+  }
+
   test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
