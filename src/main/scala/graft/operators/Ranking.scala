@@ -230,6 +230,14 @@ object Ranking {
   def bm25ServeBatch(spark: SparkSession, dir: String, k: Int = 10,
       queries: Seq[(String, Seq[String])] = BatchQueries): DataFrame = {
     import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25ServeBatch needs at least one query, each with at least one term")
+    // terms become df_<term> column names in the stats row — restrict to
+    // identifier-safe tokens (the corpus tokenizer's space-split output
+    // can contain anything; a dotted term would silently bind to a
+    // struct-field path in the score expression)
+    require(queries.flatMap(_._2).forall(_.matches("[A-Za-z0-9_]+")),
+      "query terms must be identifier-safe ([A-Za-z0-9_]+)")
     val path = ensureBm25Index(spark, dir)
     val allTerms = queries.flatMap(_._2).distinct
     // ONE pruned read feeds both aggregations (tf's and df's) — the
