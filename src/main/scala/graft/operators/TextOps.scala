@@ -467,14 +467,34 @@ object TextOps {
     * the oracle's char-unnest CTE drops the doc entirely), so the filter
     * pins the two sides to the same row set. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), sortedChars(col("text")).as("cs"))
-      .filter(size(col("cs")) > 0)
-      .select(col("doc_id"),
-        size(col("cs")).as("n_chars_ns"),
-        size(array_distinct(col("cs"))).as("n_distinct"),
-        charEntropyBitsOfChars(col("cs")).as("entropy_bits"))
-      .orderBy("doc_id")
+    val docs = Tables.documents(spark, dir)
+    // the codegen'd graft_char_stats kernel when the session has
+    // GraftExtensions (one code-point scan + histogram per doc — no
+    // per-character array/sort/fold), the HOF form otherwise; both
+    // bit-equal (VectorExprSpec), so the oracle is shared. Kernel longs
+    // cast to int to keep the declared key's original output schema.
+    if (spark.catalog.functionExists("graft_char_stats"))
+      docs
+        .select(col("doc_id"),
+          call_function("graft_char_stats", col("text")).as("st"))
+        .filter(col("st.n") > 0)
+        .select(col("doc_id"),
+          col("st.n").cast("int").as("n_chars_ns"),
+          col("st.d").cast("int").as("n_distinct"),
+          round(
+            (log10(col("st.n").cast("double"))
+              - col("st.acc").cast("double") / LmScore.Micro / col("st.n"))
+              / log10(lit(2.0)), 6).as("entropy_bits"))
+        .orderBy("doc_id")
+    else
+      docs
+        .select(col("doc_id"), sortedChars(col("text")).as("cs"))
+        .filter(size(col("cs")) > 0)
+        .select(col("doc_id"),
+          size(col("cs")).as("n_chars_ns"),
+          size(array_distinct(col("cs"))).as("n_distinct"),
+          charEntropyBitsOfChars(col("cs")).as("entropy_bits"))
+        .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------- language ID

@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharStatsExpr].getName, "graft_char_stats"),
+      (children: Seq[Expression]) => CharStatsExpr(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_unigram_score"),
       new ExpressionInfo(classOf[UnigramScoreExpr].getName, "graft_unigram_score"),
       (children: Seq[Expression]) =>

@@ -235,6 +235,47 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_char_stats is bit-identical to the HOF entropy fold") {
+    import spark.implicits._
+    import graft.operators.{LmScore, TextOps}
+    val rnd = new scala.util.Random(23)
+    val crafted = Seq(
+      "abc", "aaaa", "a b c", "  a  ", "mixed CASE text 123 !?",
+      "😀x😀 y", "ünïcödé tëxt", "a", " ")
+    val randoms = Seq.fill(40) {
+      Seq.fill(1 + rnd.nextInt(120))(('a' + rnd.nextInt(6)).toChar)
+        .mkString("").grouped(1 + rnd.nextInt(9)).mkString(" ")
+    }
+    // ("" is excluded deliberately: Java's split("", "") yields [""], so
+    // the HOF form counts ONE empty-string "char" for empty text while
+    // the kernel's code-point scan counts zero — the kernel matches the
+    // oracle's unnest-drop semantics; the corpus has no empty docs)
+    val rows = (crafted ++ randoms).toDF("text")
+      .select(col("text"),
+        call_function("graft_char_stats", col("text")).as("st"),
+        TextOps.sortedChars(col("text")).as("cs"))
+      .select(col("st"),
+        size(col("cs")).cast("long").as("n"),
+        size(array_distinct(col("cs"))).cast("long").as("d"),
+        TextOps.charEntropyBitsOfChars(col("cs")).as("hof_bits"),
+        when(col("st.n") > 0,
+          round((log10(col("st.n").cast("double"))
+            - col("st.acc").cast("double") / LmScore.Micro / col("st.n"))
+            / log10(lit(2.0)), 6)).as("kernel_bits"))
+      .collect()
+    for (r <- rows) {
+      val s = r.getStruct(0)
+      assert((s.getLong(0), s.getLong(1)) === ((r.getLong(1), r.getLong(2))),
+        s"kernel n/d vs HOF mismatch on row $r")
+      if (s.getLong(0) > 0)
+        assert(r.getDouble(3) === r.getDouble(4),
+          s"kernel entropy vs HOF fold mismatch on row $r")
+    }
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_char_stats", col("text"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("graft_repetition_stats is bit-identical to the HOF counter form") {
     import spark.implicits._
     import graft.operators.TextOps
