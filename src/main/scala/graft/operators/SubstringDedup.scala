@@ -70,17 +70,23 @@ object SubstringDedup {
     * window. The operator's exchange currency, factored so the batch form
     * and the incremental form ([[SubstringIncremental]]) build the
     * identical digest space (and the persisted index stores exactly these
-    * `g` values). */
-  def windowDigests(docs: DataFrame, spanL: Int = SpanL): DataFrame =
+    * `g` values). `carry` threads extra columns through the fan-out
+    * unchanged — the bounded streaming form passes its watermarked
+    * event-time attribute (watermarks survive projections). */
+  def windowDigests(docs: DataFrame, spanL: Int = SpanL,
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id") +: split(col("text"), " ").as("toks") +:
+        carry.map(col): _*)
       .filter(size(col("toks")) >= spanL)
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         explode(transform(
           sequence(lit(1), size(col("toks")) - (spanL - 1)),
           i => struct(i.cast("long").as("pos"),
-            md5(concat_ws(" ", slice(col("toks"), i, lit(spanL)))).as("g")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+            md5(concat_ws(" ", slice(col("toks"), i, lit(spanL)))).as("g")))).as("pg") +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("pg.pos").as("pos") +: col("pg.g").as("g") +:
+        carry.map(col): _*)
 
   /** Step 3 alone: session-merge duplicated window positions per document
     * (gap > L breaks a region; ≤ L keeps it contiguous since windows span

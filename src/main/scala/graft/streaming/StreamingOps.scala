@@ -827,6 +827,62 @@ object StreamingOps {
       spanL: Int = graft.operators.SubstringDedup.SpanL): DataFrame =
     substringMarks(docs, spanL, Some(idxDigests))
 
+  /** Bounded-state variant of [[streamingSubstringMarks]] — the substring
+    * member of the event-time-horizon family ([[streamingDocDedupBounded]]
+    * at window granularity): a window marks iff ANOTHER occurrence of its
+    * digest lies within `horizonMs` of it (an in-horizon stored occurrence
+    * from an earlier micro-batch, or a same-batch occurrence — in-batch
+    * pairs mark BOTH, the unbounded form's ≥2-in-batch rule), and digest
+    * state is evicted once the watermark passes its horizon. State per
+    * distinct in-horizon digest is its LATEST occurrence millis (for any
+    * future arrival the latest occurrence is the closest, so keeping one
+    * long per digest loses nothing); whole entries die by
+    * EventTimeTimeout. The trade is the family's usual one: duplicated
+    * spans further apart than the horizon are deliberately not found,
+    * and state is bounded by the horizon's window-arrival volume instead
+    * of growing with every distinct window ever seen. */
+  def streamingSubstringMarksBounded(docs: DataFrame, tsCol: String,
+      horizonMs: Long,
+      spanL: Int = graft.operators.SubstringDedup.SpanL): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val withWm = docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    graft.operators.SubstringDedup.windowDigests(withWm, spanL, Seq("ts"))
+      .select(col("g"), col("doc_id"), col("pos"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, arrivals: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val stored = state.getOption.filter(_ + horizonMs >= wmMs)
+            val items = arrivals.toList.map(t => (t._2, t._3, t._4.getTime))
+            // a window marks iff any OTHER occurrence is within the
+            // horizon — stored (cross-batch) or same-batch (buckets are
+            // per-digest: items lists are tiny, the n² stays local)
+            val out = items.iterator.collect {
+              case (docId, pos, tMs)
+                if stored.exists(s => math.abs(tMs - s) <= horizonMs) ||
+                  items.exists(o => (o._1, o._2) != ((docId, pos)) &&
+                    math.abs(tMs - o._3) <= horizonMs) =>
+                (docId, pos)
+            }.toList
+            val latest = (stored.toList ++ items.map(_._3)).max
+            state.update(latest)
+            state.setTimeoutTimestamp(math.max(latest + horizonMs, wmMs + 1))
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "pos")
+  }
+
   private def substringMarks(docs: DataFrame, spanL: Int,
       seed: Option[DataFrame]): DataFrame = {
     import docs.sparkSession.implicits._

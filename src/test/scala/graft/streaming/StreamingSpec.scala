@@ -765,6 +765,52 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bounded streaming substring dedup: marks within horizon, state evicted past it") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
+    val r8 = (1 to 8).map(j => s"r$j").mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingSubstringMarksBounded(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", horizonMs = 5000L)
+      .writeStream.format("memory").queryName("bsubstr_marks")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      in.addData((ts(1), 1L, s"a1 a2 a3 a4 a5 $s10 b1 b2 b3 b4 b5"))
+      q.processAllAvailable()
+      assert(spark.table("bsubstr_marks").count() === 0, "first occurrences silent")
+      // in-horizon repeat of doc 1's passage → doc 2's windows mark
+      in.addData((ts(2), 2L, s"u1 u2 u3 u4 u5 $s10 v1 v2 v3 v4 v5"))
+      q.processAllAvailable()
+      val before = stateRows
+      assert(before > 20L, s"two docs' distinct windows should hold state, got $before")
+      // sentinel far ahead: watermark passes every stored digest's horizon
+      in.addData((ts(100), 3L, (1 to 20).map(j => s"n$j").mkString(" ")))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires the timeouts
+      val after = stateRows
+      assert(after < before,
+        s"digest state must shrink after the horizon passes ($before -> $after)")
+      // the SAME passage again, past the horizon: silent (a fresh first)
+      in.addData((ts(101), 4L, s"w1 w2 w3 w4 w5 $s10 x1 x2 x3 x4 x5"))
+      q.processAllAvailable()
+      // but an in-horizon repeat of THAT re-marks; and an in-batch pair
+      // (docs 6/7 share r8) marks BOTH
+      in.addData((ts(103), 5L, s"y1 y2 y3 y4 y5 $s10 z1 z2 z3 z4 z5"),
+        (ts(103), 6L, s"p1 p2 $r8 p3 p4"),
+        (ts(103), 7L, s"q1 q2 q3 $r8 q4"))
+      q.processAllAvailable()
+      val marks = spark.table("bsubstr_marks").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+      assert(marks === Set((2L, 6L), (2L, 7L), (2L, 8L),
+        (5L, 6L), (5L, 7L), (5L, 8L), (6L, 3L), (7L, 4L)),
+        s"expected only the in-horizon duplicated windows, got $marks")
+    } finally q.stop()
+  }
+
   test("streamingPhashPairs is modality-generic: audio fingerprints ride the same bucket state") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
