@@ -911,6 +911,53 @@ object StreamingOps {
     marked.toDF("doc_id", "pos")
   }
 
+  /** Bounded-state variant of the streaming LINE dedup — the line
+    * member of the event-time-horizon family: a line is suppressed only
+    * while its hash is within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` on the line fp, exactly
+    * [[streamingDocDedupBounded]] one granularity down), state evicted
+    * past it — the right tool when boilerplate storms cluster in time
+    * (refetch bursts, mirrored-page crawls) and the seen-set must not
+    * grow with every distinct line ever seen. Emits kept (doc_id, idx,
+    * line) rows like the unbounded form; NOTE the within-batch tie is
+    * the engine's pick (the unbounded form's lowest-(doc_id, idx)
+    * guarantee needs the custom fold — callers needing it within the
+    * horizon use that form). */
+  def streamingLineDedupBounded(docs: DataFrame, tsCol: String,
+      delay: String): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .select(col("doc_id"), col(tsCol),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("fp", md5(col("line")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("idx").cast("int").as("idx"), col("line"))
+
+  /** Bounded-state variant of the AUDIO fingerprint dedup — the audio
+    * twin of [[streamingMediaPhashPairsBounded]], completing the bounded
+    * family across every streaming dedup member (doc, line, near-dup,
+    * image, audio, video, substring): the WAV chunk-walk decode carries
+    * the timestamp through the typed pass, then the generic
+    * [[streamingPhashPairsBounded]] bucket state applies unchanged (the
+    * fingerprint index is modality-blind — the audio_phash_incremental
+    * witness, in streaming form). */
+  def streamingAudioPhashPairsBounded(audio: DataFrame, tsCol: String,
+      horizonMs: Long, radius: Int = graft.operators.ImagePhash.HammingMax)
+      : org.apache.spark.sql.Dataset[MediaDupPair] = {
+    import audio.sparkSession.implicits._
+    import graft.operators.{AudioPhash, Wav}
+    val hashed = audio
+      .select(col("media_id").cast("long"), col("payload"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, payload, t) =>
+        Wav.decode(payload).map { case (rate, samples) =>
+          (id, AudioPhash.audioPhash(rate, samples), t)
+        }
+      })
+      .toDF("media_id", "phash", "ts")
+    streamingPhashPairsBounded(hashed, horizonMs, radius)
+  }
+
   /** Bounded-state variant of the media fingerprint dedup — the media
     * twin of [[streamingNearDupPairsBounded]]: perceptual pairs are only
     * sought within an EVENT-TIME horizon, and bucket state is evicted

@@ -765,6 +765,69 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bounded streaming line dedup: in-horizon duplicate lines suppressed, past-horizon re-emit") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingLineDedupBounded(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "5 seconds")
+      .writeStream.format("memory").queryName("blines_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, "alpha line\nbeta line"))
+      q.processAllAvailable()
+      // in-horizon: doc 2 repeats "beta line" → only its fresh line emits
+      in.addData((ts(2), 2L, "beta line\ngamma line"))
+      q.processAllAvailable()
+      // far sentinel advances the watermark past every stored hash
+      in.addData((ts(100), 3L, "far line"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // past-horizon: "beta line" again is a FRESH first and re-emits
+      in.addData((ts(101), 4L, "beta line"))
+      q.processAllAvailable()
+      val kept = spark.table("blines_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("line"))).toSet
+      assert(kept === Set((1L, "alpha line"), (1L, "beta line"),
+        (2L, "gamma line"), (3L, "far line"), (4L, "beta line")),
+        s"expected in-horizon suppression and past-horizon re-emit, got $kept")
+    } finally q.stop()
+  }
+
+  test("bounded streaming audio dedup: gain twin pairs in-horizon only") {
+    import graft.operators.{AudioPhash, Wav}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def wav(samples: Array[Short]) = Wav.encode(AudioPhash.SampleRate, samples)
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = StreamingOps.streamingAudioPhashPairsBounded(
+        in.toDF().toDF("ts", "media_id", "payload"), "ts", horizonMs = 5000L)
+      .toDF()
+      .writeStream.format("memory").queryName("bndaudio_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, wav(AudioPhash.gridCodeSamples(5L))),
+        (ts(1), 2L, wav(AudioPhash.gridCodeSamples(6L))))
+      q.processAllAvailable()
+      // in-horizon GAIN twin of clip 1 (+ a non-audio payload that must
+      // drop in the decode stage)
+      in.addData((ts(2), 3L, wav(AudioPhash.scaleTwin(AudioPhash.gridCodeSamples(5L)))),
+        (ts(2), 4L, "not audio".getBytes))
+      q.processAllAvailable()
+      // sentinel far ahead, then the same clip content past the horizon:
+      // no pair — its stored fingerprint was evicted
+      in.addData((ts(100), 5L, wav(AudioPhash.gridCodeSamples(7L))))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      in.addData((ts(101), 6L, wav(AudioPhash.gridCodeSamples(5L))))
+      q.processAllAvailable()
+      val pairs = spark.table("bndaudio_out").collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      assert(pairs === Set((1L, 3L)),
+        s"expected only the in-horizon gain-twin pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("bounded streaming substring dedup: marks within horizon, state evicted past it") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
