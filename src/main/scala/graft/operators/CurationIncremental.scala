@@ -47,43 +47,132 @@ object CurationIncremental {
   }
 
   /** Stage 3-4 over one batch's accepted survivors: train shard, then
-    * pack CONTINUING from `offset` (the cursor the previous run left). */
+    * pack CONTINUING from `offset` (the cursor the previous run left).
+    * `materialize = true` bounds packSequences' internal cache to the
+    * call and returns an eagerly checkpointed frame ([[Packing
+    * .packSequences]]'s contract) — the lazy default is the plan-audit
+    * hook. */
   def packBatch(acc: DataFrame, offset: Long,
       budget: Int = Packing.SeqBudget,
-      bucketWidth: Long = Packing.BucketWidth): DataFrame =
+      bucketWidth: Long = Packing.BucketWidth,
+      materialize: Boolean = false): DataFrame =
     Packing.packSequences(
         acc.filter(Sampling.hashBucket(col("doc_id")) < Sampling.TrainUpper)
           .select("doc_id", "quality", "n_tok"),
-        "doc_id", "n_tok", budget, bucketWidth, offset)
+        "doc_id", "n_tok", budget, bucketWidth, offset, materialize)
       .select("doc_id", "quality", "n_tok", "start_tok", "seq_id")
 
   // ---------------------------------------------------- persisted state
 
+  private def pendingDir(path: String) =
+    java.nio.file.Paths.get(path, "_pending")
+
+  /** Converge possibly-crashed state at `path` (the [[IndexMaintenance
+    * .recoverIndex]] discipline for this operator's TWO-piece state):
+    * a committed-but-unfolded pending night rolls forward; an
+    * uncommitted one rolls back, so the retried night REPRODUCES its
+    * batch instead of swallowing it (fps would already contain the
+    * batch) or double-reserving offsets. */
+  def recoverState(spark: SparkSession, path: String): Unit = {
+    val pend = pendingDir(path)
+    if (java.nio.file.Files.exists(pend)) {
+      if (Tables.artifactComplete(pend.toString)) foldPending(path)
+      else IndexMaintenance.deleteRecursively(pend)
+      spark.catalog.refreshByPath(s"$path/fps")
+    }
+  }
+
+  /** Fold a COMMITTED pending night into the live state: append the
+    * staged fp files into `fps/` (atomic per-file copy, skip files a
+    * prior fold attempt already moved — staged part names are
+    * write-fresh UUIDs, collision-free), then swap `cursor/` to the
+    * staged row (copy staged in first, delete old after — never a
+    * moment with no cursor file), then delete the marker FIRST and the
+    * pending tree. Every action is idempotent, so a crash at any point
+    * re-folds cleanly. */
+  private def foldPending(path: String): Unit = {
+    val pend = pendingDir(path)
+    // fps: staged bucket dirs append into the live bucket dirs
+    val fpsStaged = pend.resolve("fps")
+    IndexMaintenance.listDir(fpsStaged)
+      .filter(d => java.nio.file.Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("bucket="))
+      .foreach { d =>
+        IndexMaintenance.dataFiles(d).foreach(
+          IndexMaintenance.copyInto(_,
+            java.nio.file.Paths.get(path, "fps", d.getFileName.toString)))
+      }
+    // cursor: staged files in, stale files out (by name difference)
+    val curStaged = pend.resolve("cursor")
+    val curLive = java.nio.file.Paths.get(path, "cursor")
+    val stagedNames =
+      IndexMaintenance.dataFiles(curStaged).map(_.getFileName.toString).toSet
+    IndexMaintenance.dataFiles(curStaged)
+      .foreach(IndexMaintenance.copyInto(_, curLive))
+    IndexMaintenance.dataFiles(curLive)
+      .filterNot(f => stagedNames.contains(f.getFileName.toString))
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    java.nio.file.Files.deleteIfExists(pend.resolve("_GRAFT_COMPLETE"))
+    IndexMaintenance.deleteRecursively(pend)
+  }
+
+  /** Stage one night's state delta under `_pending` (invisible to Spark
+    * readers of the live paths) and commit it with the completion
+    * marker. Split from [[step]] so the crash spec can stop at either
+    * side of the commit point. */
+  private[operators] def stageAndCommit(spark: SparkSession, acc: DataFrame,
+      nextCursor: Long, path: String, commit: Boolean = true): Unit = {
+    import spark.implicits._
+    val pend = pendingDir(path)
+    IndexMaintenance.deleteRecursively(pend)
+    IncrementalDedup.writeFpIndex(acc.select("fp"),
+      pend.resolve("fps").toString)
+    Seq(nextCursor).toDF("next_tok")
+      .write.mode("overwrite").parquet(pend.resolve("cursor").toString)
+    if (commit) Tables.markArtifactComplete(pend.toString)
+  }
+
   /** One nightly step against the state at `path`: returns the batch's
     * packed train rows (offsets continuing the cursor), appends accepted
     * fingerprints, advances the cursor. `init = true` starts fresh state
-    * (empty index, cursor 0) — the first night.
+    * (empty index, cursor 0) — the first night; retry a crashed night
+    * with the SAME init flag.
     *
-    * Both outputs are eagerly `localCheckpoint`ed BEFORE the state
-    * writes ([[IncrementalDedup.step]]'s guard): the fp append
-    * invalidates plans scanning the index path, and the cursor overwrite
-    * would feed a lazy re-evaluation the NEXT run's offset. */
+    * Both outputs are eagerly checkpointed BEFORE the state writes
+    * ([[IncrementalDedup.step]]'s guard): the fp append invalidates
+    * plans scanning the index path, and the cursor overwrite would feed
+    * a lazy re-evaluation the NEXT run's offset.
+    *
+    * State commit is ATOMIC at the pending marker: both the fp delta and
+    * the advanced cursor are staged under `_pending`, the marker commits
+    * them together, and [[recoverState]] (run at every non-init entry)
+    * rolls a crashed night forward or back as one unit — a retried night
+    * can never find the fps appended but the cursor stale, which would
+    * dedup the whole batch against its own fingerprints and swallow it
+    * permanently. Init nights read no state, so a plain overwrite retry
+    * is already idempotent. */
   def step(spark: SparkSession, batch: DataFrame, path: String,
       budget: Int = Packing.SeqBudget,
       bucketWidth: Long = Packing.BucketWidth,
       init: Boolean = false): DataFrame = {
     import spark.implicits._
+    if (!init) recoverState(spark, path)
     val (idxFps, cursor) =
       if (init) (Seq.empty[String].toDF("fp"), 0L)
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
         spark.read.parquet(s"$path/cursor").head().getLong(0))
     val acc = accepted(batch, idxFps).localCheckpoint(true)
-    val out = packBatch(acc, cursor, budget, bucketWidth).localCheckpoint(true)
-    IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps",
-      append = !init)
+    val out = packBatch(acc, cursor, budget, bucketWidth, materialize = true)
     val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
-    Seq(cursor + total).toDF("next_tok")
-      .write.mode("overwrite").parquet(s"$path/cursor")
+    if (init) {
+      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps")
+      Seq(cursor + total).toDF("next_tok")
+        .write.mode("overwrite").parquet(s"$path/cursor")
+    } else {
+      stageAndCommit(spark, acc, cursor + total, path)
+      foldPending(path)
+      spark.catalog.refreshByPath(s"$path/fps")
+    }
     out
   }
 
@@ -104,12 +193,17 @@ object CurationIncremental {
     val acc1 = accepted(docs.filter(col("doc_id") % 2 === 0),
         Seq.empty[String].toDF("fp"))
       .localCheckpoint(true)
-    val out1 = packBatch(acc1, 0L)
+    // materialize=true on both packs: packSequences' internal cache is
+    // released before each returns (CacheHygieneSpec pins this key), and
+    // out1 is consumed twice (total + union) so the checkpoint pays for
+    // itself
+    val out1 = packBatch(acc1, 0L, materialize = true)
     // the cursor hand-off: night 2 starts at night 1's train-token total
     // (a 1-row aggregate collect — the bounded-frame discipline)
     val tot1 = out1.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
     val out2 = packBatch(
-      accepted(docs.filter(col("doc_id") % 2 === 1), acc1.select("fp")), tot1)
+      accepted(docs.filter(col("doc_id") % 2 === 1), acc1.select("fp")), tot1,
+      materialize = true)
     out1.withColumn("batch", lit(1))
       .union(out2.withColumn("batch", lit(2)))
       .select("batch", "doc_id", "quality", "n_tok", "start_tok", "seq_id")

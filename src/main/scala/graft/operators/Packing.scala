@@ -59,11 +59,18 @@ object Packing {
     * narrow bucketed projection is persisted — without it the doc source
     * (a 100 TB text scan for the declared key) is scanned and tokenized
     * twice. The cached frame is id+two longs per row, ~1000× smaller than
-    * the text it derives from. Callers release it via
+    * the text it derives from. With `materialize = false` (the default,
+    * the plan-audit hook) callers release it via
     * `spark.catalog.clearCache()` / `withCleanup` once the result is
-    * materialized (Verify and Bench both do). */
+    * materialized (Verify and Bench both do); `materialize = true` eagerly
+    * localCheckpoints the result and releases the cache before returning —
+    * the [[PhashIncremental.dedupHashedAgainst]] discipline, used by every
+    * packing call that runs inside a larger job ([[CurationIncremental]])
+    * so repeated steps cannot leak one cached frame each into the
+    * session. */
   def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
-      budget: Int, bucketWidth: Long, offset: Long = 0L): DataFrame = {
+      budget: Int, bucketWidth: Long, offset: Long = 0L,
+      materialize: Boolean = false): DataFrame = {
     val bucketed = docs.withColumn("bucket", expr(s"$idCol div $bucketWidth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -85,13 +92,16 @@ object Packing {
     // `offset` continues a PRIOR corpus's global token position (the
     // incremental arrival mode: batch N+1 packs where batch N ended —
     // [[CurationIncremental]]); 0 is the standalone batch form
-    bucketed
+    val packed = bucketed
       .withColumn("start_tok",
         sum(nTokCol).over(wIn) - col(nTokCol))
       .join(broadcast(offsets), "bucket")
       .withColumn("start_tok", col("start_tok") + col("boff") + lit(offset))
       .withColumn("seq_id", expr(s"start_tok div $budget"))
       .drop("bucket", "boff")
+    if (materialize)
+      graft.Caching.withCleanup(bucketed)(packed.localCheckpoint(true))
+    else packed
   }
 
   /** Declared key (`seq_pack`): doc_id → (n_tok, start_tok, seq_id) over

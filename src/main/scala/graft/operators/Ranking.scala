@@ -238,6 +238,16 @@ object Ranking {
     // struct-field path in the score expression)
     require(queries.flatMap(_._2).forall(_.matches("[A-Za-z0-9_]+")),
       "query terms must be identifier-safe ([A-Za-z0-9_]+)")
+    // distinct terms must also be CASE-insensitively distinct: df_Foo and
+    // df_foo are ambiguous under Spark's default case-insensitive column
+    // resolution (and duplicate names in the oracle SQL) — reject up front
+    // rather than fail inside the score expression
+    val caseClash = queries.flatMap(_._2).distinct
+      .groupBy(_.toLowerCase).filter(_._2.size > 1)
+    require(caseClash.isEmpty,
+      "query terms must be case-insensitively distinct (df_<term> columns " +
+        "resolve case-insensitively): " +
+        caseClash.values.map(_.mkString("/")).mkString(", "))
     val path = ensureBm25Index(spark, dir)
     val allTerms = queries.flatMap(_._2).distinct
     // ONE pruned read feeds both aggregations (tf's and df's) — the

@@ -46,10 +46,22 @@ object SubstringIncremental {
   /** Maximal duplicated regions of `batch` against an index given as a
     * digest frame (one `g` column; extra columns are ignored) — the
     * incremental core, frame-in/frame-out for the declared key and the
-    * persisted [[step]] alike. */
+    * persisted [[step]] alike. Fully lazy (the plan-audit hook); the
+    * persisted step goes through [[spansOfDigests]] with a CACHED digest
+    * frame so the tokenize+explode+md5 fan-out runs once per step. */
   def duplicatedSpansAgainst(batch: DataFrame, idxDigests: DataFrame,
+      spanL: Int = SpanL): DataFrame =
+    spansOfDigests(windowDigests(batch, spanL), idxDigests, spanL)
+
+  /** The span search over an ALREADY-built digest frame `w`
+    * ((doc_id, pos, g) rows — [[SubstringDedup.windowDigests]]' shape):
+    * in-batch count window ∪ cross-index membership semi-join →
+    * region merge. Factored out so [[step]] can feed one materialized
+    * digest frame to both consumers (and to the fresh-digest append) —
+    * the digest fan-out is the step's dominant narrow work (~50 rows/doc)
+    * and must not be recomputed per consumer. */
+  def spansOfDigests(w: DataFrame, idxDigests: DataFrame,
       spanL: Int = SpanL): DataFrame = {
-    val w = windowDigests(batch, spanL)
     // in-batch duplicated windows: the batch operator's count window —
     // one exchange on the digest, map-side-combinable
     val inBatch = w
@@ -91,15 +103,59 @@ object SubstringIncremental {
     * `localCheckpoint`ed BEFORE the append — the [[IncrementalDedup
     * .step]] guard: the append invalidates cached plans scanning the
     * index path, and a lazy span frame re-evaluated after it would see
-    * the batch's own digests and mark every window. */
+    * the batch's own digests and mark every window.
+    *
+    * `init = true` is the first night ([[CurationIncremental.step]]'s
+    * flag): the index is taken as empty and written fresh — without it a
+    * first-night caller had to know to call [[writeDigestIndex]] first or
+    * hit AnalysisException on the missing path.
+    *
+    * Cache discipline: the batch's window digests — the step's dominant
+    * narrow work, ~50 fan-out rows per document — feed THREE consumers
+    * (the in-batch count window, the index membership semi-join, and the
+    * fresh-digest append), so they are persisted once for the step's
+    * duration and released before returning ([[graft.Caching]]'s
+    * contract; without it the step re-tokenized and re-hashed the batch
+    * per consumer, ~3× the necessary text work). */
   def step(spark: SparkSession, batch: DataFrame, path: String,
-      spanL: Int = SpanL, nBuckets: Int = IndexBuckets): DataFrame = {
-    val idx = readDigestIndex(spark, path)
-    val spans = duplicatedSpansAgainst(batch, idx, spanL).localCheckpoint(true)
-    val fresh = windowDigests(batch, spanL).select("g").distinct()
-      .join(idx.select("g"), Seq("g"), "left_anti")
-    writeDigestIndex(fresh, path, nBuckets, append = true)
-    spans
+      spanL: Int = SpanL, nBuckets: Int = IndexBuckets,
+      init: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val idx =
+      if (init) Seq.empty[String].toDF("g")
+      else readDigestIndex(spark, path)
+    val w = windowDigests(batch, spanL)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caching.withCleanup(w) {
+      val spans = spansOfDigests(w, idx, spanL).localCheckpoint(true)
+      val fresh = w.select("g").distinct()
+        .join(idx.select("g"), Seq("g"), "left_anti")
+      writeDigestIndex(fresh, path, nBuckets, append = !init)
+      spans
+    }
+  }
+
+  /** Takedown for the digest index ([[IndexMaintenance.retractKeys]]'
+    * shared-evidence case): a digest is the evidence "this window text
+    * has been seen", and retracted documents may SHARE windows with
+    * remaining ones — deleting all their digests would forget spans the
+    * remaining corpus still supports (a later re-arrival of boilerplate
+    * both halves carry would silently pass unmarked). Exact semantics:
+    * remove the retracted docs' digests EXCEPT those the remaining corpus
+    * still supports. The support recount is one pass over `remaining`'s
+    * text, but only digests intersecting the retracted candidate set
+    * (bounded by the retracted docs' own window count) survive the
+    * semi-join into the shuffle — the honest price of exact takedown on
+    * shared evidence, paid on the rare retraction path, never nightly.
+    * Returns the number of digests removed. */
+  def retractDocs(spark: SparkSession, retracted: DataFrame,
+      remaining: DataFrame, path: String, spanL: Int = SpanL): Long = {
+    val cand = windowDigests(retracted, spanL).select("g").distinct()
+    val supported = windowDigests(remaining, spanL).select("g")
+      .join(cand, Seq("g"), "left_semi").distinct()
+    val toRemove = cand.join(supported, Seq("g"), "left_anti")
+      .localCheckpoint(true)
+    IndexMaintenance.retractKeys(spark, s"$path/digests", "g", toRemove)
   }
 
   /** Declared key (`substring_dedup_incremental`): the [[PhashIncremental

@@ -55,6 +55,71 @@ class CurationIncrementalSpec extends SparkSpec {
       "an all-duplicate night must not move the cursor")
   }
 
+  test("atomic state commit: a pre-commit crash rolls back, the retried night reproduces") {
+    import spark.implicits._
+    val n1 = Seq((2L, "alpha beta gamma delta"), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, "five six seven eight"), (7L, "nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    // reference: both nights uninterrupted
+    val ref = tmpDir("curinc-ref")
+    CurationIncremental.step(spark, n1, ref, budget = 8, bucketWidth = 2,
+      init = true)
+    val refOut2 = rows(CurationIncremental.step(spark, n2, ref,
+      budget = 8, bucketWidth = 2))
+    val refCursor = spark.read.parquet(s"$ref/cursor").head().getLong(0)
+    // crashed: night 2 staged its delta but DIED before the commit marker
+    val dir = tmpDir("curinc-precommit")
+    CurationIncremental.step(spark, n1, dir, budget = 8, bucketWidth = 2,
+      init = true)
+    val idxFps = IncrementalDedup.readFpIndex(spark, s"$dir/fps").select("fp")
+    val acc2 = CurationIncremental.accepted(n2, idxFps).localCheckpoint(true)
+    CurationIncremental.stageAndCommit(spark, acc2, 999L, dir, commit = false)
+    // the retry must ROLL BACK the uncommitted staging and reproduce the
+    // night exactly — same rows, same offsets, no gap, nothing swallowed
+    val out2 = rows(CurationIncremental.step(spark, n2, dir,
+      budget = 8, bucketWidth = 2))
+    assert(out2 === refOut2,
+      "a retried crashed night must reproduce the batch bit-for-bit")
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === refCursor)
+  }
+
+  test("atomic state commit: a post-commit crash rolls forward on the next step") {
+    import spark.implicits._
+    val n1 = Seq((2L, "alpha beta gamma delta"), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, "five six seven eight"), (7L, "nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    // night 3 carries a dup of a night-2 doc: it must die IFF night 2's
+    // fps actually landed — the roll-forward witness
+    val n3 = Seq((13L, "fresh words arriving tonight"),
+      (15L, "eight seven six five")).toDF("doc_id", "text")
+    val ref = tmpDir("curinc-ref3")
+    CurationIncremental.step(spark, n1, ref, budget = 8, bucketWidth = 2,
+      init = true)
+    CurationIncremental.step(spark, n2, ref, budget = 8, bucketWidth = 2)
+    val refOut3 = rows(CurationIncremental.step(spark, n3, ref,
+      budget = 8, bucketWidth = 2))
+    val refCursor = spark.read.parquet(s"$ref/cursor").head().getLong(0)
+    // crashed: night 2 COMMITTED (marker written) but died before folding
+    val dir = tmpDir("curinc-postcommit")
+    CurationIncremental.step(spark, n1, dir, budget = 8, bucketWidth = 2,
+      init = true)
+    val idxFps = IncrementalDedup.readFpIndex(spark, s"$dir/fps").select("fp")
+    val cursor = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    val acc2 = CurationIncremental.accepted(n2, idxFps).localCheckpoint(true)
+    val out2 = CurationIncremental.packBatch(acc2, cursor,
+      budget = 8, bucketWidth = 2, materialize = true)
+    val tot2 = out2.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    CurationIncremental.stageAndCommit(spark, acc2, cursor + tot2, dir)
+    // (crash here — no fold; fps and cursor on disk are still night 1's)
+    val out3 = rows(CurationIncremental.step(spark, n3, dir,
+      budget = 8, bucketWidth = 2))
+    assert(out3 === refOut3,
+      "recovery must fold the committed night before processing the next")
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === refCursor)
+  }
+
   test("persisted two-step form equals the declared key's frames-as-index form") {
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val dir = tmpDir("curinc-eq")

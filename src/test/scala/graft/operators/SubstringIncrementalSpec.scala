@@ -88,6 +88,24 @@ class SubstringIncrementalSpec extends SparkSpec {
     assert(spans3 === Set((20L, 1L, 20L, 20L)))
   }
 
+  test("first night: init flag starts fresh state without a prior index write") {
+    import spark.implicits._
+    val dir = tmpDir("substr-init")
+    val q8 = (1 to 8).map(j => s"q$j").mkString(" ")
+    // no writeDigestIndex priming — init = true IS the first night
+    val b1 = Seq(
+      (1L, s"a1 a2 $q8 a3"),
+      (2L, s"b1 $q8 b2 b3")).toDF("doc_id", "text")
+    val spans1 = spanSet(SubstringIncremental.step(spark, b1, dir,
+      nBuckets = 4, init = true))
+    assert(spans1 === Set((1L, 3L, 10L, 8L), (2L, 2L, 9L, 8L)),
+      "in-batch duplicates must mark on the init night")
+    // the init night's digests are live: a re-arrival marks cross-index
+    val b2 = Seq((10L, s"z1 z2 z3 $q8")).toDF("doc_id", "text")
+    assert(spanSet(SubstringIncremental.step(spark, b2, dir, nBuckets = 4))
+      === Set((10L, 4L, 11L, 8L)))
+  }
+
   test("declared key matches the full-corpus recompute at sf0.001") {
     val got = spanSet(SubstringIncremental.substringDedupIncremental(spark, sf0001))
     val want = spanSet(SubstringDedup.substringDedup(spark, sf0001)
