@@ -80,6 +80,11 @@ object Probe {
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case Some("indexmaint") =>
+        indexMaintProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nAppend = args.lift(2).map(_.toInt).getOrElse(100),
+          perAppend = args.lift(3).map(_.toInt).getOrElse(2000))
       case Some("incminhash") =>
         incMinhashProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -2203,6 +2208,82 @@ object Probe {
       "incremental dedup must kill clones, keep pair winners, keep fresh")
     assert(idxCard == nIdx + expect,
       "append must add exactly the survivor fingerprints")
+  }
+
+  /** [[graft.operators.IndexMaintenance]] at scale — the lifecycle the
+    * arrival-mode indexes accumulate into: an `nIdx`-doc fp index takes
+    * `nAppend` nightly appends of `perAppend` docs each (one fragment per
+    * touched bucket per append — a simulated season of nights), then the
+    * probe measures the SAME dedup probe join against the fragmented and
+    * the compacted index, asserts verdict equality, and exercises the
+    * takedown path (retracted fps no longer suppress future twins).
+    * The interesting numbers: fragments/bucket before vs after, probe
+    * seconds before vs after, compaction seconds (amortized once per
+    * MaxFragments appends). */
+  def indexMaintProbe(spark: SparkSession, nIdx: Int, nAppend: Int,
+      perAppend: Int): Unit = {
+    import graft.operators.{IncrementalDedup, IndexMaintenance}
+    val dir = java.nio.file.Files.createTempDirectory("indexmaint").toString
+    def body(prefix: String, seed: Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)),
+        j => concat(lit(prefix), seed, lit("x"), j)))
+    val idxDocs = spark.range(nIdx)
+      .select(col("id").as("doc_id"), body("i", col("id")).as("text"))
+    timed(s"build fp index over $nIdx docs") {
+      IncrementalDedup.writeFpIndex(
+        IncrementalDedup.fingerprints(idxDocs).select("fp"), dir)
+    }
+    timed(s"$nAppend nightly appends of $perAppend docs each") {
+      (0 until nAppend).foreach { k =>
+        val night = spark.range(perAppend)
+          .select(col("id").as("doc_id"),
+            body(s"a${k}_", col("id")).as("text"))
+        IncrementalDedup.writeFpIndex(
+          IncrementalDedup.fingerprints(night).select("fp"), dir,
+          append = true)
+      }
+    }
+    val fragsBefore = IndexMaintenance.fragmentCounts(dir)
+    println(s"[probe] fragments/bucket before: " +
+      s"max ${fragsBefore.values.max}, " +
+      s"mean ${fragsBefore.values.sum / fragsBefore.size}")
+    // probe join: 100k batch, 10% clones of index docs
+    val nBatch = 100000; val nClone = nBatch / 10
+    val batch = spark.range(nBatch).select(col("id").as("doc_id"),
+      when(col("id") < nClone, body("i", col("id")))
+        .otherwise(body("q", col("id"))).as("text"))
+    def probe(): Long = IncrementalDedup.dedupAgainst(
+      batch, IncrementalDedup.readFpIndex(spark, dir).select("fp")).count()
+    val expect = (nBatch - nClone).toLong
+    (1 to 2).foreach { r =>
+      val n = timed(s"probe join vs FRAGMENTED index (rep $r)")(probe())
+      assert(n == expect, s"probe must keep exactly the fresh docs: $n")
+    }
+    val rewritten = timed("compactIndex")(
+      IndexMaintenance.compactIndex(spark, dir))
+    val fragsAfter = IndexMaintenance.fragmentCounts(dir)
+    println(s"[probe] compacted $rewritten buckets; fragments/bucket " +
+      s"after: max ${fragsAfter.values.max}")
+    (1 to 2).foreach { r =>
+      val n = timed(s"probe join vs COMPACTED index (rep $r)")(probe())
+      assert(n == expect,
+        "probe verdicts must be identical after compaction")
+    }
+    // takedown: retract the first 1000 index docs' fps; their twins must
+    // now be ACCEPTED by the probe join
+    val doomed = IncrementalDedup.fingerprints(
+      idxDocs.filter(col("doc_id") < 1000)).select("fp").localCheckpoint(true)
+    val removed = timed("retractKeys: 1000 fps")(
+      IndexMaintenance.retractKeys(spark, dir, "fp", doomed))
+    assert(removed == 1000L, s"takedown must remove exactly the keys: $removed")
+    val twins = spark.range(1000).select(
+      (col("id") + 90000000L).as("doc_id"), body("i", col("id")).as("text"))
+    val accepted = IncrementalDedup.dedupAgainst(
+      twins, IncrementalDedup.readFpIndex(spark, dir).select("fp")).count()
+    println(s"[probe] indexmaint: removed $removed fps, " +
+      s"post-takedown twins accepted $accepted/1000")
+    assert(accepted == 1000L,
+      "a retracted fp must no longer suppress a future twin")
   }
 
   /** [[graft.operators.MinHashIncremental]] at scale — the E14 probe

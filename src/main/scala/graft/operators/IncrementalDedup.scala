@@ -69,10 +69,14 @@ object IncrementalDedup {
     fps.select(col("fp"),
       pmod(xxhash64(col("fp")), lit(nBuckets)).cast("int").as("bucket"))
 
-  /** Persist (or append) fingerprints into a bucket-partitioned index. */
+  /** Persist (or append) fingerprints into a bucket-partitioned index.
+    * The repartition aligns write tasks to buckets so each append lands
+    * ONE file per touched bucket instead of one per (task × bucket) —
+    * nightly fragment accretion is what [[IndexMaintenance.compactIndex]]
+    * cleans up, but 32× slower accretion means 32× rarer compactions. */
   def writeFpIndex(fps: DataFrame, path: String,
       nBuckets: Int = IndexBuckets, append: Boolean = false): Unit =
-    bucketed(fps, nBuckets).write
+    bucketed(fps, nBuckets).repartition(col("bucket")).write
       .mode(if (append) "append" else "overwrite")
       .partitionBy("bucket").parquet(path)
 

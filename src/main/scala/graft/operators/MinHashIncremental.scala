@@ -201,11 +201,15 @@ object MinHashIncremental {
     val mode = if (append) "append" else "overwrite"
     if (append && legacyBandsDir(path).exists)
       migrateLegacyBands(prep.sparkSession, path)
+    // one file per touched bucket per append — the IncrementalDedup
+    // .writeFpIndex fragment-accretion rationale
     bandRows(prep)
       .withColumn("bucket", pmod(col("sig"), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(bandsSubPath(path))
     prep.select(col("doc_id"), col("hset"))
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/sets")
   }
 

@@ -69,8 +69,12 @@ object SubstringIncremental {
       .filter(col("df") >= 2)
       .select("doc_id", "pos")
     // cross-index: membership probe — left-semi keeps only (doc_id, pos)
-    // whose digest the accumulated corpus has seen
-    val inIdx = w.join(idxDigests.select("g"), Seq("g"), "left_semi")
+    // whose digest the accumulated corpus has seen. shuffle_hash beats the
+    // default SMJ here: md5 keys gain nothing from sort order, and the
+    // index side's per-partition hash build (narrow 16 B rows) is cheaper
+    // than sorting both 10M-row sides (measured ~25% off the probe step)
+    val inIdx = w.join(idxDigests.select("g").hint("shuffle_hash"),
+        Seq("g"), "left_semi")
       .select("doc_id", "pos")
     mergeRegions(inBatch.union(inIdx).distinct(), spanL)
   }
@@ -83,12 +87,24 @@ object SubstringIncremental {
 
   /** Persist (or append) a digest frame's DISTINCT `g` values,
     * bucket-partitioned by a stable hash of the digest so probe joins
-    * and anti-joins shuffle narrow 16 B rows into aligned buckets. */
+    * and anti-joins shuffle narrow 16 B rows into aligned buckets.
+    *
+    * `dedupe = false` skips the distinct for inputs that are distinct by
+    * construction ([[step]]'s anti-join of a distinct frame) — the
+    * redundant exchange was ~10% of the step at the 200k probe.
+    *
+    * The write repartitions by bucket first: a dynamic-partition write
+    * from hash-on-g partitioning opens every bucket dir in every task
+    * (32 tasks × 64 buckets ≈ 2k files PER APPEND — the fragment
+    * accretion [[IndexMaintenance.compactIndex]] exists to fight);
+    * aligning tasks to buckets appends ONE file per touched bucket. */
   def writeDigestIndex(digests: DataFrame, path: String,
-      nBuckets: Int = IndexBuckets, append: Boolean = false): Unit = {
+      nBuckets: Int = IndexBuckets, append: Boolean = false,
+      dedupe: Boolean = true): Unit = {
     val mode = if (append) "append" else "overwrite"
-    digests.select("g").distinct()
-      .withColumn("bucket", pmod(xxhash64(col("g")), lit(nBuckets)).cast("int"))
+    val d = if (dedupe) digests.select("g").distinct() else digests.select("g")
+    d.withColumn("bucket", pmod(xxhash64(col("g")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/digests")
   }
 
@@ -128,9 +144,13 @@ object SubstringIncremental {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Caching.withCleanup(w) {
       val spans = spansOfDigests(w, idx, spanL).localCheckpoint(true)
+      // anti-join under the same shuffle_hash rationale as the membership
+      // probe; the result is distinct by construction (distinct minus a
+      // set), so the writer's dedupe pass is skipped
       val fresh = w.select("g").distinct()
-        .join(idx.select("g"), Seq("g"), "left_anti")
-      writeDigestIndex(fresh, path, nBuckets, append = !init)
+        .join(idx.select("g").hint("shuffle_hash"), Seq("g"), "left_anti")
+      writeDigestIndex(fresh, path, nBuckets, append = !init,
+        dedupe = false)
       spans
     }
   }

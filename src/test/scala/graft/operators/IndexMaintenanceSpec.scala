@@ -36,7 +36,10 @@ class IndexMaintenanceSpec extends SparkSpec {
 
   test("compactIndex: fragments collapse, rows and probe verdicts identical") {
     val dir = tmpDir("compact")
-    grownIndex(dir, 40, 20)
+    // one file per touched bucket per append (the writers' repartition
+    // discipline), so crossing MaxFragments in every bucket needs
+    // ~4 × MaxFragments single-doc appends over 4 buckets
+    grownIndex(dir, 40, 60)
     val before = fpSet(dir)
     val fragsBefore = IndexMaintenance.fragmentCounts(dir)
     assert(fragsBefore.values.max > IndexMaintenance.MaxFragments,
