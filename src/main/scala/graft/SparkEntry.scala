@@ -198,6 +198,11 @@ object SparkEntry {
     // accumulated half
     "substring_dedup_incremental" ->
       (SubstringIncremental.substringDedupIncremental _),
+    // the CUT half of the arrival mode: arriving docs are excised (not
+    // just marked) against the accumulated digest index plus themselves —
+    // the form a nightly pipeline actually consumes
+    "substring_drop_incremental" ->
+      (SubstringIncremental.substringDropIncremental _),
     // §2.7 [EXT] incremental dedup: batch vs persisted fingerprint index
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
     // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
@@ -1504,6 +1509,32 @@ object SparkEntry {
          |  SELECT doc_id, MIN(pos) AS rs, MAX(pos) + ${SubstringDedup.SpanL - 1} AS re
          |  FROM r GROUP BY doc_id, region),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tok),
+         |cov AS (SELECT doc_id, unnest(range(rs, re + 1)) AS p FROM reg),
+         |kept AS (
+         |  SELECT pos.doc_id, pos.p, pos.toks FROM pos
+         |  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         md5(array_to_string(list(toks[p] ORDER BY p), ' ')) AS clean_fp
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tok.doc_id, CAST(len(tok.toks) AS BIGINT) AS n_tok,
+         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
+         |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         |ORDER BY tok.doc_id""".stripMargin,
+    // the incremental CUT: the substring_drop recomputation restricted to
+    // the odd (batch) half — regions from the FULL corpus's window counts
+    // (restriction equivalence, as in substring_dedup_incremental), the
+    // cut applied to batch documents only, one output row per batch doc
+    "substring_drop_incremental" ->
+      s"""WITH $substrRegionCtes,
+         |reg AS (
+         |  SELECT doc_id, MIN(pos) AS rs, MAX(pos) + ${SubstringDedup.SpanL - 1} AS re
+         |  FROM r WHERE doc_id % 2 = 1 GROUP BY doc_id, region),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents WHERE doc_id % 2 = 1),
          |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tok),
          |cov AS (SELECT doc_id, unnest(range(rs, re + 1)) AS p FROM reg),
          |kept AS (

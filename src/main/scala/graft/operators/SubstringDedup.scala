@@ -134,8 +134,16 @@ object SubstringDedup {
     * over token positions: O(n_tok × spans/doc) per document, no
     * shuffle beyond the span join. Returns one row per INPUT document
     * (span-free docs pass through uncut). */
-  def dropDuplicatedSpans(docs: DataFrame, spanL: Int = SpanL): DataFrame = {
-    val spans = duplicatedSpans(docs, spanL)
+  def dropDuplicatedSpans(docs: DataFrame, spanL: Int = SpanL): DataFrame =
+    cutBySpans(docs, duplicatedSpans(docs, spanL))
+
+  /** The cut projection alone: excise `spanRows`' regions
+    * ([[duplicatedSpans]]' (doc_id, start_tok, end_tok) shape) from
+    * `docs`. Factored out so the INCREMENTAL span search composes with
+    * the identical cut ([[SubstringIncremental.dropSpansAgainst]]) — a
+    * cut means the same thing in every arrival mode. */
+  def cutBySpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
     val emptySpans = array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")

@@ -155,6 +155,29 @@ object SubstringIncremental {
     }
   }
 
+  /** The CUT half in the arrival mode (E13's incremental pair, closing
+    * what the r17 verdict called the ~20-line gap): arriving batch docs
+    * are EXCISED — not just marked — against accumulated ∪ batch.
+    * [[duplicatedSpansAgainst]] finds the regions, [[SubstringDedup
+    * .cutBySpans]] applies the identical cut the batch operator uses, so
+    * a nightly pipeline consumes clean text directly. Output shape is
+    * [[SubstringDedup.dropDuplicatedSpans]]': one row per INPUT batch
+    * document (fully-cut docs keep n_kept 0; span-free docs pass
+    * through with clean_fp = md5(text)). */
+  def dropSpansAgainst(batch: DataFrame, idxDigests: DataFrame,
+      spanL: Int = SpanL): DataFrame =
+    SubstringDedup.cutBySpans(batch,
+      duplicatedSpansAgainst(batch, idxDigests, spanL))
+
+  /** [[step]]'s cut form: mark-and-append as one persisted step, then
+    * cut the batch by the (already-checkpointed) span rows — what a
+    * nightly arrival pipeline actually materializes. */
+  def stepDrop(spark: SparkSession, batch: DataFrame, path: String,
+      spanL: Int = SpanL, nBuckets: Int = IndexBuckets,
+      init: Boolean = false): DataFrame =
+    SubstringDedup.cutBySpans(batch,
+      step(spark, batch, path, spanL, nBuckets, init))
+
   /** Takedown for the digest index ([[IndexMaintenance.retractKeys]]'
     * shared-evidence case): a digest is the evidence "this window text
     * has been seen", and retracted documents may SHARE windows with
@@ -195,5 +218,21 @@ object SubstringIncremental {
         docs.filter(col("doc_id") % 2 === 1),
         windowDigests(docs.filter(col("doc_id") % 2 === 0)).select("g"))
       .orderBy("doc_id", "start_tok")
+  }
+
+  /** Declared key (`substring_drop_incremental`): the cut half under the
+    * same parity harness — odd documents arrive as the batch and are
+    * EXCISED against the even half's digest index plus themselves. By
+    * the restriction equivalence the marking key certifies, the spans
+    * are exactly the full-corpus operator's spans on odd documents, so
+    * the DuckDB oracle is the `substring_drop` recomputation restricted
+    * to the odd half — one row per batch document, cut text pinned by
+    * its md5 digest. */
+  def substringDropIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    dropSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        windowDigests(docs.filter(col("doc_id") % 2 === 0)).select("g"))
+      .orderBy("doc_id")
   }
 }

@@ -106,6 +106,66 @@ class SubstringIncrementalSpec extends SparkSpec {
       === Set((10L, 4L, 11L, 8L)))
   }
 
+  test("incremental cut: invariants and equality with the restricted batch cut") {
+    import spark.implicits._
+    val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
+    val idxDocs = Seq((100L, s"i1 i2 $s10 i3")).toDF("doc_id", "text")
+    val idx = SubstringDedup.windowDigests(idxDocs).select("g")
+    // d1: cut in the middle; d2: FULLY covered (n_kept 0); d3: span-free
+    val batch = Seq(
+      (1L, s"u1 u2 $s10 u3 u4"),
+      (2L, s10),
+      (3L, (1 to 12).map(j => s"n$j").mkString(" "))).toDF("doc_id", "text")
+    val cut = SubstringIncremental.dropSpansAgainst(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(cut.map(c => (c._1, c._2, c._3)).toSeq ===
+      Seq((1L, 14L, 4L), (2L, 10L, 0L), (3L, 12L, 12L)),
+      "middle cut keeps the flanks; full coverage keeps 0; span-free passes whole")
+    // the kept text is pinned by digest: d1 keeps its 5 flank tokens,
+    // d2 the empty string, d3 its full text
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(cut(0)._4 === fp("u1 u2 u3 u4"))
+    assert(cut(1)._4 === fp(""))
+    assert(cut(2)._4 === fp((1 to 12).map(j => s"n$j").mkString(" ")))
+    // restriction equivalence on a random corpus: incremental cut of the
+    // odd half against the even digests ≡ full-corpus cut restricted
+    val rnd = new scala.util.Random(4242)
+    val corpus = (0 until 60).map { id =>
+      (id.toLong, Seq.fill(12 + rnd.nextInt(14))("t" + rnd.nextInt(3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val want = SubstringDedup.dropDuplicatedSpans(corpus)
+      .filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = SubstringIncremental.dropSpansAgainst(
+        corpus.filter(col("doc_id") % 2 === 1),
+        SubstringDedup.windowDigests(corpus.filter(col("doc_id") % 2 === 0))
+          .select("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(want.exists(w => w._3 < w._2),
+      "fixture must actually cut something in the odd half")
+    assert(got === want)
+  }
+
+  test("persisted stepDrop cuts and appends in one night") {
+    import spark.implicits._
+    val dir = tmpDir("substr-drop-step")
+    val q8 = (1 to 8).map(j => s"q$j").mkString(" ")
+    val b1 = Seq((1L, s"a1 a2 $q8 a3"), (2L, s"b1 $q8 b2 b3"))
+      .toDF("doc_id", "text")
+    val cut1 = SubstringIncremental.stepDrop(spark, b1, dir,
+      nBuckets = 4, init = true)
+      .select("doc_id", "n_kept").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cut1 === Map(1L -> 3L, 2L -> 3L),
+      "in-batch shared passage must be excised from both carriers")
+    // night 2: the appended digests cut a re-arrival cross-index
+    val b2 = Seq((10L, s"z1 $q8 z2")).toDF("doc_id", "text")
+    val cut2 = SubstringIncremental.stepDrop(spark, b2, dir, nBuckets = 4)
+      .select("doc_id", "n_kept").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cut2 === Map(10L -> 2L))
+  }
+
   test("declared key matches the full-corpus recompute at sf0.001") {
     val got = spanSet(SubstringIncremental.substringDedupIncremental(spark, sf0001))
     val want = spanSet(SubstringDedup.substringDedup(spark, sf0001)
