@@ -80,6 +80,10 @@ object Probe {
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case Some("textann") =>
+        textAnnProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nTwin = args.lift(2).map(_.toInt).getOrElse(10000))
       case Some("indexmaint") =>
         indexMaintProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -2208,6 +2212,85 @@ object Probe {
       "incremental dedup must kill clones, keep pair winners, keep fresh")
     assert(idxCard == nIdx + expect,
       "append must add exactly the survivor fingerprints")
+  }
+
+  /** `text_ann` at scale: 1M topical documents embedded by
+    * `graft_hash_embed` and served through the persisted IVFADC index,
+    * with `nTwin` paraphrase twins (every 20th token swapped — a ~10%
+    * edit, HARSHER than the fixture's 2.5%) as the query batch. Corpus
+    * structure mirrors real text: 1024 topics, each doc drawing a third
+    * of its tokens from its topic's 40-word core vocabulary and the rest
+    * from a 1M-type broad pool — topical reuse is what gives embedding
+    * space the cluster structure IVF recall depends on. Ground truth is
+    * the twin construction itself: every twin's exact nearest neighbor
+    * is its base by a wide margin (recorded: min twin→base cosine vs
+    * max twin→runner-up cosine), so rank-1 identity is assertable
+    * without a brute-force pass per query. */
+  def textAnnProbe(spark: SparkSession, n: Int, nTwin: Int): Unit = {
+    import graft.operators.{ProductQuant, TextEmbed}
+    val nTopics = 1024
+    // deterministic topical token stream, expression-built: j<20 → topic
+    // core (40 types per topic), else broad pool (1M types)
+    def toksOf(docId: Column, swap: Boolean): Column =
+      concat_ws(" ", transform(sequence(lit(0), lit(59)), j => {
+        val core = concat(lit("t"), pmod(docId, lit(nTopics.toLong)),
+          lit("c"), pmod(xxhash64(docId, j), lit(40L)))
+        val broad = concat(lit("w"), pmod(xxhash64(docId, j, lit("b")), lit(1000000L)))
+        val tok = when(j < 20, core).otherwise(broad)
+        if (swap) when(pmod(j, lit(20)) === 7, concat(lit("s"), j)).otherwise(tok)
+        else tok
+      }))
+    val docs = spark.range(n).select(col("id").as("vec_id"),
+      toksOf(col("id"), swap = false).as("text"))
+    val emb = timed(s"graft_hash_embed over $n docs (60 tokens each)") {
+      val e = ProductQuant.normalized(TextEmbed.embedText(docs, "vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-textann").toString
+    timed(s"IVFADC index build+persist: $n × dim${TextEmbed.Dim}, c=$nTopics lists") {
+      ProductQuant.writeIvfPqIndex(spark, dir, emb, c = nTopics,
+        lloydIters = 2, m = 8)
+    }
+    emb.unpersist(blocking = false)
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, dir)
+    // twins of bases 0..nTwin-1, query ids offset clear of the corpus
+    val twins = spark.range(nTwin).select(
+      (col("id") + 2L * n).as("vec_id"),
+      toksOf(col("id"), swap = true).as("text"))
+    val queries = ProductQuant.normalized(TextEmbed.embedText(twins, "vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val shortlist = math.max(ProductQuant.Shortlist, n / nTopics + 100)
+    // recall curve over the probe width — IVF recall is the fraction of
+    // twins whose base's cell is probed (once probed, the exact rerank
+    // wins by the twin-base margin), and text's WEAK cluster cohesion
+    // (intra-topic cosine ~0.4 — doc individuality dominates topical
+    // reuse) needs more probes than hard-clustered media for the same
+    // recall; the curve prices that trade
+    val curve = Seq(4, 16, 64).map { nProbe =>
+      val top2 = timed(s"serve $nTwin paraphrase queries, top-2, nProbe=$nProbe/$nTopics") {
+        val t = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+          queries, centroids, cbs, k = 2, nProbe = nProbe, shortlist = shortlist)
+          .localCheckpoint(true)
+        t.count(); t
+      }
+      val rank1 = top2.filter(col("rn") === 1)
+      val hitRows = rank1.filter(col("vec_id") === col("q_id") - 2L * n)
+      val hits = hitRows.count()
+      val m1 = hitRows.agg(min("cos")).head().getDouble(0)
+      val m2 = top2.filter(col("rn") === 2).agg(max("cos")).head().getDouble(0)
+      println(f"[probe] textann: nProbe=$nProbe%3d → $hits/$nTwin twins served " +
+        f"their base top-1 (${nProbe * 100.0 / nTopics}%.1f%% of lists read); " +
+        f"min twin-base cosine $m1%.4f vs max runner-up $m2%.4f")
+      assert(m1 > m2 + 0.1,
+        "the twin-base margin must dominate every runner-up with room")
+      hits.toDouble / nTwin
+    }
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+      s"recall must be monotone in nProbe: $curve")
+    assert(curve.last >= 0.999,
+      s"nProbe=64 of $nTopics lists must serve ≥ 99.9% of twins: ${curve.last}")
   }
 
   /** [[graft.operators.IndexMaintenance]] at scale — the lifecycle the

@@ -149,6 +149,15 @@ object SparkEntry {
     // closes the modality × pathway matrix (image/audio/video each
     // fingerprinted, embedded, AND ANN-served)
     "video_ann"     -> (VideoEmbed.videoAnnQuery _),
+    // text → hashed n-gram embedding (feature hashing over the DSIR
+    // unigram+bigram space, graft_hash_embed kernel) → the SAME vector
+    // stack the media modalities ride: closes the text row of the
+    // modality × pathway matrix (embed + ANN-serve for every modality)
+    "text_embed"    -> (TextEmbed.textEmbedQuery _),
+    // text embeddings through the PERSISTED IVFADC serving path: base
+    // docs indexed once, planted paraphrase twins served as the query
+    // batch — top-1 must be the planted base for every twin
+    "text_ann"      -> (TextEmbed.textAnnQuery _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -963,6 +972,23 @@ object SparkEntry {
          |FROM read_parquet('${ImagePhash.jpegFixturePath}/*.parquet')
          |WHERE twin_of IS NOT NULL
          |ORDER BY media_id""".stripMargin,
+    // the TEXT modality's embedding pathway: the hashed n-gram projection
+    // must recover the planted paraphrase structure (swap / clause-rotate
+    // / drop twins) from the text alone, with zero false pairs among 400
+    // independently drawn documents — the oracle answers from the planted
+    // twin_of metadata the Spark plan never reads
+    "text_embed" ->
+      s"""SELECT doc_id, twin_of AS dup_of, twin_of IS NULL AS keep
+         |FROM read_parquet('${TextEmbed.textFixturePath}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // text serving: every paraphrase twin, served against the persisted
+    // IVFADC index of the 400 base documents, must come back with its own
+    // base as top-1 — the media_ann certification shape on text
+    "text_ann" ->
+      s"""SELECT doc_id, twin_of AS found_base
+         |FROM read_parquet('${TextEmbed.textFixturePath}/*.parquet')
+         |WHERE twin_of IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
     // audio: Spark decodes RIFF/WAVE PCM payloads (two sample RATES —
     // the resample twins carry 4 kHz streams), Goertzel-fingerprints
     // them, and recovers the near-dup structure; the oracle answers from

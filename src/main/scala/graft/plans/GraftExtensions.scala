@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbedExpr].getName, "graft_hash_embed"),
+      (children: Seq[Expression]) => HashEmbedExpr(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
