@@ -80,6 +80,10 @@ object Probe {
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(1000000))
+      case Some("incbudget") =>
+        incBudgetProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(200000))
       case Some("textann") =>
         textAnnProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -1951,6 +1955,77 @@ object Probe {
     assert(minStart == cur1, "night 2 must start EXACTLY at night 1's total — the seam")
     assert(maxEnd == cur1 + sumTok, "offsets must be gap-free")
     assert(cur2 == cur1 + sumTok, "cursor must advance by night 2's packed tokens")
+  }
+
+  /** `curation_incremental_full` at scale — the budget-counter state the
+    * r17 verdict called genuinely new: 8 domains (doc lang = id mod 8);
+    * domains L0-L3 carry budgets night 1 EXHAUSTS (50k tokens each vs
+    * ~2M available per domain), L4-L7 effectively unlimited. Night 2
+    * must select ZERO docs in the exhausted domains, continue the open
+    * domains exactly at their counters, keep every domain's fills
+    * gap-free ([0, counter) tiled by (mix_start, n_tok) intervals), and
+    * continue the pack cursor seam-free — all asserted exactly. */
+  def incBudgetProbe(spark: SparkSession, nIdx: Int, nBatch: Int): Unit = {
+    import graft.operators.CurationIncremental
+    val dir = java.nio.file.Files.createTempDirectory("graft-incbud").toString
+    val budgets = (0 until 8).map(d =>
+      s"L$d" -> (if (d < 4) 50000L else 1000000000000L))
+    def freshText(idc: Column) = concat_ws(" ",
+      concat(lit("a the "),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          j => concat(lit("d"), idc, lit("x"), j)))))
+    def docsOf(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        concat(lit("L"), pmod(col("id"), lit(8L))).as("lang"),
+        freshText(col("id")).as("text"))
+    val out1 = timed(s"night 1 (init): full macro over $nIdx docs, 8 domains") {
+      val o = CurationIncremental.stepFull(spark, docsOf(0, nIdx), dir,
+        budgets, init = true)
+      o.cache().count(); o
+    }
+    val cons1 = spark.read.parquet(s"$dir/budgets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cur1 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    (0 until 4).foreach(d => assert(cons1(s"L$d") >= 50000L,
+      s"night 1 must exhaust L$d: ${cons1(s"L$d")}"))
+    val out2 = timed(s"night 2: full macro over $nBatch docs vs persisted state") {
+      val o = CurationIncremental.stepFull(spark,
+        docsOf(nIdx, nIdx.toLong + nBatch), dir, budgets)
+      o.cache().count(); o
+    }
+    // exhausted domains select nothing
+    val exhausted2 = out2.filter(col("lang").isin((0 until 4).map("L" + _): _*))
+      .count()
+    // counters equal the selected sums across both nights, and every
+    // domain's fills tile [0, counter) gap-free
+    val cons2 = spark.read.parquet(s"$dir/budgets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fills = out1.select("lang", "n_tok", "mix_start")
+      .union(out2.select("lang", "n_tok", "mix_start"))
+      .groupBy("lang").agg(sum("n_tok").as("tot"), min("mix_start").as("lo"),
+        max(col("mix_start") + col("n_tok")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val tilingOk = budgets.forall { case (d, _) =>
+      val (tot, lo, hi) = fills(d)
+      cons2(d) == tot && lo == 0L && hi == tot
+    }
+    // pack cursor seam
+    val minStart2 = out2.agg(min("start_tok")).head().getLong(0)
+    val sum2 = out2.agg(sum("n_tok")).head().getLong(0)
+    val maxEnd2 = out2.agg(max(col("start_tok") + col("n_tok"))).head().getLong(0)
+    val cur2 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    println(s"[probe] incbudget: night-2 exhausted-domain selections " +
+      s"$exhausted2 (must be 0); counters ${cons2.toSeq.sorted.map(_._2).mkString(",")}; " +
+      s"tiling-exact $tilingOk; night-2 first offset $minStart2 " +
+      s"(night-1 total $cur1), cursor $cur2")
+    out1.unpersist(); out2.unpersist()
+    assert(exhausted2 == 0L,
+      "a domain exhausted on night 1 must select nothing on night 2")
+    assert(tilingOk,
+      "per-domain fills must tile [0, counter) exactly — counters and offsets agree")
+    assert(minStart2 == cur1 && maxEnd2 == cur1 + sum2 && cur2 == cur1 + sum2,
+      "the pack cursor must continue seam-free across nights")
   }
 
   /** The streaming substring form's drain record: an `nIdx`-doc corpus's

@@ -254,6 +254,13 @@ object SparkEntry {
     // the nightly shape of an accumulating corpus, seam-free by oracle
     "curation_incremental" ->
       (CurationIncremental.curationIncremental _),
+    // the EVERY-stage macro in the arrival mode: redact + quality + dedup
+    // + split + domain-mix + pack across two nights, with the genuinely
+    // new state — per-domain consumed-budget counters that carry across
+    // nights (night 2 must stop filling a domain night 1 exhausted);
+    // mix_start in the output pins the continuation exactly
+    "curation_incremental_full" -> ((s: SparkSession, d: String) =>
+      CurationIncremental.curationIncrementalFull(s, d)),
     // §2.4 [EXT] sketches, verified against exact results in-query
     "approx_distinct" -> ((s: SparkSession, d: String) =>
       Sketches.approxDistinctChecked(s, d)),
@@ -1387,6 +1394,92 @@ object SparkEntry {
          |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c1
          |  UNION ALL
          |  SELECT 2 AS batch, doc_id, quality, n_tok, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c2
+         |) ORDER BY start_tok""".stripMargin,
+    // the full macro's ARRIVAL mode: both nights chained as CTEs over the
+    // planted+cleaned corpus — night 2 dedups against night 1's accepted
+    // fps, its per-domain mix offsets CONTINUE at night 1's consumed
+    // totals (mix_start pins that exactly), and its pack offsets continue
+    // at night 1's packed total (start_tok pins that)
+    "curation_incremental_full" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang, text
+         |    || CASE WHEN doc_id % ${Redact.EmailMod} = 0
+         |            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.IpMod} = 0
+         |            THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+         |    || CASE WHEN doc_id % ${Redact.PhoneMod} = 0
+         |            THEN ' call 555-01' || (doc_id % 10) || '-'
+         |                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS text
+         |  FROM documents),
+         |cleaned AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Redact.EmailRe}', '${Redact.EmailTag}', 'g'),
+         |      '${Redact.Ipv4Re}', '${Redact.IpTag}', 'g'),
+         |      '${Redact.PhoneRe}', '${Redact.PhoneTag}', 'g') AS text
+         |  FROM planted),
+         |scored AS (
+         |  SELECT doc_id, lang, text, $qualitySqlExpr AS quality FROM cleaned),
+         |f AS (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM scored WHERE quality >= 0.35),
+         |bud AS (SELECT * FROM (VALUES ${DomainMix.Budgets.map {
+             case (d, n) => s"('$d', $n)" }.mkString(", ")}) AS v(lang, budget)),
+         |acc1 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 0) WHERE rn = 1),
+         |train1 AS (
+         |  SELECT doc_id, lang, quality, n_tok FROM acc1
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |mix1c AS (
+         |  SELECT t.doc_id, t.lang, t.quality, t.n_tok, budget,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY t.lang
+         |      ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '${DomainMix.MixSalt}'), t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS mix_start
+         |  FROM train1 t JOIN bud ON t.lang = bud.lang),
+         |mix1 AS (SELECT * FROM mix1c WHERE mix_start < budget),
+         |cons1 AS (SELECT lang, SUM(n_tok) AS consumed FROM mix1 GROUP BY lang),
+         |t1 AS (SELECT COALESCE(SUM(n_tok), 0) AS tot FROM mix1),
+         |c1 AS (
+         |  SELECT doc_id, lang, quality, n_tok, mix_start,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_tok
+         |  FROM mix1),
+         |acc2 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 1)
+         |  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM acc1)),
+         |train2 AS (
+         |  SELECT doc_id, lang, quality, n_tok FROM acc2
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |mix2c AS (
+         |  SELECT t.doc_id, t.lang, t.quality, t.n_tok, budget,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY t.lang
+         |      ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '${DomainMix.MixSalt}'), t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      + COALESCE((SELECT consumed FROM cons1 WHERE cons1.lang = t.lang), 0)
+         |      AS BIGINT) AS mix_start
+         |  FROM train2 t JOIN bud ON t.lang = bud.lang),
+         |mix2 AS (SELECT * FROM mix2c WHERE mix_start < budget),
+         |c2 AS (
+         |  SELECT doc_id, lang, quality, n_tok, mix_start,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      + (SELECT tot FROM t1) AS BIGINT) AS start_tok
+         |  FROM mix2)
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, doc_id, lang, quality, n_tok, mix_start, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c1
+         |  UNION ALL
+         |  SELECT 2 AS batch, doc_id, lang, quality, n_tok, mix_start, start_tok,
          |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c2
          |) ORDER BY start_tok""".stripMargin,
     // the full macro: all six stages chained as CTEs — planting and scrub

@@ -102,16 +102,22 @@ object CurationIncremental {
           IndexMaintenance.copyInto(_,
             java.nio.file.Paths.get(path, "fps", d.getFileName.toString)))
       }
-    // cursor: staged files in, stale files out (by name difference)
-    val curStaged = pend.resolve("cursor")
-    val curLive = java.nio.file.Paths.get(path, "cursor")
-    val stagedNames =
-      IndexMaintenance.dataFiles(curStaged).map(_.getFileName.toString).toSet
-    IndexMaintenance.dataFiles(curStaged)
-      .foreach(IndexMaintenance.copyInto(_, curLive))
-    IndexMaintenance.dataFiles(curLive)
-      .filterNot(f => stagedNames.contains(f.getFileName.toString))
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // cursor (and, for the full macro, budgets): staged files in, stale
+    // files out (by name difference) — copy-first so there is never a
+    // moment with no live file
+    Seq("cursor", "budgets").foreach { piece =>
+      val staged = pend.resolve(piece)
+      if (java.nio.file.Files.isDirectory(staged)) {
+        val live = java.nio.file.Paths.get(path, piece)
+        val stagedNames =
+          IndexMaintenance.dataFiles(staged).map(_.getFileName.toString).toSet
+        IndexMaintenance.dataFiles(staged)
+          .foreach(IndexMaintenance.copyInto(_, live))
+        IndexMaintenance.dataFiles(live)
+          .filterNot(f => stagedNames.contains(f.getFileName.toString))
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     java.nio.file.Files.deleteIfExists(pend.resolve("_GRAFT_COMPLETE"))
     IndexMaintenance.deleteRecursively(pend)
   }
@@ -121,7 +127,8 @@ object CurationIncremental {
     * marker. Split from [[step]] so the crash spec can stop at either
     * side of the commit point. */
   private[operators] def stageAndCommit(spark: SparkSession, acc: DataFrame,
-      nextCursor: Long, path: String, commit: Boolean = true): Unit = {
+      nextCursor: Long, path: String, commit: Boolean = true,
+      budgetRows: Option[Seq[(String, Long)]] = None): Unit = {
     import spark.implicits._
     val pend = pendingDir(path)
     IndexMaintenance.deleteRecursively(pend)
@@ -129,6 +136,8 @@ object CurationIncremental {
       pend.resolve("fps").toString)
     Seq(nextCursor).toDF("next_tok")
       .write.mode("overwrite").parquet(pend.resolve("cursor").toString)
+    budgetRows.foreach(_.toDF("lang", "consumed")
+      .write.mode("overwrite").parquet(pend.resolve("budgets").toString))
     if (commit) Tables.markArtifactComplete(pend.toString)
   }
 
@@ -174,6 +183,138 @@ object CurationIncremental {
       spark.catalog.refreshByPath(s"$path/fps")
     }
     out
+  }
+
+  // ------------------------------------- full macro, arrival mode (r18)
+
+  /** [[accepted]] with [[Curation.curationFull]]'s extra stages in the
+    * same narrow discipline: the PII scrub fuses into the projection
+    * (everything downstream — quality, fingerprint, token counts — sees
+    * scrubbed text, so a redacted duplicate dedups against a redacted
+    * original), and the domain column rides along for the mix. */
+  def acceptedFull(batch: DataFrame, idxFps: DataFrame,
+      domainCol: String = "lang"): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    TextOps.quality(batch.withColumn("text", Redact.clean(col("text"))))
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id"), col(domainCol), col("quality"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .join(idxFps.select("fp"), Seq("fp"), "left_anti")
+  }
+
+  /** Train-shard + budget-mix one batch's accepted survivors, with each
+    * domain's offsets CONTINUING at its persisted consumed counter —
+    * the genuinely new state of the full arrival mode: `mix_start` is
+    * the GLOBAL per-domain token offset (prior nights + this batch's
+    * hash-order prefix), so a domain an earlier night exhausted selects
+    * nothing tonight, and the budget boundary lands once, corpus-wide,
+    * exactly where the one-shot mix would put it under nightly arrival
+    * order. */
+  def mixBatch(acc: DataFrame, budgets: Seq[(String, Long)],
+      consumed: Map[String, Long], domainCol: String = "lang",
+      materialize: Boolean = false): DataFrame =
+    DomainMix.mix(
+        acc.filter(Sampling.hashBucket(col("doc_id")) < Sampling.TrainUpper),
+        domainCol, "n_tok", budgets, consumed, materialize)
+      .withColumnRenamed("tok_start", "mix_start")
+
+  /** Per-domain token totals of a mixed batch — the counter delta the
+    * state commit persists (bounded: one row per budgeted domain). */
+  private def consumedOf(mixed: DataFrame, domainCol: String): Map[String, Long] =
+    mixed.groupBy(domainCol).agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Declared key (`curation_incremental_full`): the EVERY-stage macro
+    * ([[Curation.curationFull]]: redact → quality → dedup → split →
+    * domain-mix → pack) in the two-night arrival mode. Night 1 = even
+    * docs from fresh state; night 2 = odd docs deduped against night 1's
+    * accepted fingerprints, MIXED from night 1's per-domain consumed
+    * counters, and packed from night 1's train total. The oracle chains
+    * both nights as CTEs and compares `mix_start` (pins budget
+    * continuation exactly — night 2's first fill per domain must equal
+    * night 1's consumed total) and `start_tok` (pins the pack cursor),
+    * so a seam in EITHER piece of state turns rows red. */
+  def curationIncrementalFull(spark: SparkSession, dir: String,
+      budgets: Seq[(String, Long)] = DomainMix.Budgets): DataFrame = {
+    import spark.implicits._
+    val docs = Redact.plantPii(Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang"))
+    val acc1 = acceptedFull(docs.filter(col("doc_id") % 2 === 0),
+        Seq.empty[String].toDF("fp"))
+      .localCheckpoint(true)
+    val mix1 = mixBatch(acc1, budgets, Map.empty, materialize = true)
+    val out1 = packBatchMixed(mix1, 0L, materialize = true)
+    val tot1 = out1.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    val cons1 = consumedOf(mix1, "lang")
+    val mix2 = mixBatch(
+      acceptedFull(docs.filter(col("doc_id") % 2 === 1), acc1.select("fp")),
+      budgets, cons1, materialize = true)
+    val out2 = packBatchMixed(mix2, tot1, materialize = true)
+    out1.withColumn("batch", lit(1))
+      .union(out2.withColumn("batch", lit(2)))
+      .select("batch", "doc_id", "lang", "quality", "n_tok", "mix_start",
+        "start_tok", "seq_id")
+      .orderBy("start_tok")
+  }
+
+  /** [[packBatch]] for an already-sharded-and-mixed frame (the shard and
+    * selection happened in [[mixBatch]]); carries the mix columns
+    * through packSequences unchanged. */
+  def packBatchMixed(mixed: DataFrame, offset: Long,
+      budget: Int = Packing.SeqBudget,
+      bucketWidth: Long = Packing.BucketWidth,
+      materialize: Boolean = false): DataFrame =
+    Packing.packSequences(mixed, "doc_id", "n_tok", budget, bucketWidth,
+      offset, materialize)
+
+  /** One nightly step of the FULL macro against the state at `path` —
+    * [[step]]'s protocol with the third piece of state: `budgets/`
+    * (one (domain, consumed) row per budgeted domain) commits atomically
+    * with the fp delta and the cursor under the same pending marker.
+    * fps of ALL accepted survivors enter the index, including docs the
+    * mix rejected for budget — dedup state and sampling state are
+    * independent: a budget-rejected doc is still SEEN text, and its
+    * future duplicates must die. */
+  def stepFull(spark: SparkSession, batch: DataFrame, path: String,
+      budgets: Seq[(String, Long)] = DomainMix.Budgets,
+      budget: Int = Packing.SeqBudget,
+      bucketWidth: Long = Packing.BucketWidth,
+      init: Boolean = false): DataFrame = {
+    import spark.implicits._
+    if (!init) recoverState(spark, path)
+    val (idxFps, cursor, consumed) =
+      if (init) (Seq.empty[String].toDF("fp"), 0L, Map.empty[String, Long])
+      else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
+        spark.read.parquet(s"$path/cursor").head().getLong(0),
+        spark.read.parquet(s"$path/budgets").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
+    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
+    val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
+      materialize = true)
+    val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    val delta = consumedOf(mixed, "lang")
+    val newConsumed = budgets.map { case (d, _) =>
+      d -> (consumed.getOrElse(d, 0L) + delta.getOrElse(d, 0L))
+    }
+    if (init) {
+      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps")
+      Seq(cursor + total).toDF("next_tok")
+        .write.mode("overwrite").parquet(s"$path/cursor")
+      newConsumed.toDF("lang", "consumed")
+        .write.mode("overwrite").parquet(s"$path/budgets")
+    } else {
+      stageAndCommit(spark, acc, cursor + total, path,
+        budgetRows = Some(newConsumed))
+      foldPending(path)
+      spark.catalog.refreshByPath(s"$path/fps")
+    }
+    out.select("doc_id", "lang", "quality", "n_tok", "mix_start",
+      "start_tok", "seq_id")
   }
 
   /** Declared key (`curation_incremental`): the two-batch fixture that

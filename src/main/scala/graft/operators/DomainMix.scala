@@ -53,12 +53,26 @@ object DomainMix {
     * nTokCol): returns the selected rows with their exclusive per-domain
     * token offset `tok_start` (in hash selection order — the quantity the
     * budget predicate tests, kept in the output so the cut is auditable).
-    */
+    *
+    * `consumed` carries per-domain token counters from PRIOR batches —
+    * the arrival mode ([[CurationIncremental]]): each domain's offsets
+    * CONTINUE at its counter, so a batch fills only the headroom earlier
+    * batches left, and a domain an earlier night exhausted selects
+    * nothing. Empty (the default) is the standalone batch form.
+    *
+    * `materialize = true` eagerly localCheckpoints the selection and
+    * releases the internal cache before returning ([[Packing
+    * .packSequences]]'s contract — required when mix runs inside a
+    * repeated job); the lazy default is the plan-audit hook. */
   def mix(docs: DataFrame, domainCol: String, nTokCol: String,
-      budgets: Seq[(String, Long)]): DataFrame = {
+      budgets: Seq[(String, Long)],
+      consumed: Map[String, Long] = Map.empty,
+      materialize: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val budgetDf = budgets.toDF(domainCol, "budget")
+    val budgetDf = budgets
+      .map { case (d, b) => (d, b, consumed.getOrElse(d, 0L)) }
+      .toDF(domainCol, "budget", "consumed")
     // Cache contract ([[graft.Caching]], the [[Packing.packSequences]]
     // discipline): both phases read `keyed`, so the narrow keyed frame is
     // persisted — without it the doc source (a 100 TB text scan + tokenize
@@ -87,13 +101,16 @@ object DomainMix {
     val wIn = Window.partitionBy(col(domainCol), col("bucket"))
       .orderBy("skey", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed
+    val selected = keyed
       .withColumn("tok_start",
         sum(nTokCol).over(wIn) - col(nTokCol))
       .join(broadcast(offsets), Seq(domainCol, "bucket"))
-      .withColumn("tok_start", col("tok_start") + col("boff"))
+      .withColumn("tok_start", col("tok_start") + col("boff") + col("consumed"))
       .filter(col("tok_start") < col("budget"))
-      .drop("skey", "bucket", "boff", "budget")
+      .drop("skey", "bucket", "boff", "budget", "consumed")
+    if (materialize)
+      graft.Caching.withCleanup(keyed)(selected.localCheckpoint(true))
+    else selected
   }
 
   /** Declared key (`domain_mix`): the language mix over the documents

@@ -20,7 +20,10 @@ class CacheHygieneSpec extends SparkSpec {
     "audio_phash_incremental", "bm25_serve",
     // packSequences persists internally; the incremental macro runs it
     // per night, so its key must release per call (materialize=true)
-    "curation_incremental")
+    "curation_incremental",
+    // the full arrival mode adds DomainMix.mix's internal persist — also
+    // bound per call via materialize=true
+    "curation_incremental_full")
 
   test("declared keys that persist internally release every cache") {
     spark.sharedState.cacheManager.clearCache()

@@ -120,6 +120,67 @@ class CurationIncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === refCursor)
   }
 
+  test("stepFull: budget counters carry across nights; an exhausted domain stops filling") {
+    import spark.implicits._
+    val dir = tmpDir("curinc-budget")
+    val budgets = Seq("en" -> 5L, "fr" -> 1000L)
+    // ids 1, 2, 4, 7 are known train-shard members (see the step spec);
+    // en's budget (5) is crossed by whichever en doc mixes first (6 toks
+    // — the boundary-crossing doc is kept, the next is rejected)
+    val n1 = Seq(
+      (2L, "en", "alpha beta gamma delta epsilon zeta"),
+      (4L, "en", "one two three four five six"),
+      (1L, "fr", "cinq six sept huit"),
+      (7L, "fr", "neuf dix onze douze")).toDF("doc_id", "lang", "text")
+    val out1 = CurationIncremental.stepFull(spark, n1, dir, budgets,
+      budget = 8, bucketWidth = 2, init = true)
+    val rows1 = out1.select("lang", "n_tok", "mix_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows1.count(_._1 == "en") === 1,
+      "exactly one en doc fits: the boundary-crossing doc is kept, the next is rejected")
+    assert(rows1.filter(_._1 == "fr").map(_._3).sorted.toSeq === Seq(0L, 4L))
+    val cons1 = spark.read.parquet(s"$dir/budgets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cons1 === Map("en" -> 6L, "fr" -> 8L),
+      "counters must equal the selected token sums")
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 14L)
+    // night 2: en is exhausted (6 ≥ 5) — its train doc must select
+    // NOTHING; fr continues exactly at its counter
+    val n2 = Seq(
+      (2L, "en", "zz1 zz2 zz3 zz4"),
+      (7L, "fr", "treize quatorze quinze seize")).toDF("doc_id", "lang", "text")
+    val out2 = CurationIncremental.stepFull(spark, n2, dir, budgets,
+      budget = 8, bucketWidth = 2)
+    val rows2 = out2.select("lang", "n_tok", "mix_start", "start_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows2.toSeq === Seq(("fr", 4L, 8L, 14L)),
+      "night 2: en exhausted selects nothing; fr continues at consumed=8, " +
+        "packing continues at cursor=14")
+    val cons2 = spark.read.parquet(s"$dir/budgets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cons2 === Map("en" -> 6L, "fr" -> 12L))
+    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 18L)
+  }
+
+  test("persisted stepFull two-step form equals the declared full key") {
+    import spark.implicits._
+    val docs = Redact.plantPii(graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang"))
+    val dir = tmpDir("curinc-full-eq")
+    def fullRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tok", "mix_start", "start_tok", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val s1 = CurationIncremental.stepFull(spark,
+      docs.filter(col("doc_id") % 2 === 0), dir, init = true)
+    val s2 = CurationIncremental.stepFull(spark,
+      docs.filter(col("doc_id") % 2 === 1), dir)
+    val persisted = fullRows(s1) ++ fullRows(s2)
+    val declared = fullRows(
+      CurationIncremental.curationIncrementalFull(spark, sf0001))
+    assert(declared.nonEmpty && persisted === declared)
+  }
+
   test("persisted two-step form equals the declared key's frames-as-index form") {
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val dir = tmpDir("curinc-eq")
