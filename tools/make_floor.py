@@ -63,6 +63,7 @@ def main():
     # keys; some floors came from local in-round runs whose stdout was never
     # committed).  A carried entry is still subject to the validity rule: its
     # recorded round must have the key green in CORRECTNESS_r{n}.json.
+    isolated = {}  # key -> {"isolated_sec": s, "isolated_round": r}
     prev_path = os.path.join(REPO, "FLOOR.json")
     if os.path.exists(prev_path):
         prev = json.load(open(prev_path)).get("keys", {})
@@ -72,7 +73,11 @@ def main():
                 continue
             row = json.load(open(corr_path)).get(key)
             if row is not None and row.get("err") is None:
-                floors[key] = dict(ent)
+                floors[key] = {"floor_sec": ent["floor_sec"],
+                               "round": ent["round"]}
+                if "isolated_sec" in ent:
+                    isolated[key] = {"isolated_sec": ent["isolated_sec"],
+                                     "isolated_round": ent["isolated_round"]}
     for bench_path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         rnd = int(re.search(r"BENCH_r(\d+)\.json", bench_path).group(1))
         bench = json.load(open(bench_path))
@@ -116,6 +121,7 @@ def main():
             corr = json.load(open(corr_path))
             ok_keys = {k for k, v in corr.items() if v.get("err") is None}
         timings = rec.get("queries_min") or rec.get("queries") or {}
+        is_keytime = rec.get("kind") == "keytime"
         for key, sec in timings.items():
             if key in err_keys or (ok_keys is not None and key not in ok_keys):
                 continue
@@ -125,6 +131,18 @@ def main():
             cur = floors.get(key)
             if cur is None or sec < cur["floor_sec"]:
                 floors[key] = {"floor_sec": sec, "round": rnd}
+            if is_keytime:
+                # era-refreshed isolated floor (r18): keytime runs the key
+                # through the exact Bench harness ISOLATED in a small fresh
+                # session, so its min is what the CURRENT box era can
+                # attain - keep the LATEST round's isolated min alongside
+                # the historical floor and adjudicate against it (adj_sec)
+                iso = isolated.get(key)
+                if (iso is None or rnd > iso["isolated_round"]
+                        or (rnd == iso["isolated_round"]
+                            and sec < iso["isolated_sec"])):
+                    isolated[key] = {"isolated_sec": sec,
+                                     "isolated_round": rnd}
     out = {
         "note": (
             "per-key minimum over every VALID recorded driver bench "
@@ -138,10 +156,24 @@ def main():
             "contribute (their own errors map carries rule 2; rule 3 "
             "cross-checks the matching round's correctness file when it "
             "exists). "
+            "Era refresh (r18): bench_runs records with kind='keytime' "
+            "carry ISOLATED per-key mins (fresh small session through the "
+            "exact Bench harness); the latest isolated min is kept beside "
+            "the historical floor as isolated_sec/isolated_round, and "
+            "adj_sec (isolated when present, else the floor) is the value "
+            "to adjudicate per-key ratios against - historical floors from "
+            "old box eras carry a ~1.4-1.6x era factor (BASELINE.md, r17 "
+            "keytime finding). "
             "Regenerate with tools/make_floor.py."
         ),
-        "keys": {k: floors[k] for k in sorted(floors)},
+        "keys": {},
     }
+    for k in sorted(floors):
+        ent = dict(floors[k])
+        if k in isolated:
+            ent.update(isolated[k])
+        ent["adj_sec"] = ent.get("isolated_sec", ent["floor_sec"])
+        out["keys"][k] = ent
     with open(os.path.join(REPO, "FLOOR.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("FLOOR.json: %d keys" % len(floors))
