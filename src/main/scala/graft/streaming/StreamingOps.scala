@@ -912,25 +912,74 @@ object StreamingOps {
   }
 
   /** Bounded-state variant of the streaming LINE dedup — the line
-    * member of the event-time-horizon family: a line is suppressed only
-    * while its hash is within the watermark horizon
-    * (`dropDuplicatesWithinWatermark` on the line fp, exactly
-    * [[streamingDocDedupBounded]] one granularity down), state evicted
-    * past it — the right tool when boilerplate storms cluster in time
-    * (refetch bursts, mirrored-page crawls) and the seen-set must not
-    * grow with every distinct line ever seen. Emits kept (doc_id, idx,
-    * line) rows like the unbounded form; NOTE the within-batch tie is
-    * the engine's pick (the unbounded form's lowest-(doc_id, idx)
-    * guarantee needs the custom fold — callers needing it within the
-    * horizon use that form). */
+    * member of the event-time-horizon family: a line is suppressed iff
+    * an EMITTED occurrence of the same line hash lies within `horizonMs`
+    * of it, and per-hash state (ONE long: the latest emitted millis) is
+    * evicted by EventTimeTimeout once the watermark passes its horizon —
+    * the right tool when boilerplate storms cluster in time (refetch
+    * bursts, mirrored-page crawls) and the seen-set must not grow with
+    * every distinct line ever seen.
+    *
+    * Tie contract (r18 — the family-wide guarantee, restored): within a
+    * micro-batch the LOWEST-(doc_id, idx) occurrence wins, exactly the
+    * unbounded forms' rule — the earlier `dropDuplicatesWithinWatermark`
+    * delegation left the within-batch winner as the engine's pick, so
+    * switching a pipeline between the bounded and unbounded members
+    * changed semantics no type surfaced; the custom timed fold (the
+    * [[streamingSubstringMarksBounded]] mechanics on the keep side)
+    * makes the switch semantics-preserving. As in the substring member,
+    * the single-long state means suppression is judged against the
+    * LATEST emitted occurrence — a straggler arriving more than a
+    * horizon before it re-emits even if an OLDER emitted occurrence was
+    * within its horizon (for any future-in-time arrival the latest IS
+    * the closest, so nothing is lost on the causal path). */
   def streamingLineDedupBounded(docs: DataFrame, tsCol: String,
-      delay: String): DataFrame =
-    docs.withWatermark(tsCol, delay)
-      .select(col("doc_id"), col(tsCol),
+      horizonMs: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("doc_id"), col("ts"),
         posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-      .withColumn("fp", md5(col("line")))
-      .dropDuplicatesWithinWatermark("fp")
-      .select(col("doc_id"), col("idx").cast("int").as("idx"), col("line"))
+      .select(md5(col("line")).as("fp"), col("doc_id"),
+        col("idx").cast("int").as("idx"), col("line"), col("ts"))
+      .as[(String, Long, Int, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Int, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, arrivals: Iterator[(String, Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            // anchor = latest emitted occurrence still within its horizon
+            var anchor = state.getOption.filter(_ + horizonMs >= wmMs)
+            // the tie contract: per-batch processing in (doc_id, idx)
+            // order, so the lowest occurrence claims the emission and its
+            // batch-mates suppress against it
+            val out = arrivals.toList.sortBy(t => (t._2, t._3)).flatMap {
+              case (_, docId, idx, line, t) =>
+                val tMs = t.getTime
+                if (anchor.exists(a => math.abs(tMs - a) <= horizonMs)) None
+                else {
+                  // a suppressed occurrence never extends the horizon;
+                  // an emitted one re-anchors it (latest-emitted wins)
+                  anchor = Some(anchor.fold(tMs)(math.max(_, tMs)))
+                  Some((docId, idx, line))
+                }
+            }
+            anchor.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(math.max(a + horizonMs, wmMs + 1))
+            }
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "idx", "line")
+  }
 
   /** Bounded-state variant of the AUDIO fingerprint dedup — the audio
     * twin of [[streamingMediaPhashPairsBounded]], completing the bounded

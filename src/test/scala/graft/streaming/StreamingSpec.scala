@@ -770,11 +770,17 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
     val q = StreamingOps.streamingLineDedupBounded(
-        in.toDF().toDF("ts", "doc_id", "text"), "ts", "5 seconds")
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", horizonMs = 5000L)
       .writeStream.format("memory").queryName("blines_out")
       .outputMode("append").start()
     try {
-      in.addData((ts(1), 1L, "alpha line\nbeta line"))
+      // within-batch tie: docs 1 and 10 BOTH carry "alpha line" in one
+      // micro-batch — the family contract says the lowest (doc_id, idx)
+      // wins, so doc 1's copy emits and doc 10's is suppressed (the
+      // pre-r18 dropDuplicatesWithinWatermark form left this to the
+      // engine's pick)
+      in.addData((ts(1), 1L, "alpha line\nbeta line"),
+        (ts(1), 10L, "alpha line\ndelta line"))
       q.processAllAvailable()
       // in-horizon: doc 2 repeats "beta line" → only its fresh line emits
       in.addData((ts(2), 2L, "beta line\ngamma line"))
@@ -789,8 +795,10 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.table("blines_out").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("line"))).toSet
       assert(kept === Set((1L, "alpha line"), (1L, "beta line"),
+        (10L, "delta line"),
         (2L, "gamma line"), (3L, "far line"), (4L, "beta line")),
-        s"expected in-horizon suppression and past-horizon re-emit, got $kept")
+        s"expected the lowest-(doc_id, idx) within-batch winner, in-horizon " +
+          s"suppression, and past-horizon re-emit, got $kept")
     } finally q.stop()
   }
 
