@@ -726,4 +726,71 @@ class PlanAuditSpec extends SparkSpec {
       "bucket-sorted one-file reads must elide the SMJ sorts:\n" + below)
     assert(count(below, "graft_bkt_") >= 2, "both sides read the bucketed artifacts")
   }
+
+  test("text_embed: document text never shuffles — exchanges carry vectors/bands only") {
+    // the embedding is ONE narrow codegen'd projection over the text scan
+    // (graft_hash_embed); everything after ships (doc_id, v/sig/band)
+    // rows, so every exchange must be text-free
+    graft.operators.TextEmbed.ensureTextFixture(spark)
+    val blocks = nodeBlocks(SparkEntry.queries("text_embed")(spark, sf))
+    val exchanges = blocks.filter(
+      _.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty, "expected the band/verify exchanges")
+    exchanges.foreach { b =>
+      val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+      assert(!out.contains("text"),
+        s"document text must never shuffle in the embedding pathway: $out")
+    }
+  }
+
+  test("curation_incremental_full: no text past the narrow projection; mix and pack stay bucketed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // audited through the lazy hooks (the declared key checkpoints its
+    // interiors): acceptedFull ships (doc_id, lang, quality, fp, n_tok),
+    // never the (scrubbed) text
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val acc = graft.operators.CurationIncremental.acceptedFull(
+      docs, Seq.empty[String].toDF("fp"))
+    nodeBlocks(acc)
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(!out.contains("text"),
+          s"document text must never shuffle in the full macro: $out")
+      }
+    // the mix + pack halves keep the two-phase prefix-sum guarantee: any
+    // SinglePartition exchange is a bounded summary frame (per-domain
+    // bucket offsets / the #buckets pack offsets), never docs
+    val packed = graft.operators.CurationIncremental.packBatchMixed(
+      graft.operators.CurationIncremental.mixBatch(
+        acc.filter(col("doc_id") < 200),
+        graft.operators.DomainMix.Budgets, Map("en" -> 100L)), 0L)
+    nodeBlocks(packed)
+      .filter(b => b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
+        && b.contains("SinglePartition"))
+      .foreach { b =>
+        val out = b.linesIterator.find(_.startsWith("Output")).getOrElse("")
+        assert(out.contains("bucket") || out.contains("btot") || out.contains("boff"),
+          s"the only SinglePartition steps are bounded summary frames: $b")
+      }
+  }
+
+  test("substring_drop_incremental: the span-mining half stays digest-only") {
+    // the cut join necessarily re-reads the text (the two-pass structure
+    // is inherent — detect then cut); but every exchange BELOW the span
+    // search must still be digest/position rows, and the text must only
+    // appear in the final cut join's inputs, never in a count/merge
+    // exchange (those are the corpus-sized ones)
+    val blocks = nodeBlocks(
+      SparkEntry.queries("substring_drop_incremental")(spark, sf))
+    val exchanges = blocks.filter(
+      _.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exchanges.nonEmpty)
+    val textCarrying = exchanges.filter(
+      _.linesIterator.find(_.startsWith("Output")).exists(_.contains("text")))
+    assert(textCarrying.isEmpty,
+      "exchanges must carry digests/positions/spans — the text reaches the " +
+        "cut through its scan-side join input, not a shuffle")
+  }
 }
