@@ -214,6 +214,11 @@ object SparkEntry {
       (SubstringIncremental.substringDropIncremental _),
     // §2.7 [EXT] incremental dedup: batch vs persisted fingerprint index
     "dedup_incremental" -> (IncrementalDedup.dedupIncremental _),
+    // the index's operational lifecycle certified end-to-end: build in
+    // nightly appends → compact (crash-safe bucket swap) → retract (the
+    // takedown path) → dedup a batch against the maintained index; the
+    // oracle recomputes survivors from the parity/modulus rules alone
+    "dedup_index_lifecycle" -> (IndexMaintenance.dedupIndexLifecycle _),
     // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
     // E14 arrival discipline for the MinHash family; exact-Jaccard verify
     // over the index's hashed shingle sets keeps the verdict oracle-exact)
@@ -1669,6 +1674,25 @@ object SparkEntry {
          |       COALESCE(agg.clean_fp, md5('')) AS clean_fp
          |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
          |ORDER BY tok.doc_id""".stripMargin,
+    // the lifecycle key: the index is the even docs' fps built in four
+    // appends, compacted, MINUS the retracted (doc_id % 10 = 0) docs'
+    // fps — a retracted fp no longer suppresses, so an odd duplicate of
+    // a retracted even doc SURVIVES; everything else is dedup_incremental
+    "dedup_index_lifecycle" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |idx AS (
+        |  SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 = 0 AND doc_id % 2 = 0)),
+        |b AS (
+        |  SELECT doc_id, lang, n_chars, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM f WHERE doc_id % 2 = 1)
+        |SELECT doc_id, fp, lang, n_chars FROM b
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
+        |ORDER BY doc_id""".stripMargin,
     // incremental dedup: even doc_ids are the accumulated corpus (their
     // distinct fingerprints are the index), odd doc_ids the arriving
     // batch; survivors are in-batch keep-first minus index membership

@@ -110,14 +110,16 @@ object IndexMaintenance {
   private def manifest(path: String): Path =
     stagingDir(path).resolve("_BUCKETS")
 
-  /** Bucket partition dir names (`bucket=N`) under the live index. */
-  private def liveBucketDirs(path: String): Seq[Path] =
+  /** Partition dir names (`<partCol>=N`) under the live index — the
+    * hash-bucketed indexes use `bucket`; the IVF inverted file is the
+    * same layout under `cid` (every operator here takes the column). */
+  private def liveBucketDirs(path: String, partCol: String): Seq[Path] =
     listDir(Paths.get(path)).filter(d => Files.isDirectory(d) &&
-      d.getFileName.toString.startsWith("bucket="))
+      d.getFileName.toString.startsWith(partCol + "="))
 
-  /** Fragment (data file) count per live bucket dir name. */
-  def fragmentCounts(path: String): Map[String, Int] =
-    liveBucketDirs(path)
+  /** Fragment (data file) count per live partition dir name. */
+  def fragmentCounts(path: String, partCol: String = "bucket"): Map[String, Int] =
+    liveBucketDirs(path, partCol)
       .map(d => d.getFileName.toString -> dataFiles(d).size).toMap
 
   /** Steps 2-3: manifest + marker. The staged bucket dirs must already
@@ -139,7 +141,7 @@ object IndexMaintenance {
           .split("\n").toSeq.filter(_.nonEmpty)
       else // manifest lost mid-cleanup: staged dirs are the remaining work
         listDir(staged).filter(d => Files.isDirectory(d) &&
-            d.getFileName.toString.startsWith("bucket="))
+            d.getFileName.toString.contains("="))
           .map(_.getFileName.toString)
     buckets.foreach { b =>
       val src = staged.resolve(b)
@@ -184,16 +186,16 @@ object IndexMaintenance {
     * the `affected` buckets (with the `bucket` column; a bucket absent
     * from `rewritten` but named in `affected` is deleted). */
   private def replaceBuckets(spark: SparkSession, path: String,
-      rewritten: DataFrame, affected: Seq[Int]): Unit = {
+      rewritten: DataFrame, affected: Seq[Int], partCol: String): Unit = {
     recoverIndex(path)
     if (affected.isEmpty) return
     // one job, one output file per bucket dir: hash-repartition on the
     // bucket value co-locates each bucket's rows in one task
     rewritten
-      .repartition(math.max(1, affected.size), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .repartition(math.max(1, affected.size), col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
       .parquet(stagingDir(path).toString)
-    commitStaging(path, affected.map(b => s"bucket=$b"))
+    commitStaging(path, affected.map(b => s"$partCol=$b"))
     foldStaging(path)
     spark.catalog.refreshByPath(path)
   }
@@ -213,15 +215,15 @@ object IndexMaintenance {
     * buckets is minutes, amortized O(1) per append since each bucket
     * compacts once per `maxFragments` appends. */
   def compactIndex(spark: SparkSession, path: String,
-      maxFragments: Int = MaxFragments): Int = {
+      maxFragments: Int = MaxFragments, partCol: String = "bucket"): Int = {
     recoverIndex(path)
-    val affected = fragmentCounts(path)
+    val affected = fragmentCounts(path, partCol)
       .filter(_._2 > maxFragments).keys.toSeq
-      .map(_.stripPrefix("bucket=").toInt).sorted
+      .map(_.stripPrefix(partCol + "=").toInt).sorted
     if (affected.nonEmpty) {
       val live = spark.read.parquet(path)
       replaceBuckets(spark, path,
-        live.filter(col("bucket").isin(affected: _*)), affected)
+        live.filter(col(partCol).isin(affected: _*)), affected, partCol)
     }
     affected.size
   }
@@ -240,21 +242,57 @@ object IndexMaintenance {
     * twin). For the SHARED-evidence digest index see
     * [[SubstringIncremental.retractDocs]], which recounts remaining
     * support before delegating here. */
+  /** Declared key (`dedup_index_lifecycle`): the whole lifecycle as one
+    * oracle-gated query — an fp index is built from the EVEN documents in
+    * four nightly appends (fragment accretion), COMPACTED, then every
+    * 10th even document's fingerprint is RETRACTED (the takedown), and
+    * the ODD documents arrive as a batch deduped against the maintained
+    * index. The DuckDB oracle recomputes the survivor set from the
+    * parity/modulus rules alone (in-batch keep-first, fp ∉ even-fps
+    * minus retracted-fps), so a regression in the append layout, the
+    * compaction swap (a lost or duplicated row), or the retraction
+    * anti-join turns rows red — identical-verdicts-after-maintenance,
+    * certified through the same gate as every operator. */
+  def dedupIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "n_chars")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lifecycle").toString
+    // four "nightly" appends: even docs sliced by doc_id mod 8
+    (0 until 4).foreach { k =>
+      IncrementalDedup.writeFpIndex(
+        IncrementalDedup.fingerprints(
+          even.filter(pmod(col("doc_id"), lit(8)) === 2 * k))
+          .select("fp").distinct(),
+        path, nBuckets = 8, append = k > 0)
+    }
+    compactIndex(spark, path, maxFragments = 1)
+    retractKeys(spark, path, "fp",
+      IncrementalDedup.fingerprints(even.filter(col("doc_id") % 10 === 0))
+        .select("fp"))
+    IncrementalDedup.dedupAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        spark.read.parquet(path).select("fp"))
+      .select("doc_id", "fp", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def retractKeys(spark: SparkSession, path: String, keyCol: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame, partCol: String = "bucket"): Long = {
     recoverIndex(path)
     val live = spark.read.parquet(path)
     val k = broadcast(keys.select(col(keys.columns.head).as(keyCol)).distinct())
     val hit = live.join(k, Seq(keyCol), "left_semi")
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .groupBy(partCol).agg(count(lit(1)).as("n"))
       .collect()
-    val affected = hit.map(_.getAs[Int]("bucket")).toSeq.sorted
+    val affected = hit.map(_.getAs[Int](partCol)).toSeq.sorted
     val removed = hit.map(_.getAs[Long]("n")).sum
     if (affected.nonEmpty)
       replaceBuckets(spark, path,
-        live.filter(col("bucket").isin(affected: _*))
+        live.filter(col(partCol).isin(affected: _*))
           .join(k, Seq(keyCol), "left_anti"),
-        affected)
+        affected, partCol)
     removed
   }
 }

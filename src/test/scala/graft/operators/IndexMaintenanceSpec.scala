@@ -150,6 +150,54 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(fpSet(dir) === all.map(_._1).toSet -- victimFps)
   }
 
+  test("media takedown: a media_id leaves both sub-tables; its twin is then accepted") {
+    val dir = tmpDir("retract-media")
+    // synthetic 64-bit hashes: ids 0..19, hash = id * large odd constant
+    val hashes = (0 until 20).map(i => (i.toLong, i * 0x9E3779B97F4A7C15L))
+      .toDF("media_id", "phash")
+    PhashIncremental.writePhashIndex(hashes, dir, nBuckets = 4)
+    val doomed = Seq(7L).toDF("media_id")
+    val nBands = IndexMaintenance.retractKeys(spark, s"$dir/bands",
+      "media_id", doomed)
+    val nHashes = IndexMaintenance.retractKeys(spark, s"$dir/hashes",
+      "media_id", doomed)
+    assert(nBands === graft.operators.ImagePhash.Bands.toLong && nHashes === 1L,
+      "every band posting and the hash row of the retracted id must go")
+    // an exact twin of the retracted id's hash now SURVIVES the dedup
+    val (idxBands, idxHashes) = PhashIncremental.readPhashIndex(spark, dir)
+    val twin = Seq((900L, 7L * 0x9E3779B97F4A7C15L)).toDF("media_id", "phash")
+    val drops = PhashIncremental.nearDupDrops(twin, idxBands, idxHashes)
+    assert(drops.count() === 0L,
+      "a retracted media_id must no longer suppress a future twin")
+  }
+
+  test("IVF takedown: retractKeys on the cid-partitioned inverted file") {
+    val dir = tmpDir("retract-ivf")
+    // small clustered embedding set through the real index writer
+    val emb = ProductQuant.normalized(
+      spark.range(64).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          (pmod(col("id"), lit(4L)) * 8 + j).cast("double") + 1.0).as("v")))
+    ProductQuant.writeIvfPqIndex(spark, dir, emb, c = 4, m = 4)
+    val before = spark.read.parquet(s"$dir/assigned").count()
+    val removed = IndexMaintenance.retractKeys(spark, s"$dir/assigned",
+      "vec_id", Seq(13L).toDF("vec_id"), partCol = "cid")
+    assert(removed === 1L)
+    val after = spark.read.parquet(s"$dir/assigned")
+    assert(after.count() === before - 1)
+    assert(after.filter(col("vec_id") === 13L).count() === 0L)
+    // the index still serves: a query near vec 13's cluster returns
+    // neighbors, none of them the retracted id
+    val (assigned, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, dir)
+    val q = emb.filter(col("vec_id") === 13L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val served = ProductQuant.ivfPqSearch(assigned,
+        assigned.select("vec_id", "v"), q, centroids, cbs, k = 3, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && !served.contains(13L),
+      "a retracted vector must never be served again")
+  }
+
   test("digest-index takedown keeps shared evidence (retractDocs recount)") {
     val dir = tmpDir("retract-digest")
     val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
