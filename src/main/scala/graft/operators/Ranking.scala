@@ -116,9 +116,12 @@ object Ranking {
     pmod(xxhash64(t), lit(PostingBuckets)).cast("int")
 
   /** Serving location of the BM25 index — corpus-fingerprinted (the
-    * BPE-merge-table discipline) and completion-marker-gated. */
+    * BPE-merge-table discipline) and completion-marker-gated. The v2 in
+    * the prefix is a LAYOUT version (r18: doclen gained its doc_id
+    * bucketing for the takedown path) — layout changes must rotate the
+    * path or a stale artifact under the old layout would be served. */
   def bm25IndexPath(dir: String): String =
-    "target/fixtures/bm25_" + Tables.corpusFingerprint(dir, "documents")
+    "target/fixtures/bm25_v2_" + Tables.corpusFingerprint(dir, "documents")
 
   /** Build (at most once per corpus) the query-INDEPENDENT serving
     * artifact a production retrieval deployment persists instead of
@@ -134,28 +137,61 @@ object Ranking {
     val path = bm25IndexPath(dir)
     if (!Tables.artifactComplete(path)) synchronized {
       if (!Tables.artifactComplete(path)) {
-        // Deliberately NOT cached: the tokenized corpus is an
-        // array-of-strings per doc — caching it (memory OR disk) starves
-        // the posting aggregation's hash maps and OOMs at the 10M-doc
-        // probe. Each sub-table re-streams the parquet scan instead; the
-        // tokenize is a narrow codegen'd projection, and a build is a
-        // once-per-corpus event — streaming three passes is the
-        // 100 TB-safe shape.
-        def toks = Tables.documents(spark, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        toks.select(col("doc_id"), explode(col("toks")).as("term"))
-          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", termBucket(col("term")))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$path/postings")
-        toks.select(col("doc_id"), size(col("toks")).as("dl"))
-          .write.mode("overwrite").parquet(s"$path/doclen")
-        toks.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dlsum"))
-          .write.mode("overwrite").parquet(s"$path/stats")
+        buildBm25Index(spark,
+          Tables.documents(spark, dir).select("doc_id", "text"), path)
         Tables.markArtifactComplete(path)
       }
     }
     path
+  }
+
+  /** The index build over ANY (doc_id, text) frame — factored from
+    * [[ensureBm25Index]] so the takedown spec can build throwaway
+    * indexes without touching the shared corpus artifact.
+    *
+    * Deliberately NOT cached: the tokenized corpus is an
+    * array-of-strings per doc — caching it (memory OR disk) starves
+    * the posting aggregation's hash maps and OOMs at the 10M-doc
+    * probe. Each sub-table re-streams the text scan instead; the
+    * tokenize is a narrow codegen'd projection, and a build is a
+    * once-per-corpus event — streaming three passes is the
+    * 100 TB-safe shape. `doclen` buckets on doc_id (r18) so the
+    * takedown path can rewrite only the containing buckets. */
+  private[operators] def buildBm25Index(spark: SparkSession,
+      docs: DataFrame, path: String): Unit = {
+    def toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(PostingBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/doclen")
+    toks.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dlsum"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Takedown for the BM25 serving artifact ([[IndexMaintenance
+    * .retractKeys]] applied to both doc-keyed sub-tables, then the
+    * corpus stats RECOMPUTED from the surviving doclen — one narrow
+    * 16 B/doc scan, so the three pieces converge idempotently if a
+    * crash lands between them). After retraction, serving is bit-equal
+    * to an index freshly built without the retracted documents
+    * (spec-pinned): dfs are computed from the postings at query time,
+    * and (n, dlsum, avgdl) come from the recomputed stats row. Returns
+    * the number of documents removed from doclen. */
+  def retractFromBm25(spark: SparkSession, path: String,
+      ids: DataFrame): Long = {
+    IndexMaintenance.retractKeys(spark, s"$path/postings", "doc_id", ids)
+    val removed = IndexMaintenance.retractKeys(spark, s"$path/doclen",
+      "doc_id", ids)
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"), sum("dl").as("dlsum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    removed
   }
 
   /** Declared key (`bm25_serve`): the SAME ranking as [[bm25Topk]],
@@ -170,8 +206,14 @@ object Ranking {
     * term score 0 in the scan form and are absent here; equality holds
     * whenever ≥ k docs match, which the fixed [[QueryTerms]] guarantee
     * at every shipped SF (dfs are in the hundreds at sf0.001). */
-  def bm25Serve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val path = ensureBm25Index(spark, dir)
+  def bm25Serve(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    serveFromIndex(spark, ensureBm25Index(spark, dir), k)
+
+  /** [[bm25Serve]]'s body over an EXPLICIT index path — factored so the
+    * takedown spec can serve throwaway indexes (the shared corpus
+    * artifact must never be mutated by a test). */
+  private[operators] def serveFromIndex(spark: SparkSession, path: String,
+      k: Int): DataFrame = {
     // Deliberately NOT cached: the per-doc tf aggregation and the df row
     // each read the postings once, but both reads are bucket-pruned to the
     // query terms' partitions — two pruned scans of a few-bucket slice are

@@ -198,6 +198,30 @@ class IndexMaintenanceSpec extends SparkSpec {
       "a retracted vector must never be served again")
   }
 
+  test("BM25 takedown: post-retraction serving is bit-equal to a fresh build") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val idxA = tmpDir("bm25-take")
+    Ranking.buildBm25Index(spark, docs, idxA)
+    // retract two docs that actually RANK for the fixed query — the
+    // strongest witness: they vanish AND every surviving score/rank is
+    // exactly what a never-indexed corpus would serve (dfs recompute
+    // from postings, stats from the surviving doclen)
+    val doomed = Ranking.serveFromIndex(spark, idxA, 10).collect()
+      .take(2).map(_.getAs[Long]("doc_id"))
+    val removed = Ranking.retractFromBm25(spark, idxA,
+      doomed.toSeq.toDF("doc_id"))
+    assert(removed === 2L)
+    val idxB = tmpDir("bm25-fresh")
+    Ranking.buildBm25Index(spark,
+      docs.filter(!col("doc_id").isin(doomed.toSeq: _*)), idxB)
+    def rows(path: String) = Ranking.serveFromIndex(spark, path, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val after = rows(idxA)
+    assert(after === rows(idxB),
+      "retraction must serve exactly what a fresh index without the docs serves")
+    assert(!after.exists(r => doomed.contains(r._2)))
+  }
+
   test("digest-index takedown keeps shared evidence (retractDocs recount)") {
     val dir = tmpDir("retract-digest")
     val s10 = (1 to 10).map(j => s"s$j").mkString(" ")
