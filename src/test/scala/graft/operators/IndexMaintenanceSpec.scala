@@ -198,6 +198,34 @@ class IndexMaintenanceSpec extends SparkSpec {
       "a retracted vector must never be served again")
   }
 
+  test("MinHash takedown: a doc_id leaves bands and sets; its near-twin is then accepted") {
+    val dir = tmpDir("retract-minhash")
+    // 20 distinct 12-token docs through the real writer (bands + sets)
+    val docs = (0 until 20).map(i =>
+      (i.toLong, (1 to 12).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    MinHashIncremental.writeBandIndex(
+      MinHashIncremental.prepared(docs), dir)
+    val doomed = Seq(7L).toDF("doc_id")
+    val nBands = IndexMaintenance.retractKeys(spark,
+      MinHashIncremental.bandsSubPath(dir), "doc_id", doomed)
+    val nSets = IndexMaintenance.retractKeys(spark, s"$dir/sets",
+      "doc_id", doomed)
+    assert(nBands > 0 && nSets === 1L,
+      "the retracted doc's band postings and shingle set must both go")
+    // an exact near-twin of doc 7 (same text) now SURVIVES the dedup;
+    // a twin of a non-retracted doc still dies
+    val (idxBands, idxSets) = MinHashIncremental.readBandIndex(spark, dir)
+    val twins = Seq((900L, (1 to 12).map(j => s"d7w$j").mkString(" ")),
+      (901L, (1 to 12).map(j => s"d3w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val survivors = MinHashIncremental.dedupNearAgainst(
+        twins, idxBands, idxSets, materialize = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(900L),
+      "retraction must readmit the retracted doc's twin and nothing else")
+  }
+
   test("BM25 takedown: post-retraction serving is bit-equal to a fresh build") {
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val idxA = tmpDir("bm25-take")
