@@ -280,6 +280,10 @@ object ProductQuant {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encode(emb, cbs)
       .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+      // one file per touched list per append (the IncrementalDedup
+      // .writeFpIndex fragment-accretion rationale); nightly cadences
+      // compact via IndexMaintenance.compactIndex(path, partCol = "cid")
+      .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
     emb.unpersist(blocking = false)
   }
