@@ -84,6 +84,11 @@ object Probe {
         incBudgetProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
           nBatch = args.lift(2).map(_.toInt).getOrElse(200000))
+      case Some("textinc") =>
+        textIncProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(200000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(200000),
+          nTwin = args.lift(3).map(_.toInt).getOrElse(10000))
       case Some("textann") =>
         textAnnProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -2287,6 +2292,81 @@ object Probe {
       "incremental dedup must kill clones, keep pair winners, keep fresh")
     assert(idxCard == nIdx + expect,
       "append must add exactly the survivor fingerprints")
+  }
+
+  /** `text_embed_incremental` at scale — the E14 probe shape on the text
+    * embedding, at the geometry the corpus size calls for (the fixture's
+    * 8-bit × 4-table bands are the ≤10k geometry; here 16-bit × 12-table
+    * bands keep random collisions at ~n²·4·12/65536 candidate pairs
+    * while the extra tables buy back the per-table recall wider bands
+    * cost). An `nIdx`-doc topical corpus's bands + vectors persist; an
+    * `nBatch`-doc batch arrives with `nTwin/2` paraphrase twins of INDEX
+    * docs (cross-index deaths), `nTwin/2` in-batch paraphrase pairs (one
+    * death each), rest fresh — twins are 1-token edits (cosine ~0.98,
+    * the tightest honest paraphrase; per-pair band miss ~2e-10 at this
+    * geometry). Verify threshold 0.85: planted twins sit ≥ ~0.97 and the
+    * corpus's max same-topic cosine ~0.7, so the planted survivor set is
+    * asserted EXACTLY. */
+  def textIncProbe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nTwin: Int): Unit = {
+    import graft.operators.TextEmbed
+    require(nBatch >= nTwin && nIdx >= nTwin / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-textinc").toString
+    val nTopics = 1024
+    val (bandBits, nTables, threshold) = (16, 12, 0.85)
+    // the textann topical corpus shape; swapIdx < 0 → no edit
+    def toksOf(docId: Column, swapAt: Column): Column =
+      concat_ws(" ", transform(sequence(lit(0), lit(59)), j => {
+        val core = concat(lit("t"), pmod(docId, lit(nTopics.toLong)),
+          lit("c"), pmod(xxhash64(docId, j), lit(40L)))
+        val broad = concat(lit("w"), pmod(xxhash64(docId, j, lit("b")), lit(1000000L)))
+        when(j === swapAt, concat(lit("s"), j))
+          .otherwise(when(j < 20, core).otherwise(broad))
+      }))
+    val idxDocs = spark.range(nIdx).select(col("id").as("doc_id"),
+      toksOf(col("id"), lit(-1)).as("text"))
+    timed(s"text-embed index build: $nIdx docs, ${bandBits}-bit × $nTables tables") {
+      TextEmbed.writeTextEmbedIndex(
+        TextEmbed.embedText(idxDocs), dir,
+        bandBits = bandBits, nTables = nTables)
+    }
+    // batch ids nIdx… (b = id - nIdx):
+    //   b < nTwin/2            → 1-token-edit twin of INDEX doc b
+    //   nTwin/2 ≤ b < nTwin    → in-batch pairs: content keyed by
+    //                            (b - nTwin/2) div 2; the EVEN member is
+    //                            unedited, the ODD a 1-token edit of it
+    //   else                   → fresh
+    val half = nTwin / 2
+    val bid = col("doc_id") - nIdx
+    val pairSeed = (col("doc_id") - nIdx - half).divide(2).cast("long") + 3000000L
+    val batch = spark.range(nIdx, nIdx.toLong + nBatch)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(bid < half, toksOf(bid, lit(37)))
+          .when(bid < nTwin,
+            when(pmod(bid, lit(2)) === 0, toksOf(pairSeed, lit(-1)))
+              .otherwise(toksOf(pairSeed, lit(37))))
+          .otherwise(toksOf(col("doc_id") + 7000000L, lit(-1)))
+          .as("text"))
+    val (idxBands, idxVecs) = TextEmbed.readTextEmbedIndex(spark, dir,
+      bandBits, nTables)
+    val survivors = timed(s"incremental step: $nBatch-doc batch vs $nIdx-doc index") {
+      val s = TextEmbed.dedupEmbedAgainst(batch, idxBands, idxVecs,
+        materialize = true, threshold, bandBits, nTables)
+      s.count(); s
+    }
+    val got = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    // expected: cross twins die; in-batch pairs keep their EVEN member;
+    // fresh survive
+    val expect = (nIdx.toLong + half until nIdx.toLong + nTwin)
+      .filter(id => (id - nIdx - half) % 2 == 0).toSet ++
+      (nIdx.toLong + nTwin until nIdx.toLong + nBatch).toSet
+    println(s"[probe] textinc: survivors ${got.size} (expected ${expect.size}); " +
+      s"cross-twin leaks ${got.count(_ < nIdx + half)}, " +
+      s"wrong-pair-member ${((got -- expect) -- (expect -- got)).size}")
+    assert(got == expect,
+      "survivor set must be exactly the planted truth — cross twins die, " +
+        "pair winners keep, fresh survive, zero spurious kills")
   }
 
   /** `text_ann` at scale: 1M topical documents embedded by

@@ -158,6 +158,11 @@ object SparkEntry {
     // docs indexed once, planted paraphrase twins served as the query
     // batch — top-1 must be the planted base for every twin
     "text_ann"      -> (TextEmbed.textAnnQuery _),
+    // the text-embedding family's ARRIVAL MODE (the media_phash_incremental
+    // parity harness on hashed n-gram vectors): arriving docs near-dedup
+    // against a persisted signature-band + vector index — even bases are
+    // the curated corpus, odd bases + all paraphrase twins arrive
+    "text_embed_incremental" -> (TextEmbed.textEmbedIncremental _),
     "lang_id"       -> (TextOps.langId _),
     "token_count"   -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -992,6 +997,15 @@ object SparkEntry {
     "text_embed" ->
       s"""SELECT doc_id, twin_of AS dup_of, twin_of IS NULL AS keep
          |FROM read_parquet('${TextEmbed.textFixturePath}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    // the text arrival mode: survivors must be exactly the odd bases —
+    // twins of even bases die against the index, twins of odd bases die
+    // in-batch against their lower-id base; the oracle answers from the
+    // planted kind/parity metadata the Spark plan never reads
+    "text_embed_incremental" ->
+      s"""SELECT doc_id
+         |FROM read_parquet('${TextEmbed.textFixturePath}/*.parquet')
+         |WHERE kind = 'base' AND doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
     // text serving: every paraphrase twin, served against the persisted
     // IVFADC index of the 400 base documents, must come back with its own

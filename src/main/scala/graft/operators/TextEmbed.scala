@@ -208,6 +208,189 @@ object TextEmbed {
       .withColumn("keep", col("dup_of").isNull)
   }
 
+  // ------------------------------------ arrival mode (the E14 discipline)
+
+  /** Deterministic coordinate images of `v` whose induced hyperplane
+    * sets are independent: rotations composed with reversal — table 2k
+    * rotates by k, table 2k+1 is its reversal (table 0/1 ≡ the
+    * [[textNearDup]] identity/reverse pair). */
+  private def tableImages(n: Int): Seq[Column] =
+    (0 until n).map { ti =>
+      val k = ti / 2
+      val rot = if (k == 0) col("v")
+        else concat(slice(col("v"), k + 1, Dim - k), slice(col("v"), 1, k))
+      if (ti % 2 == 0) rot else reverse(rot)
+    }
+
+  /** The banded probe surface of an embedding frame across `nTables`
+    * OR-amplified tables at `bandBits`-bit bands: one (doc_id, tbl, b,
+    * bv) row per (table, band) — the index's probe currency, factored so
+    * batch and index build the identical shape (the [[PhashIncremental
+    * .bandRows]] discipline). GEOMETRY SCALES WITH THE CORPUS: random
+    * band collisions run ~n²·(64/bandBits)·nTables/2^bandBits pairs, so
+    * 8-bit bands are the ≤10k-doc geometry (the fixture) and 16-bit
+    * bands with more tables the 10⁵-10⁶ one (the probe runs 16×12 at
+    * 200k); recall per table falls as bands get wider, which the extra
+    * tables buy back — the classic banding trade, spelled out in the
+    * probe record. A persisted index stamps its geometry into the band
+    * sub-path ([[writeTextEmbedIndex]]) so a probe under one geometry
+    * can never silently read bands built under another. */
+  def bandRowsAll(emb: DataFrame, bandBits: Int = BandBits,
+      nTables: Int = 4): DataFrame = {
+    val nBands = 64 / bandBits
+    tableImages(nTables).zipWithIndex.map { case (t, ti) =>
+      emb.select(col("doc_id"), lit(ti).as("tbl"),
+          Similarity.simhashFor(emb, t, 64).as("sig"))
+        .select(col("doc_id"), col("tbl"),
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("b"),
+              shiftrightunsigned(col("sig"), bandBits * b)
+                .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("band"))
+        .select(col("doc_id"), col("tbl"),
+          col("band.b").as("b"), col("band.bv").as("bv"))
+    }.reduce(_ union _)
+  }
+
+  /** Doc_ids of `batchEmb` documents within cosine ≥ `threshold` of a
+    * LOWER-id batch document or ANY index document — [[textNearDup]]'s
+    * mining against a persisted index: candidates from the (tbl, b, bv)
+    * equi-joins (narrow rows both sides), exact-cosine verify on
+    * candidates only, vectors re-joined by id. */
+  def nearDupDropsText(batchEmb: DataFrame, idxBands: DataFrame,
+      idxVecs: DataFrame, threshold: Double = CosThreshold,
+      bandBits: Int = BandBits, nTables: Int = 4): DataFrame = {
+    val bb = bandRowsAll(batchEmb, bandBits, nTables)
+    val inCand = bb.as("x").join(bb.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.b") === col("y.b") &&
+          col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
+      .distinct()
+    val inDrops = inCand
+      .join(batchEmb.select(col("doc_id").as("lo"), col("v").as("v_lo")), "lo")
+      .join(batchEmb.select(col("doc_id").as("hi"), col("v").as("v_hi")), "hi")
+      .filter(Similarity.cosineFor(batchEmb, col("v_lo"), col("v_hi")) >= threshold)
+      .select(col("hi").as("doc_id"))
+    val crossCand = bb.as("x").join(idxBands.as("i"),
+        col("x.tbl") === col("i.tbl") && col("x.b") === col("i.b") &&
+          col("x.bv") === col("i.bv"))
+      .select(col("x.doc_id").as("doc_id"), col("i.doc_id").as("idx_id"))
+      .distinct()
+    val crossDrops = crossCand
+      .join(batchEmb.select(col("doc_id"), col("v").as("v_b")), Seq("doc_id"))
+      .join(idxVecs.select(col("doc_id").as("idx_id"), col("v").as("v_i")),
+        Seq("idx_id"))
+      .filter(Similarity.cosineFor(batchEmb, col("v_b"), col("v_i")) >= threshold)
+      .select("doc_id")
+    inDrops.union(crossDrops).distinct()
+  }
+
+  /** Dedup `batch` (doc_id, text, carry…) within itself and against an
+    * index given as frames — the [[PhashIncremental.dedupHashedAgainst]]
+    * shape on the text embedding: `materialize = true` persists the
+    * batch embedding for its ~5 probe/verify references and releases it
+    * before returning; the lazy default is the plan-audit hook. */
+  def dedupEmbedAgainst(batch: DataFrame, idxBands: DataFrame,
+      idxVecs: DataFrame, materialize: Boolean = false,
+      threshold: Double = CosThreshold, bandBits: Int = BandBits,
+      nTables: Int = 4): DataFrame = {
+    if (!materialize)
+      batch.join(nearDupDropsText(embedText(batch), idxBands, idxVecs,
+          threshold, bandBits, nTables),
+        Seq("doc_id"), "left_anti")
+    else {
+      val emb = embedText(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Caching.withCleanup(emb) {
+        batch.join(nearDupDropsText(emb, idxBands, idxVecs,
+            threshold, bandBits, nTables),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+  }
+
+  /** Persist (or append) an embedding frame's probe + verify surfaces:
+    * `bands/` (doc_id, tbl, b, bv) bucketed by bv and `vecs/`
+    * (doc_id, v) bucketed by doc_id hash — ~0.6 KB/doc total, one file
+    * per touched bucket per append ([[IncrementalDedup.writeFpIndex]]'s
+    * fragment-accretion discipline; [[IndexMaintenance]] compacts and
+    * retracts this layout like every other index). */
+  /** Geometry-stamped band sub-path (the [[MinHashIncremental
+    * .bandsSubPath]] discipline): bands built under one (bandBits,
+    * nTables) probed under another find the wrong (tbl, b, bv) keys and
+    * would leak near-dups SILENTLY — a stamped path makes the stale
+    * geometry invisible instead. */
+  def bandsPath(path: String, bandBits: Int, nTables: Int): String =
+    s"$path/bands_b${bandBits}t$nTables"
+
+  def writeTextEmbedIndex(emb: DataFrame, path: String,
+      nBuckets: Int = 64, append: Boolean = false,
+      bandBits: Int = BandBits, nTables: Int = 4): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    bandRowsAll(emb, bandBits, nTables)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket")
+      .parquet(bandsPath(path, bandBits, nTables))
+    emb.select(col("doc_id"), col("v"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/vecs")
+  }
+
+  def readTextEmbedIndex(spark: SparkSession, path: String,
+      bandBits: Int = BandBits, nTables: Int = 4): (DataFrame, DataFrame) =
+    (spark.read.parquet(bandsPath(path, bandBits, nTables)),
+      spark.read.parquet(s"$path/vecs"))
+
+  /** One full incremental step: near-dedup `batch` against the index at
+    * `path`, append the survivors' bands + vectors, return the
+    * survivors — survivors eagerly checkpointed BEFORE the append (the
+    * [[IncrementalDedup.step]] guard, verbatim). `init = true` starts
+    * fresh state. */
+  def step(spark: SparkSession, batch: DataFrame, path: String,
+      nBuckets: Int = 64, init: Boolean = false,
+      threshold: Double = CosThreshold, bandBits: Int = BandBits,
+      nTables: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (idxBands, idxVecs) =
+      if (init) (Seq.empty[(Long, Int, Int, Long)].toDF("doc_id", "tbl", "b", "bv"),
+        Seq.empty[(Long, Array[Double])].toDF("doc_id", "v"))
+      else readTextEmbedIndex(spark, path, bandBits, nTables)
+    val survivors = dedupEmbedAgainst(batch, idxBands, idxVecs,
+      materialize = true, threshold, bandBits, nTables)
+    writeTextEmbedIndex(embedText(survivors), path, nBuckets,
+      append = !init, bandBits, nTables)
+    survivors
+  }
+
+  /** Declared key (`text_embed_incremental`): the [[PhashIncremental
+    * .mediaPhashIncremental]] parity harness on the TEXT embedding —
+    * EVEN-id base documents play the curated corpus (their band rows +
+    * vectors are the index); odd bases and ALL paraphrase twins arrive
+    * as the batch (twin ids share their base's parity — the offsets are
+    * even). Twins of even bases die through the CROSS-INDEX probe,
+    * twins of odd bases die IN-BATCH against their base arriving with a
+    * lower id; survivors ≡ exactly the odd bases. The oracle answers
+    * from the planted kind/parity metadata the Spark plan never reads —
+    * the declared-key witness that the text embedding rides the E14
+    * arrival discipline like every other dedup family member. */
+  def textEmbedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    ensureTextFixture(spark)
+    val fix = spark.read.parquet(textFixturePath)
+    val idxEmb = embedText(
+      fix.filter(col("kind") === "base" && col("doc_id") % 2 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = fix.filter(col("kind") =!= "base" || col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    graft.Caching.withCleanup(idxEmb) {
+      dedupEmbedAgainst(batch, bandRowsAll(idxEmb), idxEmb,
+        materialize = true)
+    }
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- declared keys
 
   /** Declared key (`text_embed`): text → hashed n-gram embedding →

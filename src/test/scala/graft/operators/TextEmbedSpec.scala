@@ -57,6 +57,42 @@ class TextEmbedSpec extends SparkSpec {
       f"distinct docs must sit far below the threshold: $distinctMax%.4f")
   }
 
+  test("arrival mode: persisted step dedups against the index and appends") {
+    import spark.implicits._
+    val dir = tmpDir("text-embed-inc")
+    TextEmbed.ensureTextFixture(spark)
+    val fix = spark.read.parquet(TextEmbed.textFixturePath)
+    // night 1 (init): even bases — all distinct, all survive
+    val even = fix.filter(col("kind") === "base" && col("doc_id") % 2 === 0)
+      .select("doc_id", "text")
+    val s1 = TextEmbed.step(spark, even, dir, init = true)
+    assert(s1.count() === even.count())
+    // night 2: odd bases + all twins — twins die (cross-index for even
+    // bases' twins, in-batch for odd bases'), odd bases survive
+    val batch = fix.filter(col("kind") =!= "base" || col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val s2 = TextEmbed.step(spark, batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oddBases = fix.filter(col("kind") === "base" && col("doc_id") % 2 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === oddBases,
+      "survivors must be exactly the odd bases — every paraphrase twin dies")
+    // night 3: the append invariant — a NEW paraphrase of a night-2
+    // SURVIVOR dies against the updated index (swap a different token
+    // than the fixture's swap twins so the text is genuinely new)
+    val victim = oddBases.min
+    val toks = fix.filter(col("doc_id") === victim).head().getAs[String]("text")
+      .split(" ")
+    val para = toks.indices.map(j => if (j % 40 == 23) "zz" + j else toks(j))
+      .mkString(" ")
+    val s3 = TextEmbed.step(spark,
+      Seq((777777L, para), (777778L, (1 to 120).map(j => s"fresh$j").mkString(" ")))
+        .toDF("doc_id", "text"), dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 === Set(777778L),
+      "a paraphrase of an appended survivor must die; fresh text survives")
+  }
+
   test("declared keys recover the planted structure") {
     val verdicts = graft.SparkEntry.queries("text_embed")(spark, sf0001)
       .collect().map(r => (r.getLong(0),
