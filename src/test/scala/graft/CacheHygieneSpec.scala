@@ -23,7 +23,10 @@ class CacheHygieneSpec extends SparkSpec {
     "curation_incremental",
     // the full arrival mode adds DomainMix.mix's internal persist — also
     // bound per call via materialize=true
-    "curation_incremental_full")
+    "curation_incremental_full",
+    // persists the index embedding + the batch embedding, both released
+    // inside the call (withCleanup + materialize=true)
+    "text_embed_incremental")
 
   test("declared keys that persist internally release every cache") {
     spark.sharedState.cacheManager.clearCache()
