@@ -236,20 +236,40 @@ object TextEmbed {
     * sub-path ([[writeTextEmbedIndex]]) so a probe under one geometry
     * can never silently read bands built under another. */
   def bandRowsAll(emb: DataFrame, bandBits: Int = BandBits,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = 4): DataFrame =
+    bandRowsWithVec(emb, bandBits, nTables)
+      .select("doc_id", "tbl", "b", "bv")
+
+  /** [[bandRowsAll]] with the verify surface (and optional carries)
+    * attached: (doc_id, tbl, b, bv, v[, carry…]) — the STREAMING twins'
+    * input shape (bucket state must store the vector to verify exactly,
+    * and a watermarked event-time attribute must ride every
+    * projection). */
+  def bandRowsWithVec(emb: DataFrame, bandBits: Int = BandBits,
+      nTables: Int = 4, carry: Seq[String] = Nil): DataFrame = {
     val nBands = 64 / bandBits
     tableImages(nTables).zipWithIndex.map { case (t, ti) =>
-      emb.select(col("doc_id"), lit(ti).as("tbl"),
-          Similarity.simhashFor(emb, t, 64).as("sig"))
-        .select(col("doc_id"), col("tbl"),
+      emb.select(Seq(col("doc_id"), col("v"), lit(ti).as("tbl"),
+          Similarity.simhashFor(emb, t, 64).as("sig")) ++ carry.map(col): _*)
+        .select(Seq(col("doc_id"), col("v"), col("tbl"),
           explode(array((0 until nBands).map(b =>
             struct(lit(b).as("b"),
               shiftrightunsigned(col("sig"), bandBits * b)
                 .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("band"))
-        .select(col("doc_id"), col("tbl"),
-          col("band.b").as("b"), col("band.bv").as("bv"))
+          ++ carry.map(col): _*)
+        .select(Seq(col("doc_id"), col("tbl"), col("band.b").as("b"),
+          col("band.bv").as("bv"), col("v")) ++ carry.map(col): _*)
     }.reduce(_ union _)
   }
+
+  /** The embedding as a bare COLUMN over a text column — the kernel path
+    * only, for STREAMING composition where extra columns (watermarked
+    * event times) must ride the projection (every streaming entry point
+    * runs under [[graft.Engine.session]], which installs the
+    * extensions; the kernel≡HOF bit-equality is pinned in
+    * TextEmbedSpec). */
+  def embedColumn(text: Column, dim: Int = Dim): Column =
+    call_function("graft_hash_embed", split(text, " "), lit(dim))
 
   /** Doc_ids of `batchEmb` documents within cosine ≥ `threshold` of a
     * LOWER-id batch document or ANY index document — [[textNearDup]]'s

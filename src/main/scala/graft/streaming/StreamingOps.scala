@@ -67,6 +67,22 @@ case class BandedDocTs(band: Int, sig: Long, doc_id: Long, mh: Seq[Long],
     ts: java.sql.Timestamp)
 case class TimedBucketDocs(docs: List[(Long, Seq[Long], Long)])
 
+/** Rows/state for [[StreamingOps.streamingTextEmbedPairs]] — the text
+  * EMBEDDING modality's streaming near-dup: (table, band, value) keys
+  * over the hashed n-gram vector's hyperplane signatures, bucket state
+  * holds (doc_id, v) — the vector IS the exact-verify surface (~0.5 KB),
+  * like the minhash twin's shingle sets. */
+case class BandedTextVec(tbl: Int, b: Int, bv: Long, doc_id: Long,
+    v: Seq[Double])
+case class TextVecBucket(items: List[(Long, Seq[Double])])
+case class TextDupPair(doc_a: Long, doc_b: Long, cos: Double)
+
+/** The bounded twin's rows/state — vectors carry event-time millis for
+  * per-item horizon eviction. */
+case class BandedTextVecTs(tbl: Int, b: Int, bv: Long, doc_id: Long,
+    v: Seq[Double], ts: java.sql.Timestamp)
+case class TimedTextVecBucket(items: List[(Long, Seq[Double], Long)])
+
 /** Rows/state for [[StreamingOps.streamingWeightedSample]] — the A-ES
   * reservoir: per stratum, the current k largest keys; `version` counts
   * state updates so consumers can pick each stratum's LATEST emission. */
@@ -1179,6 +1195,123 @@ object StreamingOps {
               state.update(TimedBucketDocs(seen))
               // whole-bucket eviction once every member is past horizon;
               // must exceed the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(seen.map(_._3).max + horizonMs, wmMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** [EXT] streaming TEXT-EMBEDDING near-dup — the embedding family's
+    * streaming cell, completing its batch ([[graft.operators.TextEmbed
+    * .textNearDup]]) / incremental ([[graft.operators.TextEmbed.step]]) /
+    * streaming triple like every other dedup family: detect that an
+    * arriving document is a semantic near-dup (cosine ≥ `threshold` in
+    * the hashed n-gram space) of ANY document seen so far.
+    *
+    * Stage 1 is the batch embedding verbatim (`graft_hash_embed`, a
+    * stateless codegen'd projection — legal in streaming); stage 2 is
+    * [[streamingNearDupPairs]]' bucket-state shape keyed by the
+    * (table, band, value) signature keys, with the stored VECTOR as the
+    * exact-verify surface (a pair is emitted iff true cosine clears the
+    * threshold — precision exact by construction; recall is the banding
+    * geometry's, measured per geometry in the textinc probe record).
+    *
+    * Costs, stated plainly: state is ~0.5 KB/doc per (table, band) slot
+    * (64 doubles), the minhash twin's weight class, and the geometry
+    * must widen with corpus size exactly as [[graft.operators.TextEmbed
+    * .bandRowsAll]] documents. A pair matching in k slots is emitted up
+    * to k times — consumers dedupe on (doc_a, doc_b). Replay-safe:
+    * re-arrivals of a stored id are ignored. */
+  def streamingTextEmbedPairs(docs: DataFrame,
+      threshold: Double = graft.operators.TextEmbed.CosThreshold,
+      bandBits: Int = graft.operators.TextEmbed.BandBits, nTables: Int = 4)
+      : org.apache.spark.sql.Dataset[TextDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TextEmbed
+    val emb = docs.select(col("doc_id"),
+      TextEmbed.embedColumn(col("text")).as("v"))
+    TextEmbed.bandRowsWithVec(emb, bandBits, nTables)
+      .as[BandedTextVec]
+      .groupByKey(d => (d.tbl, d.b, d.bv))
+      .flatMapGroupsWithState[TextVecBucket, TextDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Int, Long), arrivals: Iterator[BandedTextVec],
+            state: GroupState[TextVecBucket]) =>
+          var seen = state.getOption.map(_.items).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[TextDupPair]()
+          arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_._1 == d.doc_id)) { // replay-safe
+              seen.foreach { case (oid, ov) =>
+                val cos = ov.iterator.zip(d.v.iterator)
+                  .map { case (a, b) => a * b }.sum
+                if (cos >= threshold)
+                  out += TextDupPair(math.min(oid, d.doc_id),
+                    math.max(oid, d.doc_id), cos)
+              }
+              seen = (d.doc_id, d.v) :: seen
+            }
+          }
+          state.update(TextVecBucket(seen))
+          out.iterator
+      }
+  }
+
+  /** Bounded-state variant of [[streamingTextEmbedPairs]] — the text
+    * embedding's member of the event-time-horizon family: a pair is
+    * emitted iff the cosine clears the threshold AND the event times
+    * differ by ≤ `horizonMs`; stored vectors are evicted per-item once
+    * the watermark passes their horizon and whole buckets die by
+    * EventTimeTimeout ([[streamingNearDupPairsBounded]]'s mechanics,
+    * verbatim, over the vector verify surface). */
+  def streamingTextEmbedPairsBounded(docs: DataFrame, tsCol: String,
+      horizonMs: Long,
+      threshold: Double = graft.operators.TextEmbed.CosThreshold,
+      bandBits: Int = graft.operators.TextEmbed.BandBits, nTables: Int = 4)
+      : org.apache.spark.sql.Dataset[TextDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TextEmbed
+    val withWm = docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    val emb = withWm.select(col("doc_id"),
+      TextEmbed.embedColumn(col("text")).as("v"), col("ts"))
+    TextEmbed.bandRowsWithVec(emb, bandBits, nTables, carry = Seq("ts"))
+      .as[BandedTextVecTs]
+      .groupByKey(d => (d.tbl, d.b, d.bv))
+      .flatMapGroupsWithState[TimedTextVecBucket, TextDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Int, Long), arrivals: Iterator[BandedTextVecTs],
+            state: GroupState[TimedTextVecBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            var seen = state.getOption.map(_.items).getOrElse(Nil)
+              .filter(_._3 + horizonMs >= wmMs)
+            val out = scala.collection.mutable.ArrayBuffer[TextDupPair]()
+            arrivals.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (!seen.exists(_._1 == d.doc_id)) { // replay-safe
+                val tMs = d.ts.getTime
+                seen.foreach { case (oid, ov, oMs) =>
+                  if (math.abs(tMs - oMs) <= horizonMs) {
+                    val cos = ov.iterator.zip(d.v.iterator)
+                      .map { case (a, b) => a * b }.sum
+                    if (cos >= threshold)
+                      out += TextDupPair(math.min(oid, d.doc_id),
+                        math.max(oid, d.doc_id), cos)
+                  }
+                }
+                seen = (d.doc_id, d.v, tMs) :: seen
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(TimedTextVecBucket(seen))
               state.setTimeoutTimestamp(
                 math.max(seen.map(_._3).max + horizonMs, wmMs + 1))
             }

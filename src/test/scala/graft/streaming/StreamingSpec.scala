@@ -802,6 +802,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text-embed near-dup: paraphrase pairs across and within batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def doc(tag: String) = (1 to 40).map(j => s"$tag$j").mkString(" ")
+    def para(tag: String) = (1 to 40).map(j =>
+      if (j == 17) "swapped" else s"$tag$j").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingTextEmbedPairs(
+        in.toDF().toDF("doc_id", "text"))
+      .toDF()
+      .writeStream.format("memory").queryName("textemb_pairs")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs → no pairs
+      in.addData((1L, doc("a")), (2L, doc("b")))
+      q.processAllAvailable()
+      assert(spark.table("textemb_pairs").count() === 0)
+      // batch 2: doc 3 paraphrases doc 1 (cross-batch, via state); docs
+      // 4/5 paraphrase each other (in-batch); doc 6 is fresh noise
+      in.addData((3L, para("a")), (4L, doc("c")), (5L, para("c")),
+        (6L, doc("d")))
+      q.processAllAvailable()
+      val pairs = spark.table("textemb_pairs").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs === Set((1L, 3L), (4L, 5L)),
+        s"expected exactly the paraphrase pairs, got $pairs")
+    } finally q.stop()
+  }
+
+  test("bounded streaming text-embed dedup: paraphrase pairs in-horizon only") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def doc(tag: String) = (1 to 40).map(j => s"$tag$j").mkString(" ")
+    def para(tag: String) = (1 to 40).map(j =>
+      if (j == 17) "swapped" else s"$tag$j").mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamingTextEmbedPairsBounded(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", horizonMs = 5000L)
+      .toDF()
+      .writeStream.format("memory").queryName("btextemb_pairs")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, doc("a")), (ts(1), 2L, doc("b")))
+      q.processAllAvailable()
+      // in-horizon paraphrase of doc 1 pairs
+      in.addData((ts(2), 3L, para("a")))
+      q.processAllAvailable()
+      // sentinel advances the watermark past every stored vector; the
+      // same content again past the horizon finds nothing
+      in.addData((ts(100), 4L, doc("e")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      in.addData((ts(101), 5L, para("b")))
+      q.processAllAvailable()
+      val pairs = spark.table("btextemb_pairs").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs === Set((1L, 3L)),
+        s"expected only the in-horizon paraphrase pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("bounded streaming audio dedup: gain twin pairs in-horizon only") {
     import graft.operators.{AudioPhash, Wav}
     implicit val ctx = spark.sqlContext
