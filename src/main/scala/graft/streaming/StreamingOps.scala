@@ -1237,26 +1237,71 @@ object StreamingOps {
       .as[BandedTextVec]
       .groupByKey(d => (d.tbl, d.b, d.bv))
       .flatMapGroupsWithState[TextVecBucket, TextDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Int, Long), arrivals: Iterator[BandedTextVec],
-            state: GroupState[TextVecBucket]) =>
-          var seen = state.getOption.map(_.items).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[TextDupPair]()
-          arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!seen.exists(_._1 == d.doc_id)) { // replay-safe
-              seen.foreach { case (oid, ov) =>
-                val cos = ov.iterator.zip(d.v.iterator)
-                  .map { case (a, b) => a * b }.sum
-                if (cos >= threshold)
-                  out += TextDupPair(math.min(oid, d.doc_id),
-                    math.max(oid, d.doc_id), cos)
-              }
-              seen = (d.doc_id, d.v) :: seen
-            }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        textEmbedBucketFunc(threshold))
+  }
+
+  /** The bucket fold shared by [[streamingTextEmbedPairs]] and its
+    * seeded form: exact-cosine verify of each arrival against the
+    * bucket's stored vectors, lowest-ids-first, replay-safe. */
+  private def textEmbedBucketFunc(threshold: Double)
+      : ((Int, Int, Long), Iterator[BandedTextVec],
+          org.apache.spark.sql.streaming.GroupState[TextVecBucket])
+        => Iterator[TextDupPair] =
+    (_, arrivals, state) => {
+      var seen = state.getOption.map(_.items).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[TextDupPair]()
+      arrivals.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (!seen.exists(_._1 == d.doc_id)) { // replay-safe
+          seen.foreach { case (oid, ov) =>
+            val cos = ov.iterator.zip(d.v.iterator)
+              .map { case (a, b) => a * b }.sum
+            if (cos >= threshold)
+              out += TextDupPair(math.min(oid, d.doc_id),
+                math.max(oid, d.doc_id), cos)
           }
-          state.update(TextVecBucket(seen))
-          out.iterator
+          seen = (d.doc_id, d.v) :: seen
+        }
       }
+      state.update(TextVecBucket(seen))
+      out.iterator
+    }
+
+  /** Seeded form: the bucket state loaded at query start from the
+    * PERSISTED text-embed index ([[graft.operators.TextEmbed
+    * .readTextEmbedIndex]]'s frames) — the batch→streaming hand-off the
+    * other families have ([[streamingPhashPairsSeeded]]'s shape): an
+    * arriving paraphrase of an already-curated document pairs in the
+    * FIRST micro-batch, though the stream never saw the original. */
+  def streamingTextEmbedPairsSeeded(docs: DataFrame, idxBands: DataFrame,
+      idxVecs: DataFrame,
+      threshold: Double = graft.operators.TextEmbed.CosThreshold,
+      bandBits: Int = graft.operators.TextEmbed.BandBits, nTables: Int = 4)
+      : org.apache.spark.sql.Dataset[TextDupPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.TextEmbed
+    // one TextVecBucket per (tbl, b, bv): fold the index's per-member
+    // rows — reduceGroups gives the one-row-per-key shape initial state
+    // needs (the streamingPhashPairsSeeded discipline)
+    val initial = idxBands
+      .join(idxVecs.select("doc_id", "v"), Seq("doc_id"))
+      .select(col("tbl").cast("int"), col("b").cast("int"),
+        col("bv").cast("long"), col("doc_id").cast("long"), col("v"))
+      .as[(Int, Int, Long, Long, Seq[Double])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapValues(r => TextVecBucket(List((r._4, r._5))))
+      .reduceGroups((a, b) => TextVecBucket(a.items ::: b.items))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val emb = docs.select(col("doc_id"),
+      TextEmbed.embedColumn(col("text")).as("v"))
+    TextEmbed.bandRowsWithVec(emb, bandBits, nTables)
+      .as[BandedTextVec]
+      .groupByKey(d => (d.tbl, d.b, d.bv))
+      .flatMapGroupsWithState[TextVecBucket, TextDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(
+        textEmbedBucketFunc(threshold))
   }
 
   /** Bounded-state variant of [[streamingTextEmbedPairs]] — the text

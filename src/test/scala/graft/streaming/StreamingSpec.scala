@@ -831,6 +831,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seeded streaming text-embed: a paraphrase of an indexed doc pairs in batch 1") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextEmbed
+    def doc(tag: String) = (1 to 40).map(j => s"$tag$j").mkString(" ")
+    def para(tag: String) = (1 to 40).map(j =>
+      if (j == 17) "swapped" else s"$tag$j").mkString(" ")
+    // persisted index over two curated docs — the batch→streaming hand-off
+    val idxDir = tmpDir("textemb-seed")
+    TextEmbed.writeTextEmbedIndex(
+      TextEmbed.embedText(Seq((100L, doc("a")), (101L, doc("b")))
+        .toDF("doc_id", "text")),
+      idxDir, nBuckets = 4)
+    val (idxBands, idxVecs) = TextEmbed.readTextEmbedIndex(spark, idxDir)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingTextEmbedPairsSeeded(
+        in.toDF().toDF("doc_id", "text"), idxBands, idxVecs)
+      .toDF()
+      .writeStream.format("memory").queryName("stextemb_pairs")
+      .outputMode("append").start()
+    try {
+      in.addData((200L, para("a")), (201L, doc("z")))
+      q.processAllAvailable()
+      val pairs = spark.table("stextemb_pairs").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs === Set((100L, 200L)),
+        s"the seeded index doc must pair from the first batch, got $pairs")
+    } finally q.stop()
+  }
+
   test("bounded streaming text-embed dedup: paraphrase pairs in-horizon only") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
