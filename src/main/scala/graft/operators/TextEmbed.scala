@@ -164,8 +164,10 @@ object TextEmbed {
     * the frozen fixture is then verified exhaustively in TextEmbedSpec.
     * Precision stays exact: every candidate passes a true cosine.
     *
-    * Scale story: 8-bit buckets are the 10²-10⁶-doc geometry (bucket
-    * population ~n/256 per band; the exact-verify join prices it).
+    * Scale story: 8-bit buckets are the ≤10k-doc geometry — random
+    * collisions run ~n²·(bands·tables)/2^bandBits candidate pairs, so
+    * the geometry WIDENS with the corpus ([[bandRowsAll]]: the 200k
+    * probe runs 16-bit × 12 tables; the trade is spelled out there).
     * At web scale, text near-dup candidates belong to the MinHash
     * family ([[MinHashDedup]], probed at 1M — Jaccard on the SAME
     * n-gram space), while the embedding's scale role is ANN SERVING
