@@ -96,13 +96,20 @@ object IncrementalDedup {
     * append would see its OWN fingerprints in the index and anti-join
     * itself to empty. The checkpoint cuts the lineage to materialized
     * partitions (batch-sized, executor-resident — the same frame the
-    * caller is about to consume anyway). */
+    * caller is about to consume anyway).
+    *
+    * `autoCompact > 0` sweeps the index after the append and rewrites
+    * any bucket whose fragment count crossed the threshold
+    * ([[IndexMaintenance.autoCompact]]) — the self-maintaining form a
+    * nightly pipeline runs so probe-join listing cost stays bounded by
+    * the threshold regardless of how many nights have appended. */
   def step(spark: SparkSession, batch: DataFrame, path: String,
-      nBuckets: Int = IndexBuckets): DataFrame = {
+      nBuckets: Int = IndexBuckets, autoCompact: Int = 0): DataFrame = {
     val survivors =
       dedupAgainst(batch, readFpIndex(spark, path).select("fp"))
         .localCheckpoint(true)
     writeFpIndex(survivors.select("fp"), path, nBuckets, append = true)
+    IndexMaintenance.autoCompact(spark, autoCompact, Seq(path -> "bucket"))
     survivors
   }
 

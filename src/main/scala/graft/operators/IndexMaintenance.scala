@@ -228,6 +228,56 @@ object IndexMaintenance {
     affected.size
   }
 
+  /** Operational observability for a bucketed index: one row per live
+    * bucket — fragment count, byte size, row count — what a maintenance
+    * job reads to set compaction cadence and to watch bucket SKEW (a
+    * hot bucket outgrowing its siblings breaks the
+    * one-bucket-fits-an-executor sizing assumption long before anything
+    * crashes, and nothing else surfaces it). Filesystem stats come from
+    * the same listing primitives the compactor uses; row counts from
+    * one scan grouped by the partition column (parquet answers it from
+    * footers — no data pages read). */
+  def indexStats(spark: SparkSession, path: String,
+      partCol: String = "bucket"): DataFrame = {
+    import spark.implicits._
+    recoverIndex(path)
+    val fs = liveBucketDirs(path, partCol).map { d =>
+      val files = dataFiles(d)
+      (d.getFileName.toString.stripPrefix(partCol + "="),
+        files.size, files.map(Files.size(_)).sum)
+    }.toDF(partCol, "files", "bytes")
+    val rows = spark.read.parquet(path)
+      .groupBy(col(partCol).cast("string").as(partCol))
+      .agg(count(lit(1)).as("rows"))
+    fs.join(rows, Seq(partCol), "left")
+      .na.fill(0L, Seq("rows"))
+      .orderBy(col(partCol).cast("int"))
+  }
+
+  /** Auto-compaction hook for the nightly arrival-mode steps: sweep each
+    * `(path, partCol)` sub-table of an incremental index family and
+    * compact the buckets whose fragment count crossed `maxFragments`.
+    * `maxFragments <= 0` disables the sweep (the steps' default — an
+    * explicit opt-in keeps probe/spec runs byte-identical to r17), and a
+    * sub-table that does not exist yet (first night) is skipped. Returns
+    * the number of buckets rewritten across all sub-tables.
+    *
+    * This is what turns [[compactIndex]] from an ops job into a
+    * self-maintaining index: every incremental `step` takes an
+    * `autoCompact` threshold and calls this AFTER its append, so at a
+    * nightly cadence each bucket is rewritten once per ~`maxFragments`
+    * appends — amortized O(1) extra writes per step — and the fragment
+    * count a probe join ever lists is bounded by `maxFragments + 1`
+    * instead of growing with the corpus's age. */
+  def autoCompact(spark: SparkSession, maxFragments: Int,
+      subTables: Seq[(String, String)]): Int =
+    if (maxFragments <= 0) 0
+    else subTables.map { case (p, partCol) =>
+      if (Files.isDirectory(Paths.get(p)))
+        compactIndex(spark, p, maxFragments, partCol)
+      else 0
+    }.sum
+
   /** Takedown: remove every row of the index at `path` whose `keyCol`
     * value appears in `keys` (a one-column frame), rewriting ONLY the
     * buckets that contain such a row. Returns the number of rows

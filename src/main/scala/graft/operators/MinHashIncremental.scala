@@ -243,12 +243,15 @@ object MinHashIncremental {
     * survivor frame re-evaluated after it would see its own bands in the
     * index and drop itself. */
   def step(spark: SparkSession, batch: DataFrame, path: String,
-      nBuckets: Int = IndexBuckets): DataFrame = {
+      nBuckets: Int = IndexBuckets, autoCompact: Int = 0): DataFrame = {
     val (idxBands, idxSets) = readBandIndex(spark, path)
     val survivors =
       dedupNearAgainst(batch, idxBands, idxSets, materialize = true)
     writeBandIndex(prepared(survivors.select("doc_id", "text")), path,
       nBuckets, append = true)
+    // self-maintenance: both sub-tables sweep under the same threshold
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(bandsSubPath(path) -> "bucket", s"$path/sets" -> "bucket"))
     survivors
   }
 

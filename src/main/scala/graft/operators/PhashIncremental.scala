@@ -164,12 +164,14 @@ object PhashIncremental {
     * survivor frame re-evaluated after it would see its own bands in
     * the index and drop itself. */
   def step(spark: SparkSession, batch: DataFrame, path: String,
-      nBuckets: Int = IndexBuckets): DataFrame = {
+      nBuckets: Int = IndexBuckets, autoCompact: Int = 0): DataFrame = {
     val (idxBands, idxHashes) = readPhashIndex(spark, path)
     val survivors = dedupAgainst(batch, idxBands, idxHashes, materialize = true)
     writePhashIndex(
       ImagePhash.phashFrame(survivors.select("media_id", "payload")), path,
       nBuckets, append = true)
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/bands" -> "bucket", s"$path/hashes" -> "bucket"))
     survivors
   }
 

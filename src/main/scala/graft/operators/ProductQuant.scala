@@ -274,7 +274,8 @@ object ProductQuant {
     * broadcast-centroid argmin, encode = codebook-literal projection)
     * plus a partitioned append; the existing index is never read or
     * rewritten. */
-  def ivfpqAppend(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+  def ivfpqAppend(spark: SparkSession, path: String, batch: DataFrame,
+      autoCompact: Int = 0): Unit = {
     val (_, centroids, cbs) = readIvfPqIndex(spark, path)
     val emb = normalized(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -282,10 +283,12 @@ object ProductQuant {
       .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
       // one file per touched list per append (the IncrementalDedup
       // .writeFpIndex fragment-accretion rationale); nightly cadences
-      // compact via IndexMaintenance.compactIndex(path, partCol = "cid")
+      // sweep via autoCompact below (cid plays the bucket role)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
     emb.unpersist(blocking = false)
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/assigned" -> "cid"))
   }
 
   /** Per-corpus serving location for the declared key ([[graft.operators

@@ -135,7 +135,7 @@ object SubstringIncremental {
     * per consumer, ~3× the necessary text work). */
   def step(spark: SparkSession, batch: DataFrame, path: String,
       spanL: Int = SpanL, nBuckets: Int = IndexBuckets,
-      init: Boolean = false): DataFrame = {
+      init: Boolean = false, autoCompact: Int = 0): DataFrame = {
     import spark.implicits._
     val idx =
       if (init) Seq.empty[String].toDF("g")
@@ -151,6 +151,8 @@ object SubstringIncremental {
         .join(idx.select("g").hint("shuffle_hash"), Seq("g"), "left_anti")
       writeDigestIndex(fresh, path, nBuckets, append = !init,
         dedupe = false)
+      IndexMaintenance.autoCompact(spark, autoCompact,
+        Seq(s"$path/digests" -> "bucket"))
       spans
     }
   }
@@ -174,9 +176,9 @@ object SubstringIncremental {
     * nightly arrival pipeline actually materializes. */
   def stepDrop(spark: SparkSession, batch: DataFrame, path: String,
       spanL: Int = SpanL, nBuckets: Int = IndexBuckets,
-      init: Boolean = false): DataFrame =
+      init: Boolean = false, autoCompact: Int = 0): DataFrame =
     SubstringDedup.cutBySpans(batch,
-      step(spark, batch, path, spanL, nBuckets, init))
+      step(spark, batch, path, spanL, nBuckets, init, autoCompact))
 
   /** Takedown for the digest index ([[IndexMaintenance.retractKeys]]'
     * shared-evidence case): a digest is the evidence "this window text

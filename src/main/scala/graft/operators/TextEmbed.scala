@@ -373,7 +373,7 @@ object TextEmbed {
   def step(spark: SparkSession, batch: DataFrame, path: String,
       nBuckets: Int = 64, init: Boolean = false,
       threshold: Double = CosThreshold, bandBits: Int = BandBits,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = 4, autoCompact: Int = 0): DataFrame = {
     import spark.implicits._
     val (idxBands, idxVecs) =
       if (init) (Seq.empty[(Long, Int, Int, Long)].toDF("doc_id", "tbl", "b", "bv"),
@@ -383,6 +383,9 @@ object TextEmbed {
       materialize = true, threshold, bandBits, nTables)
     writeTextEmbedIndex(embedText(survivors), path, nBuckets,
       append = !init, bandBits, nTables)
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(bandsPath(path, bandBits, nTables) -> "bucket",
+        s"$path/vecs" -> "bucket"))
     survivors
   }
 

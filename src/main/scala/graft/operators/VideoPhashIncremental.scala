@@ -140,12 +140,15 @@ object VideoPhashIncremental {
   /** One full incremental step — survivors localCheckpoint BEFORE the
     * append (the [[IncrementalDedup.step]] guard, verbatim). */
   def step(spark: SparkSession, batch: DataFrame, path: String,
-      nBuckets: Int = PhashIncremental.IndexBuckets): DataFrame = {
+      nBuckets: Int = PhashIncremental.IndexBuckets,
+      autoCompact: Int = 0): DataFrame = {
     val (idxBands, idxHashes) = readVideoIndex(spark, path)
     val survivors = dedupAgainst(batch, idxBands, idxHashes, materialize = true)
     writeVideoIndex(
       VideoPhash.videoPhashFrame(survivors.select("media_id", "payload")), path,
       nBuckets, append = true)
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/bands" -> "bucket", s"$path/hashes" -> "bucket"))
     survivors
   }
 

@@ -34,6 +34,25 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def fpSet(dir: String): Set[String] =
     spark.read.parquet(dir).select("fp").collect().map(_.getString(0)).toSet
 
+  test("indexStats: files match fragmentCounts, rows sum to the index, skew visible") {
+    val dir = tmpDir("stats")
+    grownIndex(dir, 40, 3)
+    val stats = IndexMaintenance.indexStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val frags = IndexMaintenance.fragmentCounts(dir)
+    assert(stats.map { case (b, f, _, _) => s"bucket=$b" -> f }.toMap === frags,
+      "the files column must agree with the compactor's own listing")
+    assert(stats.map(_._4).sum === spark.read.parquet(dir).count())
+    assert(stats.forall(_._3 > 0L), "every live bucket carries bytes")
+    // after compaction the same surface shows the collapsed layout
+    IndexMaintenance.compactIndex(spark, dir, maxFragments = 1)
+    val after = IndexMaintenance.indexStats(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(3)))
+    assert(after.forall(_._1 === 1))
+    assert(after.map(_._2).sum === stats.map(_._4).sum,
+      "compaction must not change the row counts the stats report")
+  }
+
   test("compactIndex: fragments collapse, rows and probe verdicts identical") {
     val dir = tmpDir("compact")
     // one file per touched bucket per append (the writers' repartition
