@@ -52,6 +52,12 @@ object Probe {
         keyTimeProbe(spark,
           keys = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("skew_agg")),
           reps = args.lift(2).map(_.toInt).getOrElse(6))
+      case Some("streameo") =>
+        streamExactlyOnceProbe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(200000),
+          nDup = args.lift(3).map(_.toInt).getOrElse(20000),
+          nJunk = args.lift(4).map(_.toInt).getOrElse(20000))
       case Some("inccuration") =>
         incCurationProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -1960,6 +1966,89 @@ object Probe {
     assert(minStart == cur1, "night 2 must start EXACTLY at night 1's total — the seam")
     assert(maxEnd == cur1 + sumTok, "offsets must be gap-free")
     assert(cur2 == cur1 + sumTok, "cursor must advance by night 2's packed tokens")
+  }
+
+  /** The streaming arrival driver's exactly-once step at scale
+    * ([[graft.operators.CurationIncremental.stepExactlyOnce]], what
+    * `StreamingOps.streamingCurationIncremental` runs per micro-batch):
+    * chop 0 curates an `nIdx`-doc corpus into fresh state, a REPLAY of
+    * chop 0 is injected (the at-least-once delivery case — must no-op,
+    * and its cost is the one-row meta read, not a re-curation), then a
+    * crashed chop 1 is staged UNCOMMITTED before the real chop 1
+    * arrives (rollback + clean application). Asserts the inccuration
+    * invariants on chop 1's committed batch directory (survivor set,
+    * seam, gap-freedom, cursor) plus the exactly-once ones (replay
+    * applied=false and state unmoved; a poisoned uncommitted stage is
+    * rolled back), and prices the exactly-once wrapper against the
+    * plain [[graft.operators.CurationIncremental.step]] on a twin state
+    * dir — the delta is the output-directory write + marker + meta,
+    * O(batch output), not O(state). */
+  def streamExactlyOnceProbe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nDup: Int, nJunk: Int): Unit = {
+    import graft.operators.{CurationIncremental, Sampling}
+    require(nBatch > nDup + nJunk)
+    val state = java.nio.file.Files.createTempDirectory("graft-streameo").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-streameo-out").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft-streameo-plain").toString
+    def freshText(idc: Column) = concat_ws(" ",
+      concat(lit("a the "),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          j => concat(lit("d"), idc, lit("x"), j)))))
+    val chop0 = spark.range(nIdx).select(col("id").as("doc_id"),
+      freshText(col("id")).as("text"))
+    timed(s"chop 0 (first): curate $nIdx docs, output committed, state committed") {
+      assert(CurationIncremental.stepExactlyOnce(spark, chop0, state, out, 0L))
+    }
+    val cur1 = spark.read.parquet(s"$state/cursor").head().getLong(0)
+    // the at-least-once case: chop 0 re-delivered — must skip in ~0 work
+    timed("chop 0 REPLAYED: must no-op off the committed batch id") {
+      assert(!CurationIncremental.stepExactlyOnce(spark, chop0, state, out, 0L))
+    }
+    assert(spark.read.parquet(s"$state/cursor").head().getLong(0) == cur1,
+      "a replayed chop must not move the cursor")
+    val bid = col("doc_id") - nIdx
+    val chop1 = spark.range(nIdx, nIdx.toLong + nBatch)
+      .select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        when(bid < nDup, freshText(bid))
+          .when(bid < nDup + nJunk,
+            concat_ws(" ", transform(sequence(lit(1), lit(30)), _ => lit("x"))))
+          .otherwise(freshText(col("doc_id")))
+          .as("text"))
+    // a crashed attempt at chop 1: delta staged, never committed
+    CurationIncremental.stageAndCommit(spark,
+      CurationIncremental.accepted(
+        spark.range(3).select(col("id").as("doc_id"),
+          freshText(col("id") + 7777777).as("text")),
+        spark.read.parquet(s"$state/fps").select("fp")).localCheckpoint(true),
+      999999999L, state, commit = false, metaRow = Some(1L))
+    timed(s"chop 1: $nBatch-doc batch vs $nIdx-doc state " +
+        s"($nDup dups, $nJunk junk), rollback of the crashed stage first") {
+      assert(CurationIncremental.stepExactlyOnce(spark, chop1, state, out, 1L))
+    }
+    // plain-step twin for the wrapper's price
+    CurationIncremental.step(spark, chop0, plain, init = true)
+    timed("plain step twin (no output dir, no marker, no meta)") {
+      CurationIncremental.step(spark, chop1, plain)
+        .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0): Unit
+    }
+    val out1 = spark.read.parquet(s"$out/batch=1")
+    val expected = spark.range(nIdx.toLong + nDup + nJunk, nIdx.toLong + nBatch)
+      .filter(Sampling.hashBucket(col("id")) < Sampling.TrainUpper).count()
+    val got = out1.count()
+    val minStart = out1.agg(min("start_tok")).head().getLong(0)
+    val sumTok = out1.agg(sum("n_tok")).head().getLong(0)
+    val maxEnd = out1.agg(max(col("start_tok") + col("n_tok"))).head().getLong(0)
+    val cur2 = spark.read.parquet(s"$state/cursor").head().getLong(0)
+    println(s"[probe] streameo: chop-1 survivors $got (expected $expected), " +
+      s"first offset $minStart (chop-0 total $cur1), " +
+      s"gap-free ${maxEnd == cur1 + sumTok}, cursor $cur2, " +
+      s"committed batch ${CurationIncremental.committedBatchId(spark, state)}")
+    assert(got == expected, "survivors must be exactly the fresh train-shard docs")
+    assert(minStart == cur1, "chop 1 must start EXACTLY at chop 0's total")
+    assert(maxEnd == cur1 + sumTok, "offsets must be gap-free")
+    assert(cur2 == cur1 + sumTok, "cursor must advance by chop 1's packed tokens")
+    assert(CurationIncremental.committedBatchId(spark, state) == 1L)
   }
 
   /** `curation_incremental_full` at scale — the budget-counter state the

@@ -264,6 +264,13 @@ object SparkEntry {
     // the nightly shape of an accumulating corpus, seam-free by oracle
     "curation_incremental" ->
       (CurationIncremental.curationIncremental _),
+    // the SAME two-night semantics driven through the persisted
+    // exactly-once machinery (temp-dir state, committed batch=<id>
+    // output dirs, atomic fp+cursor+batch-id commit, an injected
+    // replay of chop 0 that must no-op) — the streaming arrival
+    // driver's step, certified through the DuckDB gate
+    "curation_stream" ->
+      (CurationIncremental.curationStream _),
     // the EVERY-stage macro in the arrival mode: redact + quality + dedup
     // + split + domain-mix + pack across two nights, with the genuinely
     // new state — per-domain consumed-budget counters that carry across
@@ -544,6 +551,54 @@ object SparkEntry {
            s"SELECT '$q' AS qid, * FROM (\n${bm25RecomputeSql(ts)}\n)" }
           .mkString("\nUNION ALL\n")}
        |) ORDER BY qid, rank""".stripMargin
+
+  // the two-night arrival-mode recompute shared by `curation_incremental`
+  // (frames-as-index form) and `curation_stream` (the persisted
+  // exactly-once driver, which must land the identical rows through
+  // committed batch directories and a replay no-op)
+  private val curationIncrementalSql: String =
+    s"""WITH scored AS (
+         |  SELECT doc_id, text, $qualitySqlExpr AS quality FROM documents),
+         |f AS (
+         |  SELECT doc_id, quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM scored WHERE quality >= 0.35),
+         |acc1 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 0) WHERE rn = 1),
+         |train1 AS (
+         |  SELECT doc_id, quality, n_tok FROM acc1
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |c1 AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_tok
+         |  FROM train1),
+         |t1 AS (SELECT COALESCE(SUM(n_tok), 0) AS tot FROM train1),
+         |acc2 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f WHERE doc_id % 2 = 1)
+         |  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM acc1)),
+         |train2 AS (
+         |  SELECT doc_id, quality, n_tok FROM acc2
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
+         |c2 AS (
+         |  SELECT doc_id, quality, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      + (SELECT tot FROM t1) AS BIGINT) AS start_tok
+         |  FROM train2)
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, doc_id, quality, n_tok, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c1
+         |  UNION ALL
+         |  SELECT 2 AS batch, doc_id, quality, n_tok, start_tok,
+         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c2
+         |) ORDER BY start_tok""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "session_count" ->
@@ -1372,49 +1427,11 @@ object SparkEntry {
     // within the batch THEN excluded by night 1's accepted fingerprints,
     // packed from night 1's train total — the first odd start_tok equals
     // that total EXACTLY or rows go red (the seam the key exists to prove)
-    "curation_incremental" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, text, $qualitySqlExpr AS quality FROM documents),
-         |f AS (
-         |  SELECT doc_id, quality,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-         |  FROM scored WHERE quality >= 0.35),
-         |acc1 AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-         |    FROM f WHERE doc_id % 2 = 0) WHERE rn = 1),
-         |train1 AS (
-         |  SELECT doc_id, quality, n_tok FROM acc1
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
-         |c1 AS (
-         |  SELECT doc_id, quality, n_tok,
-         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
-         |      AS BIGINT) AS start_tok
-         |  FROM train1),
-         |t1 AS (SELECT COALESCE(SUM(n_tok), 0) AS tot FROM train1),
-         |acc2 AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-         |    FROM f WHERE doc_id % 2 = 1)
-         |  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM acc1)),
-         |train2 AS (
-         |  SELECT doc_id, quality, n_tok FROM acc2
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.TrainUpper}'),
-         |c2 AS (
-         |  SELECT doc_id, quality, n_tok,
-         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
-         |      + (SELECT tot FROM t1) AS BIGINT) AS start_tok
-         |  FROM train2)
-         |SELECT * FROM (
-         |  SELECT 1 AS batch, doc_id, quality, n_tok, start_tok,
-         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c1
-         |  UNION ALL
-         |  SELECT 2 AS batch, doc_id, quality, n_tok, start_tok,
-         |         start_tok // ${Packing.SeqBudget} AS seq_id FROM c2
-         |) ORDER BY start_tok""".stripMargin,
+    "curation_incremental" -> curationIncrementalSql,
+    // the persisted exactly-once driver computes the SAME two nights;
+    // the identical recompute gates it (plus the injected replay of
+    // chop 0, which must no-op or batch 1's offsets shift red)
+    "curation_stream" -> curationIncrementalSql,
     // the full macro's ARRIVAL mode: both nights chained as CTEs over the
     // planted+cleaned corpus — night 2 dedups against night 1's accepted
     // fps, its per-domain mix offsets CONTINUE at night 1's consumed

@@ -102,10 +102,11 @@ object CurationIncremental {
           IndexMaintenance.copyInto(_,
             java.nio.file.Paths.get(path, "fps", d.getFileName.toString)))
       }
-    // cursor (and, for the full macro, budgets): staged files in, stale
-    // files out (by name difference) — copy-first so there is never a
-    // moment with no live file
-    Seq("cursor", "budgets").foreach { piece =>
+    // cursor (and, for the full macro, budgets; for the streaming
+    // driver, the committed batch id): staged files in, stale files out
+    // (by name difference) — copy-first so there is never a moment with
+    // no live file
+    Seq("cursor", "budgets", "meta").foreach { piece =>
       val staged = pend.resolve(piece)
       if (java.nio.file.Files.isDirectory(staged)) {
         val live = java.nio.file.Paths.get(path, piece)
@@ -126,18 +127,22 @@ object CurationIncremental {
     * readers of the live paths) and commit it with the completion
     * marker. Split from [[step]] so the crash spec can stop at either
     * side of the commit point. */
-  private[operators] def stageAndCommit(spark: SparkSession, acc: DataFrame,
+  private[graft] def stageAndCommit(spark: SparkSession, acc: DataFrame,
       nextCursor: Long, path: String, commit: Boolean = true,
-      budgetRows: Option[Seq[(String, Long)]] = None): Unit = {
+      budgetRows: Option[Seq[(String, Long)]] = None,
+      metaRow: Option[Long] = None,
+      nBuckets: Int = IncrementalDedup.IndexBuckets): Unit = {
     import spark.implicits._
     val pend = pendingDir(path)
     IndexMaintenance.deleteRecursively(pend)
     IncrementalDedup.writeFpIndex(acc.select("fp"),
-      pend.resolve("fps").toString)
+      pend.resolve("fps").toString, nBuckets)
     Seq(nextCursor).toDF("next_tok")
       .write.mode("overwrite").parquet(pend.resolve("cursor").toString)
     budgetRows.foreach(_.toDF("lang", "consumed")
       .write.mode("overwrite").parquet(pend.resolve("budgets").toString))
+    metaRow.foreach(id => Seq(id).toDF("batch_id")
+      .write.mode("overwrite").parquet(pend.resolve("meta").toString))
     if (commit) Tables.markArtifactComplete(pend.toString)
   }
 
@@ -163,7 +168,7 @@ object CurationIncremental {
   def step(spark: SparkSession, batch: DataFrame, path: String,
       budget: Int = Packing.SeqBudget,
       bucketWidth: Long = Packing.BucketWidth,
-      init: Boolean = false): DataFrame = {
+      init: Boolean = false, autoCompact: Int = 0): DataFrame = {
     import spark.implicits._
     if (!init) recoverState(spark, path)
     val (idxFps, cursor) =
@@ -182,7 +187,130 @@ object CurationIncremental {
       foldPending(path)
       spark.catalog.refreshByPath(s"$path/fps")
     }
+    // self-maintenance AFTER the committed fold: compaction has its own
+    // crash protocol and never interleaves with the night's state commit
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/fps" -> "bucket"))
     out
+  }
+
+  // ------------------------------ streaming arrival driver (exactly-once)
+
+  /** Micro-batch id the state at `path` last committed, or -1 on fresh
+    * state. Lives in `meta/` and commits ATOMICALLY with the fp delta
+    * and the cursor (one more piece under [[stageAndCommit]]'s pending
+    * marker) — which is what makes [[stepExactlyOnce]]'s replay check
+    * trustworthy: the id can never say "applied" while the fps/cursor
+    * say otherwise, or vice versa. */
+  def committedBatchId(spark: SparkSession, path: String): Long =
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(path, "meta")))
+      spark.read.parquet(s"$path/meta").head().getLong(0)
+    else -1L
+
+  /** One EXACTLY-ONCE arrival step — [[step]] for a streaming driver
+    * whose engine may re-deliver a micro-batch after a restart
+    * (Structured Streaming's `foreachBatch` contract is at-least-once;
+    * this wrapper upgrades the composite batch→output→state effect to
+    * exactly-once). Returns true when the batch was applied, false when
+    * `batchId` was already committed (a replay: the packed output for
+    * it is already complete on disk and the state already advanced —
+    * re-applying would dedup the batch against its own fingerprints and
+    * swallow it permanently, the failure mode the r17 ADVICE called
+    * out on the non-atomic commit).
+    *
+    * Ordering is what carries the guarantee:
+    *
+    *   1. packed train rows land at `outDir/batch=<id>` FIRST
+    *      (overwrite mode + completion marker — a half-written replay
+    *      target is never mistaken for done, and the recompute is
+    *      deterministic so an overwrite converges);
+    *   2. the state delta (fps + cursor + batch id) commits as ONE
+    *      pending-marker unit AFTER the output is durable.
+    *
+    * A crash before the state marker rolls back ([[recoverState]]) and
+    * the replay REPRODUCES the batch from unchanged state; a crash
+    * after it rolls forward and the replay is skipped, its output
+    * already on disk — no interleaving leaves a batch half-applied or
+    * doubly-packed. First-ever batch: fresh state is detected by the
+    * missing `meta/`, every piece writes in overwrite mode, and `meta/`
+    * writes LAST as the commit point (a crashed first night retries as
+    * a plain overwrite). The state dir is owned by this entry point —
+    * don't interleave raw [[step]] calls, which advance state without
+    * `meta/`. */
+  def stepExactlyOnce(spark: SparkSession, batch: DataFrame, path: String,
+      outDir: String, batchId: Long,
+      budget: Int = Packing.SeqBudget,
+      bucketWidth: Long = Packing.BucketWidth,
+      autoCompact: Int = 0,
+      nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
+    import spark.implicits._
+    val first = !java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "meta"))
+    if (!first) {
+      recoverState(spark, path)
+      if (batchId <= committedBatchId(spark, path)) return false
+    }
+    val (idxFps, cursor) =
+      if (first) (Seq.empty[String].toDF("fp"), 0L)
+      else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
+        spark.read.parquet(s"$path/cursor").head().getLong(0))
+    val acc = accepted(batch, idxFps).localCheckpoint(true)
+    val out = packBatch(acc, cursor, budget, bucketWidth, materialize = true)
+    val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    val batchOut = s"$outDir/batch=$batchId"
+    out.write.mode("overwrite").parquet(batchOut)
+    Tables.markArtifactComplete(batchOut)
+    if (first) {
+      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps", nBuckets)
+      Seq(cursor + total).toDF("next_tok")
+        .write.mode("overwrite").parquet(s"$path/cursor")
+      Seq(batchId).toDF("batch_id")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } else {
+      stageAndCommit(spark, acc, cursor + total, path,
+        metaRow = Some(batchId), nBuckets = nBuckets)
+      foldPending(path)
+      spark.catalog.refreshByPath(s"$path/fps")
+    }
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/fps" -> "bucket"))
+    true
+  }
+
+  /** Declared key (`curation_stream`): the PERSISTED exactly-once
+    * arrival driver through the correctness gate — what
+    * [[curationIncremental]] proves with frames-as-index, this key
+    * proves through [[stepExactlyOnce]]'s actual machinery: temp-dir
+    * state, the output staged to committed `batch=<id>` directories,
+    * the atomic fp+cursor+batch-id commit, and an injected REPLAY of
+    * micro-batch 0 between the two chops (the at-least-once delivery
+    * Structured Streaming's foreachBatch contract allows). The output
+    * is both batch directories read BACK from disk, so the DuckDB
+    * oracle (identical to `curation_incremental`'s two-night CTE
+    * recompute) also gates the replay: if the re-delivered batch 0
+    * re-applied, it would dedup against its own fingerprints, write an
+    * EMPTY batch-0 directory, and advance the cursor — rows red three
+    * ways. */
+  def curationStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-curstream-state").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-curstream-out").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // 8 index buckets at declared-key scale (the dedupIndexLifecycle
+    // sizing): the state fold copies per-bucket files, so 64 buckets
+    // would pay ~8x the file churn for a sf0.1-sized fp set
+    stepExactlyOnce(spark, even, state, out, 0L, nBuckets = 8)
+    // replayed delivery: must no-op
+    stepExactlyOnce(spark, even, state, out, 0L, nBuckets = 8)
+    stepExactlyOnce(spark, odd, state, out, 1L, nBuckets = 8)
+    spark.read.parquet(s"$out/batch=0").withColumn("batch", lit(1))
+      .union(spark.read.parquet(s"$out/batch=1").withColumn("batch", lit(2)))
+      .select("batch", "doc_id", "quality", "n_tok", "start_tok", "seq_id")
+      .orderBy("start_tok")
   }
 
   // ------------------------------------- full macro, arrival mode (r18)
@@ -283,7 +411,7 @@ object CurationIncremental {
       budgets: Seq[(String, Long)] = DomainMix.Budgets,
       budget: Int = Packing.SeqBudget,
       bucketWidth: Long = Packing.BucketWidth,
-      init: Boolean = false): DataFrame = {
+      init: Boolean = false, autoCompact: Int = 0): DataFrame = {
     import spark.implicits._
     if (!init) recoverState(spark, path)
     val (idxFps, cursor, consumed) =
@@ -313,8 +441,73 @@ object CurationIncremental {
       foldPending(path)
       spark.catalog.refreshByPath(s"$path/fps")
     }
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/fps" -> "bucket"))
     out.select("doc_id", "lang", "quality", "n_tok", "mix_start",
       "start_tok", "seq_id")
+  }
+
+  /** [[stepExactlyOnce]] for the FULL macro — [[stepFull]] with the
+    * exactly-once ordering (output durable at `outDir/batch=<id>` under
+    * a completion marker FIRST, then fps + cursor + per-domain budget
+    * counters + batch id as ONE pending-marker commit). The budget
+    * counters make replay protection matter twice over: a re-applied
+    * batch would not only swallow itself against its own fingerprints,
+    * it would double-count its domains' consumed tokens and starve
+    * every later batch's mix. Same crash analysis as the basic form —
+    * the counters are just one more staged piece. */
+  def stepFullExactlyOnce(spark: SparkSession, batch: DataFrame,
+      path: String, outDir: String, batchId: Long,
+      budgets: Seq[(String, Long)] = DomainMix.Budgets,
+      budget: Int = Packing.SeqBudget,
+      bucketWidth: Long = Packing.BucketWidth,
+      autoCompact: Int = 0,
+      nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
+    import spark.implicits._
+    val first = !java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "meta"))
+    if (!first) {
+      recoverState(spark, path)
+      if (batchId <= committedBatchId(spark, path)) return false
+    }
+    val (idxFps, cursor, consumed) =
+      if (first) (Seq.empty[String].toDF("fp"), 0L, Map.empty[String, Long])
+      else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
+        spark.read.parquet(s"$path/cursor").head().getLong(0),
+        spark.read.parquet(s"$path/budgets").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
+    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
+    val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
+      materialize = true)
+      .select("doc_id", "lang", "quality", "n_tok", "mix_start",
+        "start_tok", "seq_id")
+    val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    val delta = consumedOf(mixed, "lang")
+    val newConsumed = budgets.map { case (d, _) =>
+      d -> (consumed.getOrElse(d, 0L) + delta.getOrElse(d, 0L))
+    }
+    val batchOut = s"$outDir/batch=$batchId"
+    out.write.mode("overwrite").parquet(batchOut)
+    Tables.markArtifactComplete(batchOut)
+    if (first) {
+      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps", nBuckets)
+      Seq(cursor + total).toDF("next_tok")
+        .write.mode("overwrite").parquet(s"$path/cursor")
+      newConsumed.toDF("lang", "consumed")
+        .write.mode("overwrite").parquet(s"$path/budgets")
+      Seq(batchId).toDF("batch_id")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } else {
+      stageAndCommit(spark, acc, cursor + total, path,
+        budgetRows = Some(newConsumed), metaRow = Some(batchId),
+        nBuckets = nBuckets)
+      foldPending(path)
+      spark.catalog.refreshByPath(s"$path/fps")
+    }
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/fps" -> "bucket"))
+    true
   }
 
   /** Declared key (`curation_incremental`): the two-batch fixture that

@@ -1500,4 +1500,70 @@ object StreamingOps {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** [EXT] Streaming arrival-mode curation — the PACKED incremental
+    * macro as a continuous query: every micro-batch runs [[graft
+    * .operators.CurationIncremental.stepExactlyOnce]] against the
+    * persisted state at `statePath` (fp index + pack cursor + committed
+    * batch id, one atomic commit), emitting each batch's packed train
+    * rows to `outDir/batch=<id>` with offsets CONTINUING across
+    * micro-batches — so the packed corpus reads as one unbroken
+    * concatenation no matter how the stream was chopped, the seam-free
+    * property the nightly form proves two nights at a time, now held
+    * continuously.
+    *
+    * This closes what [[streamingCuration]] deliberately leaves open:
+    * that form stops at the stateful dedup (split/pack stay batch jobs
+    * over the materialized corpus) because a GLOBAL prefix sum has no
+    * within-batch streaming form — but the cursor turns packing into a
+    * per-batch prefix sum plus one carried offset, which is exactly
+    * micro-batch-shaped. Exactly-once end-to-end: Structured
+    * Streaming's checkpoint makes delivery at-least-once, and the
+    * committed batch id makes re-application a no-op whose output is
+    * already durable ([[graft.operators.CurationIncremental
+    * .stepExactlyOnce]]'s ordering argument). `autoCompact > 0` lets
+    * the fp index self-maintain as the stream runs. */
+  def streamingCurationIncremental(docs: DataFrame, statePath: String,
+      outDir: String, checkpointDir: String,
+      budget: Int = graft.operators.Packing.SeqBudget,
+      bucketWidth: Long = graft.operators.Packing.BucketWidth,
+      autoCompact: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CurationIncremental.stepExactlyOnce(
+          batch.sparkSession, batch, statePath, outDir, batchId,
+          budget, bucketWidth, autoCompact): Unit
+      }
+      .start()
+
+  /** [[streamingCurationIncremental]] for the FULL macro (redact +
+    * quality + dedup + split + domain-mix + pack): per micro-batch,
+    * [[graft.operators.CurationIncremental.stepFullExactlyOnce]] —
+    * the per-domain consumed-budget counters ride the same atomic
+    * commit as the fps, cursor, and batch id, so a domain one
+    * micro-batch exhausts stays exhausted across every later batch,
+    * restart, and replay (a re-applied batch would double-count its
+    * domains and starve the rest of the stream — the counter is the
+    * piece that makes exactly-once LOAD-BEARING here, not just tidy). */
+  def streamingCurationIncrementalFull(docs: DataFrame, statePath: String,
+      outDir: String, checkpointDir: String,
+      budgets: Seq[(String, Long)] = graft.operators.DomainMix.Budgets,
+      budget: Int = graft.operators.Packing.SeqBudget,
+      bucketWidth: Long = graft.operators.Packing.BucketWidth,
+      autoCompact: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CurationIncremental.stepFullExactlyOnce(
+          batch.sparkSession, batch, statePath, outDir, batchId,
+          budgets, budget, bucketWidth, autoCompact): Unit
+      }
+      .start()
 }

@@ -21,6 +21,8 @@ class CacheHygieneSpec extends SparkSpec {
     // packSequences persists internally; the incremental macro runs it
     // per night, so its key must release per call (materialize=true)
     "curation_incremental",
+    // the exactly-once driver packs per chop under the same contract
+    "curation_stream",
     // the full arrival mode adds DomainMix.mix's internal persist — also
     // bound per call via materialize=true
     "curation_incremental_full",
