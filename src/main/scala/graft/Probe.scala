@@ -82,6 +82,11 @@ object Probe {
         pqProbe(spark,
           n = args.lift(1).map(_.toInt).getOrElse(1000000),
           c = args.lift(2).map(_.toInt).getOrElse(1024))
+      case Some("ivfretrain") =>
+        ivfRetrainProbe(spark,
+          n = args.lift(1).map(_.toInt).getOrElse(200000),
+          c = args.lift(2).map(_.toInt).getOrElse(64),
+          nQ = args.lift(3).map(_.toInt).getOrElse(50))
       case Some("incdedup") =>
         incDedupProbe(spark,
           nIdx = args.lift(1).map(_.toInt).getOrElse(1000000),
@@ -2325,6 +2330,103 @@ object Probe {
       s"recall must not degrade as the shortlist grows: $recalls")
     assert(recalls.last >= 0.6,
       s"shortlist=1000 of $n must recover ≥ 0.6 of the exact top-$k, got ${recalls.last}")
+  }
+
+  /** [[graft.operators.ProductQuant.ivfpqRetrain]] under real
+    * distribution drift: an IVFADC index is built on `n` corpus-A
+    * vectors (clusters in one hash region), then `n` corpus-B vectors
+    * from DIFFERENT cluster centers arrive via [[graft.operators
+    * .ProductQuant.ivfpqAppend]] — assigned and encoded under the
+    * frozen A-trained models, the exact situation the append scaladoc
+    * warns about. Drifted (B) queries are served before and after
+    * retrain at the same nProbe/shortlist against the same exact
+    * baseline over A∪B; the probe prints both recalls and the retrain
+    * cost, and asserts the retrain (a) preserves membership exactly,
+    * (b) improves drifted-query recall by a real margin. */
+  def ivfRetrainProbe(spark: SparkSession, n: Int, c: Int, nQ: Int,
+      dim: Int = 64, k: Int = 10): Unit = {
+    import graft.operators.ProductQuant
+    def comp(key: Column) =
+      pmod(xxhash64(key), lit(1000)).cast("double") / 500.0 - 1.0
+    // corpus A: c clusters over the hash cube; corpus B: c NEW clusters
+    // at centers the A-trained models never saw (id-space offset changes
+    // every center hash). The drift effect under frozen models is that
+    // B's cluster mates scatter across inverted lists chosen by
+    // A-centroid proximity and B's region gets no codewords — both
+    // model defects at once, which is why the gate below is PARITY WITH
+    // A FRESH BUILD over the same vectors (the strongest result any
+    // retrain can deliver), with the before/after delta reported.
+    def corpus(ids: org.apache.spark.sql.DataFrame, centerSalt: Long) = {
+      val cluster = pmod(xxhash64(col("vec_id")), lit(c.toLong)) + centerSalt
+      ProductQuant.normalized(ids.select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => comp(cluster * dim + j) +
+            comp(col("vec_id") * dim + j + lit(7777777L)) * 0.25).as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val a = corpus(spark.range(n).select(col("id").as("vec_id")), 0L)
+    val b = corpus(spark.range(n, 2L * n).select(col("id").as("vec_id")),
+      1000000L)
+    a.count(); b.count()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfrt").toString
+    timed(s"build IVFADC on corpus A ($n vectors, $c lists)") {
+      ProductQuant.writeIvfPqIndex(spark, path, a, c): Unit
+    }
+    timed(s"append corpus B ($n drifted vectors) under the frozen models") {
+      ProductQuant.ivfpqAppend(spark, path, b)
+    }
+    val queries = b.filter(col("vec_id") < n + nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val all = a.unionByName(b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0d), (s, x) => s + x)
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = timed(s"exact baseline: $nQ drifted queries × ${2 * n} brute") {
+      val e = all.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotQ)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= k)
+        .select("q_id", "vec_id")
+        .localCheckpoint(true)
+      e.count(); e
+    }
+    def servedRecall(dir: String, label: String): Double = {
+      val (assigned, cent, cbs) = ProductQuant.readIvfPqIndex(spark, dir)
+      val approx = ProductQuant.ivfPqSearch(assigned,
+          assigned.select("vec_id", "v"), queries, cent, cbs, k,
+          nProbe = math.max(4, c / 4), shortlist = 1000)
+        .select("q_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      val r = hits.toDouble / (nQ.toLong * k)
+      println(f"[probe] ivfretrain: recall@$k $label = $r%.3f ($hits/${nQ * k})")
+      r
+    }
+    val before = servedRecall(path, "BEFORE retrain (frozen A models)")
+    val nBefore = spark.read.parquet(s"$path/assigned").count()
+    timed(s"ivfpqRetrain over the ${2 * n}-vector index (4 Lloyd iters)") {
+      ProductQuant.ivfpqRetrain(spark, path, c, lloydIters = 4): Unit
+    }
+    val nAfter = spark.read.parquet(s"$path/assigned").count()
+    val after = servedRecall(path, "AFTER retrain (models over A ∪ B)")
+    // the reference any retrain is honestly judged against: a
+    // from-scratch build over the identical vector set and parameters
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfrt-fresh").toString
+    timed(s"fresh-build reference over the same ${2 * n} vectors") {
+      ProductQuant.writeIvfPqIndex(spark, freshDir, all, c,
+        lloydIters = 4): Unit
+    }
+    val fresh = servedRecall(freshDir, "FRESH BUILD reference (A ∪ B)")
+    println(f"[probe] ivfretrain: drift delta after-before = ${after - before}%+.3f, " +
+      f"retrain-vs-fresh gap = ${after - fresh}%+.3f")
+    all.unpersist(); a.unpersist(); b.unpersist()
+    assert(nAfter == nBefore, "retrain must preserve membership exactly")
+    assert(after >= fresh - 0.05,
+      f"retrained models must match a from-scratch build: after=$after%.3f fresh=$fresh%.3f")
   }
 
   /** `dedup_incremental` at scale: an `nIdx`-doc fingerprint index on

@@ -250,6 +250,7 @@ object ProductQuant {
     * c and M·Ks rows — the driver-resident discipline. */
   def readIvfPqIndex(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    recoverIvfPq(dir) // converge a crashed retrain before serving
     val centroids = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
@@ -289,6 +290,117 @@ object ProductQuant {
     emb.unpersist(blocking = false)
     IndexMaintenance.autoCompact(spark, autoCompact,
       Seq(s"$path/assigned" -> "cid"))
+  }
+
+  // ------------------------------------------------ retrain (drift path)
+
+  private def retrainStaging(path: String) =
+    java.nio.file.Paths.get(path, "_retrain")
+
+  /** Converge a possibly-crashed [[ivfpqRetrain]] at `path`: committed
+    * staging rolls forward (the fold is idempotent), uncommitted rolls
+    * back — the [[IndexMaintenance.recoverIndex]] discipline for this
+    * operator's three-sub-table swap. Called at every retrain entry and
+    * by [[readIvfPqIndex]], so a crashed retrain can never leave a
+    * reader stuck between model generations. */
+  def recoverIvfPq(path: String): Unit = {
+    val pend = retrainStaging(path)
+    if (java.nio.file.Files.exists(pend)) {
+      if (graft.Tables.artifactComplete(pend.toString)) foldRetrain(path)
+      else IndexMaintenance.deleteRecursively(pend)
+    }
+  }
+
+  /** Fold a COMMITTED retrain staging into the live index: per flat
+    * model sub-table (centroids, codebooks), copy the staged files in
+    * and delete stale ones by name difference (staged part names are
+    * write-fresh UUIDs — copy-first, so there is never a moment with no
+    * live model); for `assigned/`, swap per cid directory and delete
+    * cid directories the new assignment no longer populates. Every
+    * action is idempotent, so a crash mid-fold re-folds cleanly. */
+  private def foldRetrain(path: String): Unit = {
+    val pend = retrainStaging(path)
+    Seq("centroids", "codebooks").foreach { piece =>
+      val staged = pend.resolve(piece)
+      if (java.nio.file.Files.isDirectory(staged)) {
+        val live = java.nio.file.Paths.get(path, piece)
+        val names =
+          IndexMaintenance.dataFiles(staged).map(_.getFileName.toString).toSet
+        IndexMaintenance.dataFiles(staged)
+          .foreach(IndexMaintenance.copyInto(_, live))
+        IndexMaintenance.dataFiles(live)
+          .filterNot(f => names.contains(f.getFileName.toString))
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val stagedA = pend.resolve("assigned")
+    val liveA = java.nio.file.Paths.get(path, "assigned")
+    val stagedCids = IndexMaintenance.listDir(stagedA)
+      .filter(d => java.nio.file.Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("cid="))
+      .map(_.getFileName.toString).toSet
+    stagedCids.foreach { cd =>
+      val sdir = stagedA.resolve(cd)
+      val ldir = liveA.resolve(cd)
+      val names =
+        IndexMaintenance.dataFiles(sdir).map(_.getFileName.toString).toSet
+      IndexMaintenance.dataFiles(sdir)
+        .foreach(IndexMaintenance.copyInto(_, ldir))
+      IndexMaintenance.dataFiles(ldir)
+        .filterNot(f => names.contains(f.getFileName.toString))
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    IndexMaintenance.listDir(liveA)
+      .filter(d => java.nio.file.Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("cid=") &&
+        !stagedCids.contains(d.getFileName.toString))
+      .foreach(IndexMaintenance.deleteRecursively)
+    java.nio.file.Files.deleteIfExists(pend.resolve("_GRAFT_COMPLETE"))
+    IndexMaintenance.deleteRecursively(pend)
+  }
+
+  /** Drift maintenance for the IVFADC serving artifact — the lifecycle
+    * piece [[ivfpqAppend]] deliberately defers: appends assign and
+    * encode under the FROZEN models, so recall for appended vectors
+    * degrades as far as the data distribution drifts from the trained
+    * one. Retrain rebuilds centroids and codebooks on the index's
+    * CURRENT vector set and re-encodes everything — and because
+    * `assigned/` carries the raw vectors (the rerank column), the
+    * artifact is SELF-CONTAINED: no external embedding source needed,
+    * exactly like compaction.
+    *
+    * Crash-safe under the staging discipline shared with
+    * [[IndexMaintenance.compactIndex]] and the curation state commit:
+    * the full new index (models + re-encoded inverted file) is built
+    * under `<path>/_retrain/` (invisible to readers of the live
+    * sub-tables), committed with the completion marker, then folded by
+    * the idempotent three-sub-table swap — a crash at ANY point leaves
+    * the index serving ONE model generation, never a mix, and the next
+    * entry converges it ([[recoverIvfPq]]). Like compaction, retrain is
+    * an offline maintenance pass: run it when append-era recall probes
+    * sag, not nightly.
+    *
+    * Scale: one pass over the index's vectors per Lloyd iteration (the
+    * [[writeIvfPqIndex]] cost, now over accumulated ∪ appended) plus a
+    * full rewrite of `assigned/` — the honest price of new models,
+    * paid on the rare drift path; the nightly path stays [[ivfpqAppend]]
+    * at O(batch). */
+  def ivfpqRetrain(spark: SparkSession, path: String, c: Int = 8,
+      lloydIters: Int = 2, m: Int = M)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    recoverIvfPq(path)
+    val emb = spark.read.parquet(s"$path/assigned").select("vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pend = retrainStaging(path)
+    IndexMaintenance.deleteRecursively(pend)
+    // vectors in assigned/ are already normalized (build + append both
+    // normalize), so they re-enter training as-is
+    val res = writeIvfPqIndex(spark, pend.toString, emb, c, lloydIters, m)
+    emb.unpersist(blocking = false)
+    graft.Tables.markArtifactComplete(pend.toString)
+    foldRetrain(path)
+    spark.catalog.refreshByPath(s"$path/assigned")
+    res
   }
 
   /** Per-corpus serving location for the declared key ([[graft.operators

@@ -149,6 +149,89 @@ class ProductQuantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfpqRetrain: new models over accumulated ∪ appended; vectors, codes, cids all consistent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    // the drift shape: build on the even half, append the odd half
+    // under the frozen even-trained models
+    ProductQuant.writeIvfPqIndex(spark, tmp,
+      emb.filter(col("vec_id") % 2 === 0), c = 4)
+    ProductQuant.ivfpqAppend(spark, tmp,
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") % 2 === 1))
+    val idsBefore = spark.read.parquet(s"$tmp/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val (centNew, cbsNew) = ProductQuant.ivfpqRetrain(spark, tmp, c = 4)
+    val (assigned, rc, rcbs) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(rc === centNew.sortBy(_._1) && rcbs === cbsNew,
+      "read-back models must be the retrained generation")
+    // the vector SET is preserved exactly — retrain rewrites layout and
+    // models, never membership
+    assert(assigned.select("vec_id").collect().map(_.getLong(0)).sorted
+      === idsBefore)
+    // every stored code row is consistent with the NEW models (the
+    // append-era mixed-generation encoding is gone)
+    val fresh = ProductQuant.encode(assigned.select("vec_id", "v"), rcbs)
+      .select("vec_id", "codes")
+    val stored = assigned.select("vec_id", "codes")
+    assert(stored.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(stored).count() === 0)
+    // and every cid is the argmin of the NEW centroids
+    val reassigned = Similarity.assignCids(spark,
+      assigned.select("vec_id", "v"), rc)
+    val cidMismatch = assigned.select(col("vec_id"), col("cid"))
+      .join(reassigned.withColumnRenamed("cid", "cid2"), "vec_id")
+      .filter(col("cid") =!= col("cid2")).count()
+    assert(cidMismatch === 0)
+    // the retrained index still serves: an odd (formerly appended)
+    // vector finds itself through the probe
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val hits = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+      q, rc, rcbs, k = 3, nProbe = 4).collect()
+    assert(hits.nonEmpty)
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("ivfpqRetrain crash recovery: uncommitted staging rolls back, committed rolls forward") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rtc").toString
+    val (cent0, cbs0) = ProductQuant.writeIvfPqIndex(spark, tmp,
+      emb.filter(col("vec_id") % 2 === 0), c = 4)
+    // uncommitted crash: a staging tree with no marker must roll back
+    // and leave the live generation untouched
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tmp, "_retrain", "assigned"))
+    val (_, rcA, rcbsA) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(tmp, "_retrain")))
+    assert(rcA === cent0.sortBy(_._1) && rcbsA === cbs0,
+      "rolled-back retrain must leave the old models serving")
+    // committed crash: a fully staged + marked retrain that died before
+    // the fold must roll FORWARD on the next read
+    val cur = spark.read.parquet(s"$tmp/assigned").select("vec_id", "v")
+    val (centS, cbsS) = ProductQuant.writeIvfPqIndex(spark,
+      s"$tmp/_retrain", cur, c = 4)
+    graft.Tables.markArtifactComplete(s"$tmp/_retrain")
+    val (assigned, rcB, rcbsB) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(tmp, "_retrain")))
+    assert(rcB === centS.sortBy(_._1) && rcbsB === cbsS,
+      "rolled-forward retrain must serve the staged generation")
+    // stored rows consistent with the rolled-forward models
+    val fresh = ProductQuant.encode(assigned.select("vec_id", "v"), rcbsB)
+      .select("vec_id", "codes")
+    assert(assigned.select("vec_id", "codes").exceptAll(fresh).count() === 0)
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ivfpq_append declared key: appended index recall-green, repeat-call served") {
     val a = ProductQuant.ivfpqAppendRecall(spark, sf0001).collect()
     assert(a.length === Similarity.NumQueryVecs)
