@@ -141,7 +141,8 @@ object LineDedup {
     * refreshByPath invalidating the lazy survivor plan). Returns the
     * per-document survivors frame. */
   def stepLines(spark: SparkSession, batch: DataFrame, path: String,
-      nBuckets: Int = IncrementalDedup.IndexBuckets): DataFrame = {
+      nBuckets: Int = IncrementalDedup.IndexBuckets,
+      autoCompact: Int = 0): DataFrame = {
     val out = dedupLinesAgainst(batch,
         IncrementalDedup.readFpIndex(spark, path).select("fp"))
       .localCheckpoint(true)
@@ -154,6 +155,7 @@ object LineDedup {
         Seq("fp"), "left_anti")
       .localCheckpoint(true)
     IncrementalDedup.writeFpIndex(keptFps, path, nBuckets, append = true)
+    IndexMaintenance.autoCompact(spark, autoCompact, Seq(path -> "bucket"))
     out
   }
 
