@@ -194,6 +194,26 @@ object CurationIncremental {
     out
   }
 
+  /** Takedown on the curation state ([[IndexMaintenance.retractKeys]]
+    * applied to `fps/`): remove the retracted documents' fingerprints so
+    * the dedup gate stops suppressing on their account — after this, a
+    * RE-SUBMISSION of the same text is accepted again (the takedown
+    * semantics every index family carries). Two things deliberately do
+    * NOT change, and callers must know why: the cursor (already-packed
+    * token offsets are consumed corpus positions — rewinding them would
+    * seam every sequence packed since), and any already-emitted packed
+    * rows (the packed corpus is an immutable log; removing a retracted
+    * doc's ROWS from training data is the downstream consumer's
+    * anti-join, keyed by the doc_id this operator preserved). Returns
+    * the number of fingerprint rows removed. */
+  def retract(spark: SparkSession, docs: DataFrame, path: String): Long = {
+    recoverState(spark, path)
+    val removed = IndexMaintenance.retractKeys(spark, s"$path/fps", "fp",
+      docs.select(TextOps.fingerprint(col("text")).as("fp")))
+    spark.catalog.refreshByPath(s"$path/fps")
+    removed
+  }
+
   // ------------------------------ streaming arrival driver (exactly-once)
 
   /** Micro-batch id the state at `path` last committed, or -1 on fresh

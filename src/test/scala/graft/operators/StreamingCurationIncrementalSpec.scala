@@ -189,6 +189,38 @@ class StreamingCurationIncrementalSpec extends SparkSpec {
       "a replayed batch must not double-count domain budgets")
   }
 
+  test("retract: a taken-down doc's twin is accepted again; cursor and history untouched") {
+    import spark.implicits._
+    val state = tmpDir("scur-retract-state")
+    val out = tmpDir("scur-retract-out")
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      n1.toDF("doc_id", "text"), state, out, 0L, budget = 8, bucketWidth = 2))
+    val cursorBefore = cursor(state)
+    // take down doc 2 ("alpha beta gamma delta")
+    val removed = CurationIncremental.retract(spark,
+      Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text"), state)
+    assert(removed === 1L)
+    assert(cursor(state) === cursorBefore,
+      "takedown must not rewind consumed pack offsets")
+    // a bag-of-words twin of the retracted doc now passes the gate
+    // (doc_id 1 is a known train-shard id, so acceptance shows in the
+    // packed output, not just the fp state)
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      Seq((1L, "delta gamma beta alpha")).toDF("doc_id", "text"),
+      state, out, 1L, budget = 8, bucketWidth = 2))
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b1 === Set(1L), "the retracted fp must no longer suppress a twin")
+    // ...while a doc 4 twin (never retracted) still dies — asserted on
+    // the fp state so the check is shard-independent
+    val fpsBefore = fps(state).length
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      Seq((23L, "four three two one")).toDF("doc_id", "text"),
+      state, out, 2L, budget = 8, bucketWidth = 2))
+    assert(fps(state).length === fpsBefore,
+      "a twin of a non-retracted doc must still be rejected")
+  }
+
   test("restart from the checkpoint: new data continues the offsets, old batches untouched") {
     // the file-drop restart pattern (StreamingSpec's T2 discipline): a
     // fresh MemoryStream can't resume a checkpoint, a file source can
