@@ -223,8 +223,12 @@ object CurationIncremental {
     * trustworthy: the id can never say "applied" while the fps/cursor
     * say otherwise, or vice versa. */
   def committedBatchId(spark: SparkSession, path: String): Long =
-    if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(path, "meta")))
+    // data-file presence, not directory presence: a meta/ directory with
+    // no committed data files (a crash window of the r18 first-batch
+    // protocol, kept robust here as belt-and-braces) is FRESH state —
+    // reading it would throw and wedge every retry (r18 ADVICE)
+    if (IndexMaintenance.dataFiles(
+        java.nio.file.Paths.get(path, "meta")).nonEmpty)
       spark.read.parquet(s"$path/meta").head().getLong(0)
     else -1L
 
@@ -252,12 +256,18 @@ object CurationIncremental {
     * the replay REPRODUCES the batch from unchanged state; a crash
     * after it rolls forward and the replay is skipped, its output
     * already on disk — no interleaving leaves a batch half-applied or
-    * doubly-packed. First-ever batch: fresh state is detected by the
-    * missing `meta/`, every piece writes in overwrite mode, and `meta/`
-    * writes LAST as the commit point (a crashed first night retries as
-    * a plain overwrite). The state dir is owned by this entry point —
-    * don't interleave raw [[step]] calls, which advance state without
-    * `meta/`. */
+    * doubly-packed. The FIRST batch takes the identical protocol from
+    * fresh state (r19, r18 ADVICE): it stages into `_pending` and
+    * commits at the marker like every later batch — the previous
+    * meta-written-last overwrite scheme had a wedge window where a
+    * crash mid-meta-write left `meta/` present but unreadable, sending
+    * every retry down the non-first path into a throw. Fresh state is
+    * detected by `meta/` carrying no committed DATA FILES, and
+    * [[recoverState]] runs unconditionally, so a first batch that
+    * crashed past its marker rolls forward and the retry is correctly
+    * classified as a replay. The state dir is owned by this entry
+    * point — don't interleave raw [[step]] calls, which advance state
+    * without `meta/`. */
   def stepExactlyOnce(spark: SparkSession, batch: DataFrame, path: String,
       outDir: String, batchId: Long,
       budget: Int = Packing.SeqBudget,
@@ -265,12 +275,10 @@ object CurationIncremental {
       autoCompact: Int = 0,
       nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
     import spark.implicits._
-    val first = !java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(path, "meta"))
-    if (!first) {
-      recoverState(spark, path)
-      if (batchId <= committedBatchId(spark, path)) return false
-    }
+    recoverState(spark, path)
+    val committed = committedBatchId(spark, path)
+    val first = committed < 0
+    if (!first && batchId <= committed) return false
     val (idxFps, cursor) =
       if (first) (Seq.empty[String].toDF("fp"), 0L)
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
@@ -281,18 +289,10 @@ object CurationIncremental {
     val batchOut = s"$outDir/batch=$batchId"
     out.write.mode("overwrite").parquet(batchOut)
     Tables.markArtifactComplete(batchOut)
-    if (first) {
-      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps", nBuckets)
-      Seq(cursor + total).toDF("next_tok")
-        .write.mode("overwrite").parquet(s"$path/cursor")
-      Seq(batchId).toDF("batch_id")
-        .write.mode("overwrite").parquet(s"$path/meta")
-    } else {
-      stageAndCommit(spark, acc, cursor + total, path,
-        metaRow = Some(batchId), nBuckets = nBuckets)
-      foldPending(path)
-      spark.catalog.refreshByPath(s"$path/fps")
-    }
+    stageAndCommit(spark, acc, cursor + total, path,
+      metaRow = Some(batchId), nBuckets = nBuckets)
+    foldPending(path)
+    spark.catalog.refreshByPath(s"$path/fps")
     IndexMaintenance.autoCompact(spark, autoCompact,
       Seq(s"$path/fps" -> "bucket"))
     true
@@ -475,7 +475,9 @@ object CurationIncremental {
     * batch would not only swallow itself against its own fingerprints,
     * it would double-count its domains' consumed tokens and starve
     * every later batch's mix. Same crash analysis as the basic form —
-    * the counters are just one more staged piece. */
+    * the counters are just one more staged piece, and the first batch
+    * takes the identical pending-marker protocol (see
+    * [[stepExactlyOnce]]'s first-batch note). */
   def stepFullExactlyOnce(spark: SparkSession, batch: DataFrame,
       path: String, outDir: String, batchId: Long,
       budgets: Seq[(String, Long)] = DomainMix.Budgets,
@@ -484,12 +486,10 @@ object CurationIncremental {
       autoCompact: Int = 0,
       nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
     import spark.implicits._
-    val first = !java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(path, "meta"))
-    if (!first) {
-      recoverState(spark, path)
-      if (batchId <= committedBatchId(spark, path)) return false
-    }
+    recoverState(spark, path)
+    val committed = committedBatchId(spark, path)
+    val first = committed < 0
+    if (!first && batchId <= committed) return false
     val (idxFps, cursor, consumed) =
       if (first) (Seq.empty[String].toDF("fp"), 0L, Map.empty[String, Long])
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
@@ -510,21 +510,11 @@ object CurationIncremental {
     val batchOut = s"$outDir/batch=$batchId"
     out.write.mode("overwrite").parquet(batchOut)
     Tables.markArtifactComplete(batchOut)
-    if (first) {
-      IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps", nBuckets)
-      Seq(cursor + total).toDF("next_tok")
-        .write.mode("overwrite").parquet(s"$path/cursor")
-      newConsumed.toDF("lang", "consumed")
-        .write.mode("overwrite").parquet(s"$path/budgets")
-      Seq(batchId).toDF("batch_id")
-        .write.mode("overwrite").parquet(s"$path/meta")
-    } else {
-      stageAndCommit(spark, acc, cursor + total, path,
-        budgetRows = Some(newConsumed), metaRow = Some(batchId),
-        nBuckets = nBuckets)
-      foldPending(path)
-      spark.catalog.refreshByPath(s"$path/fps")
-    }
+    stageAndCommit(spark, acc, cursor + total, path,
+      budgetRows = Some(newConsumed), metaRow = Some(batchId),
+      nBuckets = nBuckets)
+    foldPending(path)
+    spark.catalog.refreshByPath(s"$path/fps")
     IndexMaintenance.autoCompact(spark, autoCompact,
       Seq(s"$path/fps" -> "bucket"))
     true

@@ -228,11 +228,11 @@ object ProductQuant {
     * pruning gives the second axis for free); `centroids/` and
     * `codebooks/` are the two tiny driver-resident model frames. */
   def writeIvfPqIndex(spark: SparkSession, dir: String, emb: DataFrame,
-      c: Int = 8, lloydIters: Int = 2, m: Int = M)
+      c: Int = 8, lloydIters: Int = 2, m: Int = M, ks: Int = Ks)
       : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     import spark.implicits._
     val centroids = Similarity.trainCentroids(spark, emb, c, lloydIters)
-    val cbs = trainCodebooks(spark, emb, m)
+    val cbs = trainCodebooks(spark, emb, m, ks)
     centroids.toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     cbs.zipWithIndex.flatMap { case (cb, mi) =>
@@ -250,7 +250,10 @@ object ProductQuant {
     * c and M·Ks rows — the driver-resident discipline. */
   def readIvfPqIndex(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
-    recoverIvfPq(dir) // converge a crashed retrain before serving
+    // roll a committed-but-unfolded retrain forward before serving;
+    // NEVER roll back from the read path (an uncommitted staging may be
+    // an in-flight retrain's — see recoverIvfPq)
+    recoverIvfPq(dir, rollBack = false)
     val centroids = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
@@ -300,14 +303,22 @@ object ProductQuant {
   /** Converge a possibly-crashed [[ivfpqRetrain]] at `path`: committed
     * staging rolls forward (the fold is idempotent), uncommitted rolls
     * back — the [[IndexMaintenance.recoverIndex]] discipline for this
-    * operator's three-sub-table swap. Called at every retrain entry and
-    * by [[readIvfPqIndex]], so a crashed retrain can never leave a
-    * reader stuck between model generations. */
-  def recoverIvfPq(path: String): Unit = {
+    * operator's three-sub-table swap. Called at every retrain entry;
+    * [[readIvfPqIndex]] calls the `rollBack = false` form, which ONLY
+    * rolls a committed staging forward: an uncommitted `_retrain` tree
+    * is invisible to readers (the live sub-tables still serve), and a
+    * read-path delete would RACE an in-flight retrain — a reader
+    * deleting the staging between [[writeIvfPqIndex]] finishing and the
+    * completion marker would leave the marker stamped on an empty tree,
+    * which the fold must then treat as data loss (r18 ADVICE). Rollback
+    * of a genuinely dead staging is the next retrain entry's job, where
+    * no writer can be in flight by contract (retrain is a single-owner
+    * maintenance pass). */
+  def recoverIvfPq(path: String, rollBack: Boolean = true): Unit = {
     val pend = retrainStaging(path)
     if (java.nio.file.Files.exists(pend)) {
       if (graft.Tables.artifactComplete(pend.toString)) foldRetrain(path)
-      else IndexMaintenance.deleteRecursively(pend)
+      else if (rollBack) IndexMaintenance.deleteRecursively(pend)
     }
   }
 
@@ -317,9 +328,28 @@ object ProductQuant {
     * write-fresh UUIDs — copy-first, so there is never a moment with no
     * live model); for `assigned/`, swap per cid directory and delete
     * cid directories the new assignment no longer populates. Every
-    * action is idempotent, so a crash mid-fold re-folds cleanly. */
+    * action is idempotent, so a crash mid-fold re-folds cleanly.
+    *
+    * Refuses to fold a staging that is not a COMPLETE index — all three
+    * sub-tables present, `assigned/` with at least one cid directory —
+    * and rolls it back instead: [[writeIvfPqIndex]] writes every
+    * sub-table before the marker, so a committed-but-empty staging can
+    * only be a spurious marker (or one stamped on a tree a racing
+    * reader emptied — the r18 ADVICE scenario), and folding it would
+    * delete every live cid directory: total index loss from a recovery
+    * path. */
   private def foldRetrain(path: String): Unit = {
     val pend = retrainStaging(path)
+    val stagedComplete =
+      Seq("centroids", "codebooks")
+        .forall(p => IndexMaintenance.dataFiles(pend.resolve(p)).nonEmpty) &&
+        IndexMaintenance.listDir(pend.resolve("assigned"))
+          .exists(d => java.nio.file.Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith("cid="))
+    if (!stagedComplete) {
+      IndexMaintenance.deleteRecursively(pend)
+      return
+    }
     Seq("centroids", "codebooks").foreach { piece =>
       val staged = pend.resolve(piece)
       if (java.nio.file.Files.isDirectory(staged)) {
@@ -384,18 +414,30 @@ object ProductQuant {
     * [[writeIvfPqIndex]] cost, now over accumulated ∪ appended) plus a
     * full rewrite of `assigned/` — the honest price of new models,
     * paid on the rare drift path; the nightly path stays [[ivfpqAppend]]
-    * at O(batch). */
-  def ivfpqRetrain(spark: SparkSession, path: String, c: Int = 8,
-      lloydIters: Int = 2, m: Int = M)
+    * at O(batch).
+    *
+    * Geometry defaults to the LIVE index's (c, m, ks), read from the
+    * persisted model frames (r18 ADVICE: a parameterless maintenance
+    * call on an index built with c = 1024 must not silently rebuild it
+    * with 8 inverted lists — probe pruning and serving cost are the
+    * caller's deployed contract). Pass a parameter > 0 only to
+    * deliberately change geometry. */
+  def ivfpqRetrain(spark: SparkSession, path: String, c: Int = 0,
+      lloydIters: Int = 2, m: Int = 0, ks: Int = 0)
       : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     recoverIvfPq(path)
+    val (_, liveCentroids, liveCbs) = readIvfPqIndex(spark, path)
+    val cEff = if (c > 0) c else liveCentroids.size
+    val mEff = if (m > 0) m else liveCbs.size
+    val ksEff = if (ks > 0) ks else liveCbs.head.size
     val emb = spark.read.parquet(s"$path/assigned").select("vec_id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pend = retrainStaging(path)
     IndexMaintenance.deleteRecursively(pend)
     // vectors in assigned/ are already normalized (build + append both
     // normalize), so they re-enter training as-is
-    val res = writeIvfPqIndex(spark, pend.toString, emb, c, lloydIters, m)
+    val res = writeIvfPqIndex(spark, pend.toString, emb, cEff, lloydIters,
+      mEff, ksEff)
     emb.unpersist(blocking = false)
     graft.Tables.markArtifactComplete(pend.toString)
     foldRetrain(path)

@@ -204,15 +204,37 @@ class ProductQuantSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rtc").toString
     val (cent0, cbs0) = ProductQuant.writeIvfPqIndex(spark, tmp,
       emb.filter(col("vec_id") % 2 === 0), c = 4)
-    // uncommitted crash: a staging tree with no marker must roll back
-    // and leave the live generation untouched
+    // uncommitted crash: a staging tree with no marker is INVISIBLE to
+    // readers — the read path must serve the live generation and must
+    // NOT delete the staging (it may be an in-flight retrain's; a
+    // read-path delete races the writer between its last staged write
+    // and the marker — r18 ADVICE). Rollback belongs to the next
+    // retrain entry, which is single-owner by contract.
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(tmp, "_retrain", "assigned"))
     val (_, rcA, rcbsA) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tmp, "_retrain")),
+      "read path must leave an uncommitted staging in place")
+    assert(rcA === cent0.sortBy(_._1) && rcbsA === cbs0,
+      "uncommitted staging must leave the old models serving")
+    // a retrain ENTRY does roll the dead staging back
+    ProductQuant.recoverIvfPq(tmp)
     assert(java.nio.file.Files.notExists(
       java.nio.file.Paths.get(tmp, "_retrain")))
-    assert(rcA === cent0.sortBy(_._1) && rcbsA === cbs0,
-      "rolled-back retrain must leave the old models serving")
+    // spurious commit: a marker stamped on an EMPTY staging (no model
+    // files, no cid dirs) must be refused and rolled back — folding it
+    // would delete every live cid directory (total index loss)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tmp, "_retrain", "assigned"))
+    graft.Tables.markArtifactComplete(s"$tmp/_retrain")
+    val (assignedG, rcG, rcbsG) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(tmp, "_retrain")),
+      "spurious empty commit must be rolled back, not folded")
+    assert(rcG === cent0.sortBy(_._1) && rcbsG === cbs0)
+    assert(assignedG.count() > 0,
+      "live inverted file must survive a spurious empty commit")
     // committed crash: a fully staged + marked retrain that died before
     // the fold must roll FORWARD on the next read
     val cur = spark.read.parquet(s"$tmp/assigned").select("vec_id", "v")

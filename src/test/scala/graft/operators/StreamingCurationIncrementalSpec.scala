@@ -145,6 +145,58 @@ class StreamingCurationIncrementalSpec extends SparkSpec {
     assert(CurationIncremental.committedBatchId(spark, state) === 1L)
   }
 
+  test("FIRST batch crashes on either side of its marker: retry converges (no meta wedge)") {
+    import spark.implicits._
+    // reference: batch 0 applied uninterrupted
+    val ref = tmpDir("scur-first-ref")
+    val refOut = tmpDir("scur-first-refout")
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      n1.toDF("doc_id", "text"), ref, refOut, 0L, budget = 8, bucketWidth = 2))
+    // crash BEFORE the marker: the first batch's delta staged, uncommitted
+    val sA = tmpDir("scur-first-pre")
+    val oA = tmpDir("scur-first-preout")
+    val accA = CurationIncremental.accepted(n1.toDF("doc_id", "text"),
+      Seq.empty[String].toDF("fp")).localCheckpoint(true)
+    CurationIncremental.stageAndCommit(spark, accA, 999L, sA,
+      commit = false, metaRow = Some(0L))
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      n1.toDF("doc_id", "text"), sA, oA, 0L, budget = 8, bucketWidth = 2),
+      "a pre-marker first-batch crash must retry as a fresh first batch")
+    assert(cursor(sA) === cursor(ref) && fps(sA) === fps(ref))
+    assert(rows(spark.read.parquet(s"$oA/batch=0")) ===
+      rows(spark.read.parquet(s"$refOut/batch=0")))
+    // crash AFTER the marker, before the fold: the retry must roll the
+    // first batch forward and classify itself as a replay — under the
+    // r18 meta-written-last scheme this window wedged every retry
+    // (meta/ present but unreadable → head() threw)
+    val sB = tmpDir("scur-first-post")
+    val oB = tmpDir("scur-first-postout")
+    val accB = CurationIncremental.accepted(n1.toDF("doc_id", "text"),
+      Seq.empty[String].toDF("fp")).localCheckpoint(true)
+    val outB = CurationIncremental.packBatch(accB, 0L, budget = 8,
+      bucketWidth = 2, materialize = true)
+    val totB = outB.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    outB.write.mode("overwrite").parquet(s"$oB/batch=0")
+    Tables.markArtifactComplete(s"$oB/batch=0")
+    CurationIncremental.stageAndCommit(spark, accB, totB, sB,
+      metaRow = Some(0L))
+    val applied = CurationIncremental.stepExactlyOnce(spark,
+      n1.toDF("doc_id", "text"), sB, oB, 0L, budget = 8, bucketWidth = 2)
+    assert(!applied, "a committed first batch must not re-apply")
+    assert(cursor(sB) === cursor(ref) && fps(sB) === fps(ref))
+    assert(CurationIncremental.committedBatchId(spark, sB) === 0L)
+    // belt-and-braces: a meta/ directory with NO data files (the exact
+    // r18 wedge artifact) reads as fresh state instead of throwing
+    val sC = tmpDir("scur-first-wedge")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(sC, "meta"))
+    assert(CurationIncremental.committedBatchId(spark, sC) === -1L)
+    val oC = tmpDir("scur-first-wedgeout")
+    assert(CurationIncremental.stepExactlyOnce(spark,
+      n1.toDF("doc_id", "text"), sC, oC, 0L, budget = 8, bucketWidth = 2))
+    assert(cursor(sC) === cursor(ref) && fps(sC) === fps(ref))
+  }
+
   test("full macro: budget counters commit exactly-once with the batch id") {
     import spark.implicits._
     val budgets = Seq("en" -> 5L, "fr" -> 1000L)
