@@ -190,6 +190,14 @@ object SparkEntry {
     // scoring, bounded-heap top-k per query
     "bm25_serve_batch"  -> ((s: SparkSession, d: String) =>
       Ranking.bm25ServeBatch(s, d)),
+    // the ARRIVAL MODE (E14 discipline on E6): even docs fully indexed,
+    // odd docs appended as the nightly batch (O(batch) posting/doclen
+    // deltas + exact integer stats delta, one atomic three-piece
+    // commit), then served through the unchanged index path — the
+    // full-corpus oracle certifies the appended artifact is
+    // content-identical to a from-scratch build
+    "bm25_serve_incremental" -> ((s: SparkSession, d: String) =>
+      Ranking.bm25ServeIncremental(s, d)),
     "contamination"     -> (Contamination.contamination _),
     "kmeans_assign"     -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
@@ -1326,6 +1334,12 @@ object SparkEntry {
     // (pruned-bucket read, posting-derived dfs, matched-docs-only scoring)
     "bm25_serve" -> bm25OracleSql,
     "bm25_serve_batch" -> bm25BatchOracleSql,
+    // the ARRIVAL MODE under the same full-recompute oracle: the even-half
+    // build + odd-batch append must be content-identical to a from-scratch
+    // full-corpus index, so the unchanged serving path hash-matches the
+    // full recompute — lost/duplicated postings or a skewed stats delta
+    // turn rows red
+    "bm25_serve_incremental" -> bm25OracleSql,
     // decontamination: containment is an exact int/int division, so rows
     // hash-match bitwise; knobs interpolate from Contamination
     "contamination" ->

@@ -295,6 +295,29 @@ object ProductQuant {
       Seq(s"$path/assigned" -> "cid"))
   }
 
+  /** Takedown for the IVFADC serving artifact WITHOUT a retrain
+    * ([[IndexMaintenance.retractKeys]] applied to the cid-partitioned
+    * inverted file): delete the retracted vec_ids' rows by anti-join
+    * rewrite of ONLY the cid partitions that contain them — O(touched
+    * lists), vs [[ivfpqRetrain]]'s full model rebuild + `assigned/`
+    * rewrite (142 s at the 200k probe for a 1k-vector deletion). The
+    * models are deliberately untouched: centroids and codebooks are
+    * trained statistics, not per-vector state — removing rows makes
+    * every remaining code exactly as valid as before, and the slow
+    * geometry drift deletions cause over time is the retrain path's
+    * job, same as for appends. Crash-safe via retractKeys' staged
+    * bucket swap; a reader can never see a half-removed vector (each
+    * cid directory swaps atomically, and the retracted rows are gone
+    * from serving exactly when their partition folds). Returns the
+    * number of index rows removed. */
+  def ivfpqRetract(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    recoverIvfPq(path)
+    val removed = IndexMaintenance.retractKeys(spark, s"$path/assigned",
+      "vec_id", ids, partCol = "cid")
+    spark.catalog.refreshByPath(s"$path/assigned")
+    removed
+  }
+
   // ------------------------------------------------ retrain (drift path)
 
   private def retrainStaging(path: String) =

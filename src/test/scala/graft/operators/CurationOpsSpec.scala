@@ -180,6 +180,92 @@ class CurationOpsSpec extends SparkSpec {
       "the batched q_ranking must be bit-equal to the scan form's matched prefix")
   }
 
+  test("appendToBm25: appended index is content-identical to a full build; fragments bounded") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    // arrival shape: even half indexed, odd half appended
+    val incr = tmpDir("bm25-incr")
+    Ranking.buildBm25Index(spark, docs.filter(col("doc_id") % 2 === 0), incr)
+    val fragsBefore = IndexMaintenance.fragmentCounts(s"$incr/postings")
+    Ranking.appendToBm25(spark, incr, docs.filter(col("doc_id") % 2 === 1))
+    // one file per touched bucket per append
+    val fragsAfter = IndexMaintenance.fragmentCounts(s"$incr/postings")
+    assert(fragsAfter.forall { case (b, n) =>
+      n <= fragsBefore.getOrElse(b, 0) + 1 },
+      "an append must add at most one posting file per bucket")
+    // reference: one full build over everything
+    val full = tmpDir("bm25-full")
+    Ranking.buildBm25Index(spark, docs, full)
+    // stats row: exact integer equality
+    assert(spark.read.parquet(s"$incr/stats").head() ===
+      spark.read.parquet(s"$full/stats").head())
+    // posting + doclen CONTENT equality (layout differs, rows must not)
+    Seq("postings", "doclen").foreach { p =>
+      val a = spark.read.parquet(s"$incr/$p")
+      val b = spark.read.parquet(s"$full/$p")
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"$p rows must match a from-scratch build")
+    }
+    // and the serving path over the appended artifact is bit-equal
+    assert(Ranking.serveFromIndex(spark, incr, 10).collect().toSeq ===
+      Ranking.serveFromIndex(spark, full, 10).collect().toSeq)
+  }
+
+  test("appendToBm25 crash points: uncommitted batch rolls back, committed rolls forward") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // crash BEFORE the marker: staged delta must roll back; serving is
+    // the pre-append generation; the retried append lands cleanly
+    val a = tmpDir("bm25-crash-pre")
+    Ranking.buildBm25Index(spark, even, a)
+    val preServe = Ranking.serveFromIndex(spark, a, 10).collect().toSeq
+    Ranking.stageBm25Append(spark, a, odd, commit = false)
+    Ranking.recoverBm25(spark, a)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(a, "_pending")))
+    assert(Ranking.serveFromIndex(spark, a, 10).collect().toSeq === preServe,
+      "an uncommitted append must leave the old generation serving")
+    Ranking.appendToBm25(spark, a, odd)
+    // crash AFTER the marker: the committed delta must roll forward at
+    // the next entry and converge to the same index
+    val b = tmpDir("bm25-crash-post")
+    Ranking.buildBm25Index(spark, even, b)
+    Ranking.stageBm25Append(spark, b, odd) // committed, "crash" pre-fold
+    Ranking.recoverBm25(spark, b)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(b, "_pending")))
+    Seq("postings", "doclen", "stats").foreach { p =>
+      val x = spark.read.parquet(s"$a/$p")
+      val y = spark.read.parquet(s"$b/$p")
+      assert(x.exceptAll(y).count() === 0 && y.exceptAll(x).count() === 0,
+        s"$p must converge to the applied-append state")
+    }
+    assert(Ranking.serveFromIndex(spark, b, 10).collect().toSeq ===
+      Ranking.serveFromIndex(spark, a, 10).collect().toSeq)
+  }
+
+  test("bm25_serve_incremental declared key ≡ bm25_serve rows; retraction still composes") {
+    import spark.implicits._
+    val incr = Ranking.bm25ServeIncremental(spark, sf0001, 10).collect().toSeq
+    val served = Ranking.bm25Serve(spark, sf0001, 10).collect().toSeq
+    assert(incr === served,
+      "the appended artifact must serve exactly the full-build ranking")
+    // takedown after append: retract the served top doc from a throwaway
+    // appended index; it must vanish from the ranking and stats shrink
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val t = tmpDir("bm25-incr-ret")
+    Ranking.buildBm25Index(spark, docs.filter(col("doc_id") % 2 === 0), t)
+    Ranking.appendToBm25(spark, t, docs.filter(col("doc_id") % 2 === 1))
+    val topDoc = incr.head.getLong(1)
+    val removed = Ranking.retractFromBm25(spark, t,
+      Seq(topDoc).toDF("doc_id"))
+    assert(removed === 1L)
+    val after = Ranking.serveFromIndex(spark, t, 10).collect()
+    assert(!after.map(_.getLong(1)).contains(topDoc))
+  }
+
   test("contamination flags exactly the brute-force containment pairs at sf0.01") {
     val hits = Contamination.contamination(spark, "/root/testdata/sf0.01").collect()
     val pairs = hits.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -197,6 +197,51 @@ class ProductQuantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfpqRetract: takedown without retrain — models frozen, serving ≡ index minus retracted rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-ret").toString
+    val (cent0, cbs0) = ProductQuant.writeIvfPqIndex(spark, tmp, emb, c = 4)
+    // pin the PRE-retract inverted file in memory so the reference
+    // search below runs over original-rows-minus-retracted, independent
+    // of the on-disk swap
+    val beforeAssigned = spark.read.parquet(s"$tmp/assigned")
+      .localCheckpoint(true)
+    val before = beforeAssigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val retractIds = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val retractSet = retractIds.collect().map(_.getLong(0)).toSet
+    val removed = ProductQuant.ivfpqRetract(spark, tmp, retractIds)
+    assert(removed === retractSet.size.toLong)
+    val (assigned, cent1, cbs1) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(cent1 === cent0.sortBy(_._1) && cbs1 === cbs0,
+      "retraction must not touch the model generation")
+    // membership: exactly the non-retracted rows survive, bit-identical
+    val after = assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after === before -- retractSet)
+    // serving parity: the retracted artifact answers exactly like the
+    // same search over the original inverted file minus those rows —
+    // the fresh-build-without-the-docs contract under frozen models
+    // (a fresh writeIvfPqIndex would retrain and not be bit-comparable)
+    val queries = assigned.filter(col("vec_id") < Similarity.NumQueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val served = ProductQuant.ivfPqSearch(assigned,
+      assigned.select("vec_id", "v"), queries, cent1, cbs1, nProbe = 4)
+    val refAssigned = beforeAssigned
+      .join(retractIds, Seq("vec_id"), "left_anti")
+    val reference = ProductQuant.ivfPqSearch(refAssigned,
+      refAssigned.select("vec_id", "v"), queries, cent0, cbs0, nProbe = 4)
+    assert(served.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(served).count() === 0)
+    // and no retracted id is ever served
+    assert(served.filter(col("vec_id").isin(retractSet.toSeq: _*))
+      .count() === 0)
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ivfpqRetrain crash recovery: uncommitted staging rolls back, committed rolls forward") {
     val spark0 = spark
     import spark0.implicits._
