@@ -209,9 +209,86 @@ object Probe {
           nTwin = args.lift(2).map(_.toInt).getOrElse(5000))
       case Some("bpepack") =>
         bpePackProbe(spark, nDocs = args.lift(1).map(_.toInt).getOrElse(1000000))
+      case Some("takedown") =>
+        takedownProbe(spark,
+          nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
+          nRetract = args.lift(2).map(_.toInt).getOrElse(10000))
       case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | bm25serve | mediaann | bpepack)")
     }
     spark.stop()
+  }
+
+  /** [[graft.operators.Takedown.retractEverywhere]] at the 1M-index
+    * scale: a four-family estate (fp, line-hash, substring digests,
+    * BM25) over `nDocs` synthetic docs — each doc a unique 30-token
+    * body line plus, on every 5th doc, a SHARED 10-token boilerplate
+    * line (the shared-evidence ground truth) — then ONE journaled
+    * takedown of `nRetract` docs, followed by a SMALL 50-doc takedown
+    * (the pruning case: keys ≪ buckets, so the rewrite touches a
+    * bucket subset). Verdict: every family's surviving index content
+    * is BIT-EQUAL to a fresh recompute over the remaining docs
+    * (boilerplate evidence kept, retracted-exclusive evidence gone) —
+    * the declared key's parity contract, at 1M. */
+  def takedownProbe(spark: SparkSession, nDocs: Int, nRetract: Int): Unit = {
+    import graft.operators._
+    val root = java.nio.file.Files.createTempDirectory("takedown").toString
+    val boiler = (0 until 10).map(i => s"boiler$i").mkString(" ")
+    def body(seed: Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)), j => concat(lit("d"), seed, lit("x"), j)))
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 5 === 0,
+          concat(body(col("id")), lit("\n" + boiler)))
+        .otherwise(body(col("id"))).as("text"))
+    val modR = nDocs / nRetract
+    val retr = docs.filter(col("doc_id") % modR === 0)
+    val rem = docs.filter(col("doc_id") % modR =!= 0)
+    timed(s"build 4-family estate over $nDocs docs") {
+      IncrementalDedup.writeFpIndex(
+        IncrementalDedup.fingerprints(docs).select("fp").distinct(),
+        s"$root/fp", nBuckets = 256)
+      IncrementalDedup.writeFpIndex(LineDedup.lineFps(docs),
+        s"$root/line", nBuckets = 256)
+      SubstringIncremental.writeDigestIndex(
+        SubstringDedup.windowDigests(docs), s"$root/substring", nBuckets = 256)
+      Ranking.buildBm25Index(spark, docs, s"$root/bm25")
+    }
+    val targets = Takedown.TakedownTargets(
+      fpIndex = Some(s"$root/fp"), lineIndex = Some(s"$root/line"),
+      substring = Some(s"$root/substring"), bm25 = Some(s"$root/bm25"))
+    val removed = timed(s"retractEverywhere: $nRetract docs, 4 families") {
+      Takedown.retractEverywhere(spark, root, targets, retr, Some(rem))
+    }
+    println(s"[probe] takedown removed: ${removed.toSeq.sortBy(_._1)}")
+    // the pruning case: 50 keys against 256-bucket indexes
+    val small = docs.filter(col("doc_id") % modR === 1 &&
+      col("doc_id") < 50L * modR)
+    val rem2 = rem.join(small.select("doc_id"), Seq("doc_id"), "left_anti")
+    timed("retractEverywhere: 50 docs (bucket-pruned rewrite)") {
+      Takedown.retractEverywhere(spark, root, targets, small, Some(rem2)): Unit
+    }
+    // verdict: every family bit-equal to a fresh recompute over rem2
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val fpOk = same(spark.read.parquet(s"$root/fp").select("fp"),
+      IncrementalDedup.fingerprints(rem2).select("fp").distinct())
+    val lineOk = same(spark.read.parquet(s"$root/line").select("fp"),
+      LineDedup.lineFps(rem2))
+    val subOk = same(spark.read.parquet(s"$root/substring/digests").select("g"),
+      SubstringDedup.windowDigests(rem2).select("g").distinct())
+    val postOk = same(
+      spark.read.parquet(s"$root/bm25/postings").select("term", "doc_id", "tf"),
+      rem2.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+    val stats = spark.read.parquet(s"$root/bm25/stats").head()
+    val statsRef = rem2.agg(count(lit(1)),
+      sum(size(split(col("text"), " ")))).head()
+    val statsOk = stats.getLong(0) == statsRef.getLong(0) &&
+      stats.getLong(1) == statsRef.getLong(1)
+    println(s"[probe] takedown parity: fp=$fpOk line=$lineOk " +
+      s"substring=$subOk postings=$postOk stats=$statsOk")
+    assert(fpOk && lineOk && subOk && postOk && statsOk,
+      "every family must converge to the fresh-build-without-the-docs state")
   }
 
   private def timed[A](label: String)(body: => A): A = {

@@ -232,6 +232,13 @@ object SparkEntry {
     // takedown path) → dedup a batch against the maintained index; the
     // oracle recomputes survivors from the parity/modulus rules alone
     "dedup_index_lifecycle" -> (IndexMaintenance.dedupIndexLifecycle _),
+    // the takedown capstone: ONE journaled retraction across five
+    // persisted family indexes at once (fp, MinHash bands+sets,
+    // line-hash, substring digests, BM25) — write-ahead intent journal,
+    // single commit marker, per-family bucket-pruned anti-join rewrites;
+    // the oracle recomputes removed/survivor counts per family from the
+    // parity/modulus rules and pins the in-query fresh-build parity
+    "takedown" -> (Takedown.takedownQuery _),
     // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
     // E14 arrival discipline for the MinHash family; exact-Jaccard verify
     // over the index's hashed shingle sets keeps the verdict oracle-exact)
@@ -1738,6 +1745,58 @@ object SparkEntry {
         |SELECT doc_id, fp, lang, n_chars FROM b
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
         |ORDER BY doc_id""".stripMargin,
+    // unified takedown: five family indexes over the line-restructured
+    // even half, doc_id % 10 = 0 retracted from all of them in one
+    // journaled commit. The oracle recomputes each family's removed and
+    // surviving row counts from the rules alone — distinct bag-of-words
+    // keys for fp (identity semantics: shared fps go too), distinct
+    // lines/windows with the remaining-support recount for the two
+    // shared-evidence families, per-eligible-doc band/set row counts
+    // for MinHash (16 bands + 1 set per doc with >= 3 tokens — counts
+    // don't need the hash values), per-doc distinct-term posting counts
+    // for BM25 — and pins the Spark-side fresh-build parity verdict TRUE
+    "takedown" ->
+      s"""WITH $lineBuildCtes,
+         |t2 AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text FROM built),
+         |tr AS (SELECT doc_id, text FROM t2 WHERE doc_id % 10 = 0),
+         |tk AS (SELECT doc_id, text FROM t2 WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+         |fpr AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp FROM tr),
+         |fpk AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp FROM tk),
+         |lnr AS (SELECT DISTINCT line FROM lx WHERE doc_id % 10 = 0),
+         |lnk AS (SELECT DISTINCT line FROM lx WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+         |wr AS (SELECT DISTINCT w FROM (
+         |  SELECT unnest([ array_to_string(toks[i:i+${SubstringDedup.SpanL - 1}], ' ')
+         |                  FOR i IN range(1, len(toks) - ${SubstringDedup.SpanL - 2}) ]) AS w
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM tr)
+         |  WHERE len(toks) >= ${SubstringDedup.SpanL})),
+         |wk AS (SELECT DISTINCT w FROM (
+         |  SELECT unnest([ array_to_string(toks[i:i+${SubstringDedup.SpanL - 1}], ' ')
+         |                  FOR i IN range(1, len(toks) - ${SubstringDedup.SpanL - 2}) ]) AS w
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM tk)
+         |  WHERE len(toks) >= ${SubstringDedup.SpanL})),
+         |mer AS (SELECT COUNT(*) AS c FROM tr WHERE len(string_split(text, ' ')) >= 3),
+         |mek AS (SELECT COUNT(*) AS c FROM tk WHERE len(string_split(text, ' ')) >= 3),
+         |pr AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT doc_id, t FROM
+         |        (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM tr))),
+         |pk AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT doc_id, t FROM
+         |        (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM tk)))
+         |SELECT family, removed, survivors, parity_ok FROM (
+         |  SELECT 'bm25_doclen' AS family, (SELECT COUNT(*) FROM tr) AS removed,
+         |         (SELECT COUNT(*) FROM tk) AS survivors, TRUE AS parity_ok
+         |  UNION ALL SELECT 'bm25_postings', (SELECT c FROM pr), (SELECT c FROM pk), TRUE
+         |  UNION ALL SELECT 'fp', (SELECT COUNT(*) FROM fpr),
+         |    (SELECT COUNT(*) FROM fpk WHERE fp NOT IN (SELECT fp FROM fpr)), TRUE
+         |  UNION ALL SELECT 'line',
+         |    (SELECT COUNT(*) FROM lnr WHERE line NOT IN (SELECT line FROM lnk)),
+         |    (SELECT COUNT(*) FROM lnk), TRUE
+         |  UNION ALL SELECT 'minhash_bands',
+         |    ${MinHashDedup.numBands} * (SELECT c FROM mer),
+         |    ${MinHashDedup.numBands} * (SELECT c FROM mek), TRUE
+         |  UNION ALL SELECT 'minhash_sets', (SELECT c FROM mer), (SELECT c FROM mek), TRUE
+         |  UNION ALL SELECT 'substring',
+         |    (SELECT COUNT(*) FROM wr WHERE w NOT IN (SELECT w FROM wk)),
+         |    (SELECT COUNT(*) FROM wk), TRUE
+         |) ORDER BY family""".stripMargin,
     // incremental dedup: even doc_ids are the accumulated corpus (their
     // distinct fingerprints are the index), odd doc_ids the arriving
     // batch; survivors are in-batch keep-first minus index membership

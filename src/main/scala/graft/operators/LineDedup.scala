@@ -101,6 +101,32 @@ object LineDedup {
 
   // --------------------------------------------- incremental / batch-arrival
 
+  /** Distinct md5 line fingerprints of a '\n'-lined (doc_id, text) frame
+    * — the line index's key shape ([[stepLines]] appends exactly these;
+    * factored out for the takedown macro's key derivation). */
+  def lineFps(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), "\n")).as("line"))
+      .select(md5(col("line")).as("fp")).distinct()
+
+  /** Shared-evidence takedown keys for the line index: the retracted
+    * docs' line fingerprints EXCEPT those the remaining corpus still
+    * carries — [[SubstringIncremental.retractDocs]]' semantics one level
+    * up. A boilerplate line shared with surviving documents must stay
+    * indexed (the surviving corpus has still "seen" it; deleting it
+    * would let the line's next arrival pass unmarked), so only
+    * retracted-exclusive lines become keys. The support recount streams
+    * `remaining`'s lines once, semi-joined down to the retracted
+    * candidate set before the distinct — the honest price of exact
+    * takedown on shared evidence, paid on the rare retraction path. */
+  def unsupportedLineFps(retracted: DataFrame, remaining: DataFrame): DataFrame = {
+    val cand = lineFps(retracted)
+    val supported = remaining
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(md5(col("line")).as("fp"))
+      .join(cand, Seq("fp"), "left_semi").distinct()
+    cand.join(supported, Seq("fp"), "left_anti")
+  }
+
   /** The INCREMENTAL form — the [[IncrementalDedup]] operating mode one
     * level down: the accumulated corpus is represented by its line-hash
     * index (32 B md5 per DISTINCT LINE — boilerplate collapses to one

@@ -157,7 +157,7 @@ object Ranking {
     * once-per-corpus event — streaming three passes is the
     * 100 TB-safe shape. `doclen` buckets on doc_id (r18) so the
     * takedown path can rewrite only the containing buckets. */
-  private[operators] def buildBm25Index(spark: SparkSession,
+  private[graft] def buildBm25Index(spark: SparkSession,
       docs: DataFrame, path: String): Unit = {
     def toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     toks.select(col("doc_id"), explode(col("toks")).as("term"))

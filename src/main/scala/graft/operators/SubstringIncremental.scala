@@ -195,12 +195,20 @@ object SubstringIncremental {
     * Returns the number of digests removed. */
   def retractDocs(spark: SparkSession, retracted: DataFrame,
       remaining: DataFrame, path: String, spanL: Int = SpanL): Long = {
+    val toRemove = unsupportedDigests(retracted, remaining, spanL)
+      .localCheckpoint(true)
+    IndexMaintenance.retractKeys(spark, s"$path/digests", "g", toRemove)
+  }
+
+  /** The key derivation of [[retractDocs]], factored for the takedown
+    * macro: the retracted docs' window digests EXCEPT those the
+    * remaining corpus still supports (one `g` column). */
+  def unsupportedDigests(retracted: DataFrame, remaining: DataFrame,
+      spanL: Int = SpanL): DataFrame = {
     val cand = windowDigests(retracted, spanL).select("g").distinct()
     val supported = windowDigests(remaining, spanL).select("g")
       .join(cand, Seq("g"), "left_semi").distinct()
-    val toRemove = cand.join(supported, Seq("g"), "left_anti")
-      .localCheckpoint(true)
-    IndexMaintenance.retractKeys(spark, s"$path/digests", "g", toRemove)
+    cand.join(supported, Seq("g"), "left_anti")
   }
 
   /** Declared key (`substring_dedup_incremental`): the [[PhashIncremental

@@ -1,0 +1,318 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Unified takedown across every persisted index family (SURVEY.md §2.7
+  * E14's operational capstone): ONE retraction request — a frame of
+  * document ids with their text — removed from the fingerprint index,
+  * the MinHash band+set index, the image/audio/video perceptual-hash
+  * indexes, the line-hash index, the substring digest index, the BM25
+  * serving artifact, the curation state, and the IVFADC vector index,
+  * as ONE atomic operation.
+  *
+  * Why composition, not a loop over the per-family calls: a GDPR-style
+  * takedown is one legal event against the whole deployment. Running
+  * eight independent retractions means a crash between them leaves the
+  * estate half-retracted with no record of which half — an auditor
+  * cannot distinguish "not yet done" from "never requested". This
+  * operator makes the whole estate converge from a single commit point.
+  *
+  * Protocol — a write-ahead intent journal over the per-family staged
+  * swaps (each of which is already crash-safe on its own):
+  *
+  *   1. converge any prior crashed takedown ([[recoverTakedown]]) and
+  *      each multi-piece artifact's own pending state;
+  *   2. DERIVE every family's key frame up front — documents' bag-of-
+  *      words fingerprints for the fp/curation indexes, the retracted
+  *      ids for the identity-keyed families (bands, sets, hashes,
+  *      postings, doclen, inverted lists), and the SHARED-EVIDENCE
+  *      keys (line fps / window digests the remaining corpus no longer
+  *      supports — [[LineDedup.unsupportedLineFps]] /
+  *      [[SubstringIncremental.unsupportedDigests]]);
+  *   3. stage the journal under `<root>/_takedown/`: one parquet of
+  *      keys per family plus a plan table (family, sub-table path, key
+  *      column, partition column) — NOTHING live has been touched yet;
+  *   4. `_GRAFT_COMPLETE` on the journal — THE COMMIT POINT;
+  *   5. execute: per plan row, [[IndexMaintenance.retractKeys]] (anti-
+  *      join rewrite of only the buckets containing a key, each under
+  *      its own staged swap), then the family post-steps (BM25's stats
+  *      row re-derives from surviving doclen); delete the marker, then
+  *      the journal.
+  *
+  * Crash anywhere BEFORE the marker: no index changed; the journal
+  * rolls back and the retry re-derives from live state. Crash anywhere
+  * AFTER: [[recoverTakedown]] (run at every entry, and callable from a
+  * resuming pipeline) re-executes the journal — retractKeys is
+  * idempotent (already-removed keys match no rows; a bucket swap that
+  * crashed mid-fold re-folds via its own recovery), so the estate
+  * converges to fully-retracted. There is no reachable state in which
+  * some families stay retracted and others permanently not.
+  *
+  * Scale: derivation is O(retracted docs) for identity-keyed families
+  * plus one semi-joined pass over the remaining corpus's lines/windows
+  * for the two shared-evidence families (the honest price of exact
+  * takedown on shared evidence — pay it on the rare retraction path,
+  * never nightly). Execution rewrites only the buckets that contain a
+  * retracted key — at a 4096-bucket, TB-sized index a thousand-doc
+  * takedown touches at most a thousand-ish bucket files, each a narrow
+  * column rewrite. The journal itself is takedown-batch-sized.
+  */
+object Takedown {
+
+  /** Which family artifacts exist and where — every field optional, so
+    * a deployment retracts exactly the estate it runs. The SAME id
+    * value identifies an entity in every identity-keyed family
+    * (doc_id = media_id = vec_id — the one-global-id convention the
+    * fixtures and a sane pipeline share). */
+  case class TakedownTargets(
+      fpIndex: Option[String] = None,     // [[IncrementalDedup]] layout
+      minhash: Option[String] = None,     // [[MinHashIncremental]] root
+      phash: Option[String] = None,       // [[PhashIncremental]] root
+      videoPhash: Option[String] = None,  // [[VideoPhashIncremental]] root
+      lineIndex: Option[String] = None,   // [[LineDedup.stepLines]] index
+      substring: Option[String] = None,   // [[SubstringIncremental]] root
+      bm25: Option[String] = None,        // [[Ranking]] serving artifact
+      curation: Option[String] = None,    // [[CurationIncremental]] state
+      ivfpq: Option[String] = None) {     // [[ProductQuant]] IVFADC index
+    /** Families whose keys need the REMAINING corpus (support recount). */
+    def needsRemaining: Boolean = lineIndex.nonEmpty || substring.nonEmpty
+  }
+
+  private def journalDir(root: String) = Paths.get(root, "_takedown")
+
+  /** Converge a possibly-crashed [[retractEverywhere]] at `root`: a
+    * committed journal re-executes to completion (idempotent), an
+    * uncommitted one rolls back untouched. Run at every entry; a
+    * pipeline resuming after a crash should call it before serving. */
+  def recoverTakedown(spark: SparkSession, root: String): Unit = {
+    val jd = journalDir(root)
+    if (Files.exists(jd)) {
+      if (Tables.artifactComplete(jd.toString)) { executeJournal(spark, root); () }
+      else IndexMaintenance.deleteRecursively(jd)
+    }
+  }
+
+  /** Execute a COMMITTED journal: every plan row's bucket-pruned
+    * anti-join rewrite, then the family post-steps, then cleanup
+    * (marker first — once it is gone, recovery classifies any leftover
+    * journal as roll-back-able, which is correct because the work is
+    * done). Returns removed-row counts per family. */
+  private def executeJournal(spark: SparkSession, root: String): Map[String, Long] = {
+    val jd = journalDir(root)
+    val plan = spark.read.parquet(jd.resolve("plan").toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val removed = plan.map { case (family, path, keyCol, partCol) =>
+      val keys = spark.read.parquet(jd.resolve("keys").resolve(family).toString)
+      family -> IndexMaintenance.retractKeys(spark, path, keyCol, keys, partCol)
+    }.toMap
+    // post-step: BM25's corpus stats re-derive from the surviving doclen
+    // rows (one narrow scan; recomputing is idempotent, so a recovery
+    // replay converges — the retractFromBm25 discipline)
+    plan.find(_._1 == "bm25_doclen").foreach { case (_, dlPath, _, _) =>
+      val idx = dlPath.stripSuffix("/doclen")
+      spark.read.parquet(dlPath)
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dlsum"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+      spark.catalog.refreshByPath(s"$idx/stats")
+    }
+    Files.deleteIfExists(jd.resolve("_GRAFT_COMPLETE"))
+    IndexMaintenance.deleteRecursively(jd)
+    removed
+  }
+
+  /** THE entry point: retract `docs` — a (doc_id, text) frame of the
+    * taken-down documents — from every artifact named in `targets`,
+    * atomically (see the object doc for the protocol). `remaining`
+    * (doc_id, text of the still-live corpus) is required when the
+    * line or substring family is targeted — their shared-evidence keys
+    * need the support recount. Returns removed-row counts per plan
+    * family (`fp`, `curation`, `minhash_bands`, `minhash_sets`,
+    * `phash_bands`, `phash_hashes`, `video_bands`, `video_hashes`,
+    * `line`, `substring`, `bm25_postings`, `bm25_doclen`, `ivfpq`). */
+  def retractEverywhere(spark: SparkSession, root: String,
+      targets: TakedownTargets, docs: DataFrame,
+      remaining: Option[DataFrame] = None): Map[String, Long] = {
+    require(!targets.needsRemaining || remaining.nonEmpty,
+      "line/substring takedown needs the remaining corpus for the " +
+        "shared-evidence support recount")
+    recoverTakedown(spark, root)
+    // converge each multi-piece artifact's own pending state before
+    // deriving keys from it (single-owner maintenance contract)
+    targets.curation.foreach(CurationIncremental.recoverState(spark, _))
+    targets.ivfpq.foreach(ProductQuant.recoverIvfPq(_))
+    targets.bm25.foreach(Ranking.recoverBm25(spark, _))
+    stageJournal(spark, root, targets, docs, remaining)
+    executeJournal(spark, root)
+  }
+
+  /** Steps 2-4: derive keys, stage the journal, commit at the marker —
+    * split from [[retractEverywhere]] so the crash spec can stop on
+    * either side of the commit point ([[CurationIncremental
+    * .stageAndCommit]] convention). */
+  private[operators] def stageJournal(spark: SparkSession, root: String,
+      targets: TakedownTargets, docs: DataFrame,
+      remaining: Option[DataFrame] = None, commit: Boolean = true): Unit = {
+    import spark.implicits._
+    val jd = journalDir(root)
+    IndexMaintenance.deleteRecursively(jd)
+    val ids = docs.select("doc_id").distinct()
+    def fps = docs.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val entries: Seq[(String, String, String, String, DataFrame)] =
+      targets.fpIndex.map(p =>
+        ("fp", p, "fp", "bucket", fps)).toSeq ++
+      targets.curation.map(p =>
+        ("curation", s"$p/fps", "fp", "bucket", fps)).toSeq ++
+      targets.minhash.toSeq.flatMap(p => Seq(
+        ("minhash_bands", MinHashIncremental.bandsSubPath(p), "doc_id", "bucket", ids),
+        ("minhash_sets", s"$p/sets", "doc_id", "bucket", ids))) ++
+      targets.phash.toSeq.flatMap(p => Seq(
+        ("phash_bands", s"$p/bands", "media_id", "bucket", ids),
+        ("phash_hashes", s"$p/hashes", "media_id", "bucket", ids))) ++
+      targets.videoPhash.toSeq.flatMap(p => Seq(
+        ("video_bands", s"$p/bands", "media_id", "bucket", ids),
+        ("video_hashes", s"$p/hashes", "media_id", "bucket", ids))) ++
+      targets.lineIndex.map(p =>
+        ("line", p, "fp", "bucket",
+          LineDedup.unsupportedLineFps(docs, remaining.get))).toSeq ++
+      targets.substring.map(p =>
+        ("substring", s"$p/digests", "g", "bucket",
+          SubstringIncremental.unsupportedDigests(docs, remaining.get))).toSeq ++
+      targets.bm25.toSeq.flatMap(p => Seq(
+        ("bm25_postings", s"$p/postings", "doc_id", "bucket", ids),
+        ("bm25_doclen", s"$p/doclen", "doc_id", "bucket", ids))) ++
+      targets.ivfpq.map(p =>
+        ("ivfpq", s"$p/assigned", "vec_id", "cid", ids)).toSeq
+    // stage: keys per family, then the plan — all under the journal,
+    // nothing live touched before the marker
+    entries.foreach { case (family, _, _, _, keys) =>
+      keys.coalesce(1).write.mode("overwrite")
+        .parquet(jd.resolve("keys").resolve(family).toString)
+    }
+    entries.map { case (f, p, k, pc, _) => (f, p, k, pc) }
+      .toDF("family", "path", "key_col", "part_col")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(jd.resolve("plan").toString)
+    if (commit) Tables.markArtifactComplete(jd.toString)
+  }
+
+  // --------------------------------------------------------- declared key
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Declared key (`takedown`): the unified takedown certified through
+    * the DuckDB gate over FIVE families at once. The corpus is the
+    * line-restructured documents table ([[LineDedup.toLines]] — real
+    * shared boilerplate lines, so the shared-evidence semantics have
+    * teeth); EVEN doc_ids are the indexed estate (fp, MinHash
+    * bands+sets, line-hash, substring digests, BM25 — each built
+    * exactly as its own family key builds it), doc_id % 10 == 0 is the
+    * takedown request, and [[retractEverywhere]] removes it from all
+    * five in one journaled commit. Output: one row per plan family —
+    * removed rows, surviving index rows, and an in-query `parity_ok`
+    * verdict comparing each index's post-takedown CONTENT against the
+    * family's contract:
+    *
+    *   - identity-keyed families (minhash, bm25): bit-equal to a fresh
+    *     build over the remaining docs;
+    *   - shared-evidence families (line, substring): equal to the
+    *     remaining docs' own key set (retracted-exclusive evidence
+    *     gone, shared evidence kept);
+    *   - fp: even fps minus ALL retracted fps (identity semantics on
+    *     the fingerprint — a retracted doc's twin no longer suppresses,
+    *     even if a remaining doc shares the fp).
+    *
+    * The oracle recomputes removed/survivors from the parity/modulus
+    * rules alone (distinct bag-of-words keys, distinct lines/windows
+    * with support, per-doc band/posting row counts) and pins parity_ok
+    * TRUE — so a lost row, an over-deleted bucket, a stats skew, or a
+    * support-recount bug each turn rows red. */
+  def takedownQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsL = LineDedup.toLines(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val even = docsL.filter(col("doc_id") % 2 === 0)
+    val retr = docsL.filter(col("doc_id") % 10 === 0)
+    val rem = even.filter(col("doc_id") % 10 =!= 0)
+    val root = Files.createTempDirectory("graft-takedown").toString
+    // the estate: five family indexes over the even half, each written
+    // by its own family's writer (8 buckets at declared-key scale — the
+    // dedupIndexLifecycle sizing)
+    IncrementalDedup.writeFpIndex(
+      IncrementalDedup.fingerprints(even).select("fp").distinct(),
+      s"$root/fp", nBuckets = 8)
+    val prepEven = MinHashIncremental.prepared(even)
+    MinHashIncremental.writeBandIndex(prepEven, s"$root/minhash", nBuckets = 8)
+    IncrementalDedup.writeFpIndex(LineDedup.lineFps(even),
+      s"$root/line", nBuckets = 8)
+    SubstringIncremental.writeDigestIndex(
+      SubstringDedup.windowDigests(even), s"$root/substring", nBuckets = 8)
+    Ranking.buildBm25Index(spark, even, s"$root/bm25")
+    // ONE takedown across all five
+    val removed = retractEverywhere(spark, root,
+      TakedownTargets(
+        fpIndex = Some(s"$root/fp"),
+        minhash = Some(s"$root/minhash"),
+        lineIndex = Some(s"$root/line"),
+        substring = Some(s"$root/substring"),
+        bm25 = Some(s"$root/bm25")),
+      retr, remaining = Some(rem))
+    // in-query parity arm: each surviving index vs its contract
+    val prepRem = MinHashIncremental.prepared(rem)
+    val fpIdx = spark.read.parquet(s"$root/fp").select("fp")
+    val fpRef = IncrementalDedup.fingerprints(even).select("fp").distinct()
+      .join(IncrementalDedup.fingerprints(retr).select("fp").distinct(),
+        Seq("fp"), "left_anti")
+    val bandsIdx = spark.read
+      .parquet(MinHashIncremental.bandsSubPath(s"$root/minhash"))
+      .select("doc_id", "band", "sig")
+    val setsIdx = spark.read.parquet(s"$root/minhash/sets")
+      .select("doc_id", "hset")
+    val lineIdx = spark.read.parquet(s"$root/line").select("fp")
+    val subIdx = spark.read.parquet(s"$root/substring/digests").select("g")
+    val postIdx = spark.read.parquet(s"$root/bm25/postings")
+      .select("term", "doc_id", "tf")
+    val postRef = rem
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dlIdx = spark.read.parquet(s"$root/bm25/doclen").select("doc_id", "dl")
+    val dlRef = rem.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"))
+    val statsRow = spark.read.parquet(s"$root/bm25/stats").head()
+    val statsRef = rem.agg(count(lit(1)),
+      coalesce(sum(size(split(col("text"), " "))), lit(0L))).head()
+    val parity = Map(
+      "fp" -> sameRows(fpIdx, fpRef),
+      "minhash_bands" -> sameRows(bandsIdx,
+        MinHashIncremental.bandRows(prepRem)),
+      "minhash_sets" -> sameRows(setsIdx, prepRem.select("doc_id", "hset")),
+      "line" -> sameRows(lineIdx, LineDedup.lineFps(rem)),
+      "substring" -> sameRows(subIdx,
+        SubstringDedup.windowDigests(rem).select("g").distinct()),
+      "bm25_postings" -> sameRows(postIdx, postRef),
+      "bm25_doclen" -> (sameRows(dlIdx, dlRef) &&
+        statsRow.getLong(0) == statsRef.getLong(0) &&
+        statsRow.getLong(1) == statsRef.getLong(1)))
+    def survivors(p: String) = spark.read.parquet(p).count()
+    val out = Seq(
+      ("bm25_doclen", s"$root/bm25/doclen"),
+      ("bm25_postings", s"$root/bm25/postings"),
+      ("fp", s"$root/fp"),
+      ("line", s"$root/line"),
+      ("minhash_bands", MinHashIncremental.bandsSubPath(s"$root/minhash")),
+      ("minhash_sets", s"$root/minhash/sets"),
+      ("substring", s"$root/substring/digests"))
+      .map { case (f, p) => (f, removed(f), survivors(p), parity(f)) }
+      .toDF("family", "removed", "survivors", "parity_ok")
+      .orderBy("family")
+    docsL.unpersist(blocking = false)
+    out
+  }
+}
