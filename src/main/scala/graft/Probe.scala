@@ -3099,18 +3099,40 @@ object Probe {
           lit(vocab.toLong)))): _*).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
+    val t0 = System.nanoTime()
     val table = timed(s"bpe train: $nDocs docs, ~$vocab-word vocab, $merges rounds") {
       Bpe.train(docs, merges)
     }
+    // split the one corpus pass (dictionary aggregation) from the
+    // driver-side merge loop: re-run the loop alone over the collected
+    // dictionary — the number that prices a 32k-merge production run
+    val dict = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t1 = System.nanoTime()
+    val tableLoop = Bpe.trainFromDictionary(dict, merges)
+    val loopSec = (System.nanoTime() - t1) / 1e9
+    assert(table == tableLoop, "loop-only retrain must reproduce the table")
+    println(f"[probe] bpe: ${table.size} merges learned; merge loop alone " +
+      f"$loopSec%.2f s = ${1000 * loopSec / table.size}%.2f ms/merge " +
+      f"(${dict.size} dictionary words); total incl. corpus pass " +
+      f"${(t1 - t0) / 1e9}%.2f s")
     val table2 = Bpe.train(docs, merges)
     assert(table == table2, "retraining must reproduce the merge table exactly")
     println(s"[probe] bpe: first merges " +
       table.take(5).map(m => s"${m._2}+${m._3}(${m._4})").mkString(", "))
-    val enc = timed(s"bpe encode: $nDocs docs through $merges chained replaces") {
+    // encode arm: chained literal replaces are the ≤100-ish-merge serving
+    // shape (one codegen'd expression per merge); at production merge
+    // counts serving switches to a longest-match vocabulary scan, so the
+    // probe bounds the expression chain at 64 — the TRAINING scale is
+    // what this probe prices, and the encode ratio below is still a
+    // real learned-vocabulary measurement
+    val encTable = table.take(64)
+    val enc = timed(s"bpe encode: $nDocs docs through ${encTable.size} chained replaces") {
       docs.select(col("doc_id"),
         org.apache.spark.sql.functions.length(col("text")).as("n_chars"),
         size(split(col("text"), " ")).as("n_ws"),
-        Bpe.encodeSymCount(col("text"), table).as("n_sym"))
+        Bpe.encodeSymCount(col("text"), encTable).as("n_sym"))
         .agg(sum("n_chars").as("chars"), sum("n_sym").as("syms"),
           sum(when(col("n_sym") > col("n_chars") - col("n_ws") + 1, 1L)
             .otherwise(0L)).as("over"))
@@ -3126,9 +3148,10 @@ object Probe {
     assert(enc.getLong(2) == 0,
       "no document may emit more symbols than its letter count")
     // early merges buy ~1 %/round on this distribution, declining — scale
-    // the floor with the round count rather than pinning one constant
-    assert(ratio > 1.0 + 0.006 * merges,
-      s"merges must compress beyond char-level: $ratio at $merges rounds")
+    // the floor with the ENCODED round count (the chain is bounded at 64
+    // for high-merge training probes), not the trained one
+    assert(ratio > 1.0 + 0.006 * encTable.size,
+      s"merges must compress beyond char-level: $ratio at ${encTable.size} rounds")
   }
 
   /** `ccnet_buckets`' rank core at scale: `n` rows with hash-derived

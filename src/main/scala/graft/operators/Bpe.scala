@@ -62,11 +62,116 @@ object Bpe {
   private[operators] def applyMerge(seq: Column, l: String, r: String): Column =
     call_function("replace", seq, lit(s" $l  $r "), lit(s" ${l}${r} "))
 
-  /** Train `merges` rounds on any (doc_id, text) frame. Returns the merge
-    * table in training order: (rk, left, right, merged, cnt). */
-  def train(docs: DataFrame, merges: Int = Merges): Seq[(Int, String, String, Long)] = {
-    val spark = docs.sparkSession
-    // THE one corpus pass: word counts
+  /** Train `merges` rounds on any (doc_id, text) frame — the
+    * PRODUCTION-SCALE structure (r19; subword-nmt's): ONE distributed
+    * pass builds the bounded word-count dictionary, then every merge
+    * round runs DRIVER-SIDE over it with incrementally-maintained pair
+    * statistics. The corpus is never re-scanned, and — unlike the r18
+    * shape, which ran one distributed argmax aggregation per round —
+    * no Spark job runs per merge at all: 32k production merges are 32k
+    * in-memory argmax+update steps (milliseconds each, probe-pinned),
+    * not 32k cluster round-trips. The dictionary is the bounded frame
+    * the IVF-centroid discipline allows on the driver (~millions of
+    * (word, count) rows at 100 TB — the corpus's text never leaves the
+    * executors; `maxVocab` caps it harder for constrained drivers:
+    * tail words below the cut carry negligible pair mass).
+    *
+    * Returns the merge table in training order: (rk, left, right, cnt).
+    * Bit-identical to [[trainDistributed]] by construction (spec-pinned):
+    * same overlap-agnostic adjacent pair counts, same (cnt desc, pair
+    * lexicographic) argmax — the corpus is ASCII a-z + [[Boundary]], so
+    * JVM string order and Spark's UTF8 binary order agree — and the
+    * same left-first non-overlapping merge application. */
+  def train(docs: DataFrame, merges: Int = Merges,
+      maxVocab: Int = 0): Seq[(Int, String, String, Long)] = {
+    // THE one corpus pass: word counts, collected as the dictionary
+    var dict = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (maxVocab > 0 && dict.size > maxVocab)
+      dict = dict.sortBy { case (w, c) => (-c, w) }.take(maxVocab)
+    trainFromDictionary(dict, merges)
+  }
+
+  /** The driver-side merge loop over a (word, count) dictionary —
+    * [[train]]'s engine, callable directly when the dictionary is
+    * already at hand. Maintains, across rounds: each word's current
+    * symbol sequence, the global pair→count map (every ADJACENT
+    * occurrence counts, overlap-agnostic — the subword-nmt convention
+    * the distributed twin aggregates), and a pair→words occurrence
+    * index so a merge touches only the words that contain its pair —
+    * O(affected words × word length) per round, independent of both
+    * corpus and vocabulary size after round costs localize. */
+  def trainFromDictionary(dict: Seq[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = dict.map { case (w, _) =>
+      w.toCharArray.map(_.toString) }.toArray
+    val counts = dict.map(_._2).toArray
+    def pairsOf(sym: Array[String]): Iterator[(String, String)] =
+      (0 until sym.length - 1).iterator.map(i => (sym(i), sym(i + 1)))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    for (wi <- words.indices; p <- pairsOf(words(wi))) {
+      pairCount.update(p, pairCount.getOrElse(p, 0L) + counts(wi))
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    // left-first non-overlapping application on a symbol array — the
+    // in-memory twin of [[applyMerge]]'s seq-string literal replace
+    def applyMergeSyms(sym: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toArray
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rk = 1
+    while (rk <= merges && pairCount.nonEmpty) {
+      // deterministic argmax: count desc, then pair lexicographic
+      var best: ((String, String), Long) = null
+      for (e <- pairCount.iterator) {
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && (e._1._1 < best._1._1 ||
+            (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+      }
+      val ((l, r), cnt) = best
+      out += ((rk, l, r, cnt))
+      // re-count only the words that contain the merged pair
+      val affected = pairWords.getOrElse((l, r), mutable.Set.empty).toArray
+      for (wi <- affected) {
+        val old = words(wi)
+        for (p <- pairsOf(old)) {
+          val left = pairCount(p) - counts(wi)
+          if (left == 0L) pairCount.remove(p) else pairCount.update(p, left)
+          pairWords.get(p).foreach(_ -= wi)
+        }
+        val merged = applyMergeSyms(old, l, r)
+        words(wi) = merged
+        for (p <- pairsOf(merged)) {
+          pairCount.update(p, pairCount.getOrElse(p, 0L) + counts(wi))
+          pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        }
+      }
+      rk += 1
+    }
+    out.toSeq
+  }
+
+  /** The r18 one-distributed-aggregation-per-round trainer, kept as the
+    * CROSS-CHECK twin: the spec pins `train ≡ trainDistributed` on the
+    * corpus, so the driver-side pair bookkeeping can never drift from
+    * the declarative definition the oracle also recomputes. Correct at
+    * any corpus size (rounds aggregate the bounded VOCABULARY frame,
+    * never the corpus), but pays one Spark job per merge — the shape
+    * item 4 of the r18 verdict retired for production merge counts. */
+  def trainDistributed(docs: DataFrame,
+      merges: Int = Merges): Seq[(Int, String, String, Long)] = {
+    // one corpus pass: word counts
     val wc = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))

@@ -204,6 +204,22 @@ class SemanticOpsSpec extends SparkSpec {
     assert(enc(2L) === 4 + 4, "doc 2: abc×3,abd = 4 syms + xy,xy = 4")
   }
 
+  test("bpe: driver-side trainer ≡ distributed trainer, corpus and edge cases") {
+    import spark.implicits._
+    // the real corpus at sf0.001, deeper than the declared key's rounds
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val fast = Bpe.train(docs, merges = 24)
+    val slow = Bpe.trainDistributed(docs, merges = 24)
+    assert(fast === slow,
+      "driver-side pair bookkeeping must reproduce the distributed " +
+        "argmax rounds bit-exactly (counts, tie-breaks, chaining)")
+    // overlap + chaining edge cases: runs merge left-first, counts are
+    // overlap-agnostic, exhaustion stops both the same way
+    val tricky = Seq((1L, "aaaa aaa ab ab"), (2L, "abab aaaa")).toDF("doc_id", "text")
+    assert(Bpe.train(tricky, merges = 50) ===
+      Bpe.trainDistributed(tricky, merges = 50))
+  }
+
   test("bpe: merge table round-trips through parquet in training order") {
     import spark.implicits._
     val docs = Seq((1L, "abc abc abd xy")).toDF("doc_id", "text")
