@@ -213,9 +213,114 @@ object Probe {
         takedownProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(1000000),
           nRetract = args.lift(2).map(_.toInt).getOrElse(10000))
+      case Some("curation20") =>
+        curation20Probe(spark,
+          nIdx = args.lift(1).map(_.toInt).getOrElse(10000000),
+          nBatch = args.lift(2).map(_.toInt).getOrElse(1000000),
+          nights = args.lift(3).map(_.toInt).getOrElse(20))
       case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | bm25serve | mediaann | bpepack)")
     }
     spark.stop()
+  }
+
+  /** The FULL curation macro's arrival mode at operating scale — 20
+    * autoCompact'd nights against a `nIdx`-doc initial state with
+    * `nBatch`-doc nightly batches (the r18 verdict's task 5: the
+    * 1M/200k probes proved correctness; this one prices the steady
+    * state). Each night: redact → quality → dedup vs the accumulated fp
+    * index → split → budget-mix (three domains unbounded, `es` capped
+    * so exhaustion is exercised mid-run) → pack, with the fp delta +
+    * cursor + per-domain counters committing atomically and
+    * `autoCompact` sweeping the index after every night. Records
+    * per-night wall time, state bytes, and fragment counts; asserts the
+    * operational claims — fragments bounded by the threshold regardless
+    * of night count, cursor ≡ Σ packed totals (seam-free across all 20
+    * nights), the exhausted domain stops selecting and its counter
+    * freezes — while every night's 2 % night-1 clones exercise the
+    * cross-index dedup arm against the accumulated fp index. */
+  def curation20Probe(spark: SparkSession, nIdx: Int, nBatch: Int,
+      nights: Int): Unit = {
+    import graft.operators._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur20").toString
+    def freshText(idc: Column) = concat_ws(" ",
+      concat(lit("a the "),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          j => concat(lit("d"), idc, lit("x"), j)))))
+    def langOf(idc: Column) = element_at(
+      array(lit("en"), lit("fr"), lit("de"), lit("es")),
+      (pmod(idc, lit(4)) + 1).cast("int"))
+    val big = Long.MaxValue / 4
+    // sized to exhaust around night 6-7 at the default 10M/1M geometry
+    // (night 1 contributes ~64M es train tokens, each later night ~6.4M)
+    val esCap = 100000000L
+    val budgets = Seq("de" -> big, "en" -> big, "es" -> esCap, "fr" -> big)
+    val night1 = spark.range(nIdx).select(col("id").as("doc_id"),
+      freshText(col("id")).as("text"), langOf(col("id")).as("lang"))
+    var totals = 0L
+    val t1 = timed(s"night 1 (init): full macro over $nIdx docs") {
+      CurationIncremental.stepFull(spark, night1, dir, budgets,
+        init = true, autoCompact = IndexMaintenance.MaxFragments)
+        .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+    }
+    totals += t1
+    val nDup = nBatch / 50 // 2% clones of night-1 docs
+    var lastEsRows = -1L
+    for (n <- 2 to nights) {
+      val base = nIdx.toLong + (n - 2).toLong * nBatch
+      val bid = col("doc_id") - base
+      val batch = spark.range(base, base + nBatch)
+        .select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          when(bid < nDup, freshText(bid + (n - 2) * nDup))
+            .otherwise(freshText(col("doc_id"))).as("text"),
+          langOf(col("doc_id")).as("lang"))
+      val out = timed(f"curation20 night $n%2d: $nBatch-doc batch") {
+        CurationIncremental.stepFull(spark, batch, dir, budgets,
+          autoCompact = IndexMaintenance.MaxFragments)
+      }
+      val t0 = System.nanoTime()
+      val agg = out.agg(coalesce(sum("n_tok"), lit(0L)).as("tok"),
+        count(lit(1)).as("rows"),
+        coalesce(sum(when(col("lang") === "es", 1L).otherwise(0L)), lit(0L))
+          .as("es_rows")).head()
+      // stepFull materializes eagerly, so the step itself is what timed
+      // the night; this agg is a driver-side read of the checkpointed out
+      totals += agg.getLong(0)
+      lastEsRows = agg.getLong(2)
+      val frags = IndexMaintenance.fragmentCounts(s"$dir/fps")
+      val stateBytes = {
+        def sz(p: java.nio.file.Path): Long =
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.map(sz).sum
+            } finally st.close()
+          } else java.nio.file.Files.size(p)
+        sz(java.nio.file.Paths.get(dir))
+      }
+      println(f"[probe] curation20 night $n%2d: rows ${agg.getLong(1)}%8d " +
+        f"es_rows ${agg.getLong(2)}%7d state ${stateBytes / 1e6}%8.1f MB " +
+        f"frags max ${frags.values.max}%2d " +
+        f"(agg read ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    val cursor = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    val consumed = spark.read.parquet(s"$dir/budgets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frags = IndexMaintenance.fragmentCounts(s"$dir/fps")
+    println(s"[probe] curation20 after $nights nights: cursor $cursor " +
+      s"(sum of totals $totals), consumed ${consumed.toSeq.sorted}, " +
+      s"fragments max ${frags.values.max} avg " +
+      f"${frags.values.sum.toDouble / frags.size}%.1f over ${frags.size} buckets")
+    assert(cursor == totals, "cursor must equal the packed total across all nights")
+    assert(frags.values.max <= IndexMaintenance.MaxFragments + 1,
+      "autoCompact must bound fragments regardless of night count")
+    assert(consumed("es") >= esCap,
+      "the capped domain must have filled its budget")
+    assert(consumed("es") < esCap + 100,
+      "the capped counter must freeze at the boundary (one straddling doc)")
+    assert(lastEsRows == 0L,
+      "an exhausted domain must select nothing on later nights")
   }
 
   /** [[graft.operators.Takedown.retractEverywhere]] at the 1M-index

@@ -84,17 +84,10 @@ object AudioEmbed {
   /** Decode + descriptor as one narrow pass: (media_id, payload) →
     * (media_id, v). Non-audio payloads drop out (None), so the frame is
     * safe over a mixed-modality corpus. */
-  def audioEmbedFrame(audio: DataFrame): DataFrame = {
-    import audio.sparkSession.implicits._
-    audio.select(col("media_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        Wav.decode(payload).map { case (rate, samples) =>
-          (id, bandProfile(rate, samples))
-        }
-      })
-      .toDF("media_id", "v")
-  }
+  def audioEmbedFrame(audio: DataFrame): DataFrame =
+    // routed through the pluggable-extractor plumbing (r19) — see
+    // [[MediaExtractor]]
+    MediaExtractor.embedFrame(audio, MediaExtractor.AudioExtractor)
 
   /** Declared key (`audio_embed`): samples → embedding → vector-stack
     * near-dup over the SAME planted fixture as `audio_phash` — row

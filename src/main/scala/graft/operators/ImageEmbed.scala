@@ -78,17 +78,11 @@ object ImageEmbed {
     * (media_id, v). Format dispatch via [[ImagePhash.decodeImage]];
     * non-image payloads drop out (None), so the frame is safe over a
     * mixed-modality corpus. */
-  def embedFrame(images: DataFrame): DataFrame = {
-    import images.sparkSession.implicits._
-    images.select(col("media_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        ImagePhash.decodeImage(payload).map { case (w, h, px) =>
-          (id, colorLayout(w, h, px))
-        }
-      })
-      .toDF("media_id", "v")
-  }
+  def embedFrame(images: DataFrame): DataFrame =
+    // routed through the pluggable-extractor plumbing (r19): the
+    // declared key certifies the interface an ONNX-style learned
+    // extractor would drop into
+    MediaExtractor.embedFrame(images, MediaExtractor.ImageExtractor)
 
   /** Near-dup verdicts over an embedding frame: 64-bit hyperplane
     * signature (`graft_vec_simhash` kernel; HOF fallback off-session) →

@@ -1549,6 +1549,50 @@ object StreamingOps {
     * restart, and replay (a re-applied batch would double-count its
     * domains and starve the rest of the stream — the counter is the
     * piece that makes exactly-once LOAD-BEARING here, not just tidy). */
+  /** Streaming ANN serving — the ONLINE cell of the vector stack
+    * ([[graft.operators.ProductQuant]]'s modality-blind IVFADC index,
+    * served against a continuous query stream instead of a batch): each
+    * micro-batch of (q_id, qv) vectors is answered by the UNCHANGED
+    * batch search (probe the nProbe nearest inverted lists → ADC-score
+    * the probed codes → exact-rerank the shortlist) as a stream-static
+    * composition — the persisted cid-partitioned index is the static
+    * side, and the two model frames are collected ONCE per query
+    * lifetime, so one run serves exactly ONE model generation (a
+    * concurrent retrain becomes visible only to the next run, never
+    * mid-stream — the readIvfPqIndex read-path contract).
+    *
+    * Delivery: results land idempotently at `outDir/batch=<id>`
+    * (overwrite + completion marker). The search is DETERMINISTIC under
+    * the frozen artifact, so foreachBatch's at-least-once redelivery
+    * converges to the same bytes — exactly-once output with no state
+    * beyond the engine's own checkpointed offsets, which also makes the
+    * restart path trivial (a resumed query continues at the next
+    * unprocessed micro-batch; re-delivered batches overwrite their own
+    * completed output). Queries with a q_id matching an indexed vec_id
+    * exclude that vector as a self-match, exactly like the batch path. */
+  def streamingAnnServe(queries: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      k: Int = graft.operators.Similarity.DefaultK, nProbe: Int = 2,
+      shortlist: Int = graft.operators.ProductQuant.Shortlist,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = queries.sparkSession
+    val (assigned, centroids, cbs) =
+      graft.operators.ProductQuant.readIvfPqIndex(spark, indexPath)
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.ProductQuant.ivfPqSearch(
+          assigned, assigned.select("vec_id", "v"), batch,
+          centroids, cbs, k, nProbe, shortlist)
+        val batchOut = s"$outDir/batch=$batchId"
+        out.write.mode("overwrite").parquet(batchOut)
+        graft.Tables.markArtifactComplete(batchOut)
+      }
+      .start()
+  }
+
   def streamingCurationIncrementalFull(docs: DataFrame, statePath: String,
       outDir: String, checkpointDir: String,
       budgets: Seq[(String, Long)] = graft.operators.DomainMix.Budgets,
