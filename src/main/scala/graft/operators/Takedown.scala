@@ -105,16 +105,17 @@ object Takedown {
     val jd = journalDir(root)
     val plan = spark.read.parquet(jd.resolve("plan").toString)
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
       .sortBy(_._1)
-    val removed = plan.map { case (family, path, keyCol, partCol) =>
-      val keys = spark.read.parquet(jd.resolve("keys").resolve(family).toString)
+    val removed = plan.map { case (family, path, keyCol, partCol, keysName) =>
+      val keys = spark.read.parquet(jd.resolve("keys").resolve(keysName).toString)
       family -> IndexMaintenance.retractKeys(spark, path, keyCol, keys, partCol)
     }.toMap
     // post-step: BM25's corpus stats re-derive from the surviving doclen
     // rows (one narrow scan; recomputing is idempotent, so a recovery
     // replay converges — the retractFromBm25 discipline)
-    plan.find(_._1 == "bm25_doclen").foreach { case (_, dlPath, _, _) =>
+    plan.find(_._1 == "bm25_doclen").foreach { case (_, dlPath, _, _, _) =>
       val idx = dlPath.stripSuffix("/doclen")
       spark.read.parquet(dlPath)
         .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dlsum"))
@@ -161,50 +162,56 @@ object Takedown {
     import spark.implicits._
     val jd = journalDir(root)
     IndexMaintenance.deleteRecursively(jd)
+    // four DISTINCT key derivations, each staged ONCE and shared by
+    // every plan row that retracts on it (families keyed by the raw id
+    // all reference the single `ids` parquet)
     val ids = docs.select("doc_id").distinct()
-    def fps = docs.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
-    val entries: Seq[(String, String, String, String, DataFrame)] =
+    lazy val fps = docs.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    // (family, subTablePath, keyCol, partCol, keysName)
+    val entries: Seq[(String, String, String, String, String)] =
       targets.fpIndex.map(p =>
-        ("fp", p, "fp", "bucket", fps)).toSeq ++
+        ("fp", p, "fp", "bucket", "fps")).toSeq ++
       targets.curation.map(p =>
-        ("curation", s"$p/fps", "fp", "bucket", fps)).toSeq ++
+        ("curation", s"$p/fps", "fp", "bucket", "fps")).toSeq ++
       targets.minhash.toSeq.flatMap(p => Seq(
-        ("minhash_bands", MinHashIncremental.bandsSubPath(p), "doc_id", "bucket", ids),
-        ("minhash_sets", s"$p/sets", "doc_id", "bucket", ids))) ++
+        ("minhash_bands", MinHashIncremental.bandsSubPath(p), "doc_id", "bucket", "ids"),
+        ("minhash_sets", s"$p/sets", "doc_id", "bucket", "ids"))) ++
       targets.phash.toSeq.flatMap(p => Seq(
-        ("phash_bands", s"$p/bands", "media_id", "bucket", ids),
-        ("phash_hashes", s"$p/hashes", "media_id", "bucket", ids))) ++
+        ("phash_bands", s"$p/bands", "media_id", "bucket", "ids"),
+        ("phash_hashes", s"$p/hashes", "media_id", "bucket", "ids"))) ++
       targets.videoPhash.toSeq.flatMap(p => Seq(
-        ("video_bands", s"$p/bands", "media_id", "bucket", ids),
-        ("video_hashes", s"$p/hashes", "media_id", "bucket", ids))) ++
+        ("video_bands", s"$p/bands", "media_id", "bucket", "ids"),
+        ("video_hashes", s"$p/hashes", "media_id", "bucket", "ids"))) ++
       targets.lineIndex.map(p =>
-        ("line", p, "fp", "bucket",
-          LineDedup.unsupportedLineFps(docs, remaining.get))).toSeq ++
+        ("line", p, "fp", "bucket", "line_fps")).toSeq ++
       targets.substring.map(p =>
-        ("substring", s"$p/digests", "g", "bucket",
-          SubstringIncremental.unsupportedDigests(docs, remaining.get))).toSeq ++
+        ("substring", s"$p/digests", "g", "bucket", "digests")).toSeq ++
       targets.bm25.toSeq.flatMap(p => Seq(
-        ("bm25_postings", s"$p/postings", "doc_id", "bucket", ids),
-        ("bm25_doclen", s"$p/doclen", "doc_id", "bucket", ids))) ++
+        ("bm25_postings", s"$p/postings", "doc_id", "bucket", "ids"),
+        ("bm25_doclen", s"$p/doclen", "doc_id", "bucket", "ids"))) ++
       targets.ivfpq.map(p =>
-        ("ivfpq", s"$p/assigned", "vec_id", "cid", ids)).toSeq
-    // stage: keys per family, then the plan — all under the journal,
-    // nothing live touched before the marker
-    entries.foreach { case (family, _, _, _, keys) =>
-      keys.coalesce(1).write.mode("overwrite")
-        .parquet(jd.resolve("keys").resolve(family).toString)
+        ("ivfpq", s"$p/assigned", "vec_id", "cid", "ids")).toSeq
+    // stage: each referenced key derivation once, then the plan — all
+    // under the journal, nothing live touched before the marker
+    val needed = entries.map(_._5).distinct
+    val keyFrames = Map[String, () => DataFrame](
+      "ids" -> (() => ids),
+      "fps" -> (() => fps),
+      "line_fps" -> (() =>
+        LineDedup.unsupportedLineFps(docs, remaining.get)),
+      "digests" -> (() =>
+        SubstringIncremental.unsupportedDigests(docs, remaining.get)))
+    needed.foreach { name =>
+      keyFrames(name)().coalesce(1).write.mode("overwrite")
+        .parquet(jd.resolve("keys").resolve(name).toString)
     }
-    entries.map { case (f, p, k, pc, _) => (f, p, k, pc) }
-      .toDF("family", "path", "key_col", "part_col")
+    entries.toDF("family", "path", "key_col", "part_col", "keys_name")
       .coalesce(1).write.mode("overwrite")
       .parquet(jd.resolve("plan").toString)
     if (commit) Tables.markArtifactComplete(jd.toString)
   }
 
   // --------------------------------------------------------- declared key
-
-  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
   /** Declared key (`takedown`): the unified takedown certified through
     * the DuckDB gate over FIVE families at once. The corpus is the
@@ -232,7 +239,27 @@ object Takedown {
     * rules alone (distinct bag-of-words keys, distinct lines/windows
     * with support, per-doc band/posting row counts) and pins parity_ok
     * TRUE — so a lost row, an over-deleted bucket, a stats skew, or a
-    * support-recount bug each turn rows red. */
+    * support-recount bug each turn rows red.
+    *
+    * Build-once/serve-many (the `ivfpq_append` cadence): the estate
+    * build + journaled takedown run at most once per corpus
+    * ([[takedownFixturePath]], fingerprint-keyed + marker-gated), with
+    * the live retraction's removed counts persisted as the artifact's
+    * receipt; EVERY call re-runs the parity arm and survivor counts
+    * against the persisted post-takedown indexes, so the certification
+    * stays live while the mutation cost is paid once. */
+  /** Fixture location of the declared key's built-and-retracted estate
+    * — corpus-fingerprinted ([[graft.operators.Bpe.mergeTablePath]]
+    * staleness discipline) and completion-marker-gated, so the
+    * build + journaled takedown run AT MOST ONCE per corpus (the
+    * `ivfpq_append` build-once/serve-many cadence) and repeat calls
+    * re-verify the persisted post-takedown artifacts. The removed-row
+    * counts from the live retraction persist alongside (`removed/`) —
+    * they are the retraction's own receipt, which the oracle then
+    * cross-checks against its rule recompute on every call. */
+  def takedownFixturePath(dir: String): String =
+    "target/fixtures/takedown_v1_" + Tables.corpusFingerprint(dir, "documents")
+
   def takedownQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docsL = LineDedup.toLines(
@@ -241,75 +268,104 @@ object Takedown {
     val even = docsL.filter(col("doc_id") % 2 === 0)
     val retr = docsL.filter(col("doc_id") % 10 === 0)
     val rem = even.filter(col("doc_id") % 10 =!= 0)
-    val root = Files.createTempDirectory("graft-takedown").toString
-    // the estate: five family indexes over the even half, each written
-    // by its own family's writer (8 buckets at declared-key scale — the
-    // dedupIndexLifecycle sizing)
-    IncrementalDedup.writeFpIndex(
-      IncrementalDedup.fingerprints(even).select("fp").distinct(),
-      s"$root/fp", nBuckets = 8)
-    val prepEven = MinHashIncremental.prepared(even)
-    MinHashIncremental.writeBandIndex(prepEven, s"$root/minhash", nBuckets = 8)
-    IncrementalDedup.writeFpIndex(LineDedup.lineFps(even),
-      s"$root/line", nBuckets = 8)
-    SubstringIncremental.writeDigestIndex(
-      SubstringDedup.windowDigests(even), s"$root/substring", nBuckets = 8)
-    Ranking.buildBm25Index(spark, even, s"$root/bm25")
-    // ONE takedown across all five
-    val removed = retractEverywhere(spark, root,
-      TakedownTargets(
-        fpIndex = Some(s"$root/fp"),
-        minhash = Some(s"$root/minhash"),
-        lineIndex = Some(s"$root/line"),
-        substring = Some(s"$root/substring"),
-        bm25 = Some(s"$root/bm25")),
-      retr, remaining = Some(rem))
-    // in-query parity arm: each surviving index vs its contract
+    val root = takedownFixturePath(dir)
+    if (!Tables.artifactComplete(root)) synchronized {
+      if (!Tables.artifactComplete(root)) {
+        // the estate: five family indexes over the even half, each
+        // written by its own family's writer (8 buckets at declared-key
+        // scale — the dedupIndexLifecycle sizing)
+        IncrementalDedup.writeFpIndex(
+          IncrementalDedup.fingerprints(even).select("fp").distinct(),
+          s"$root/fp", nBuckets = 8)
+        MinHashIncremental.writeBandIndex(
+          MinHashIncremental.prepared(even), s"$root/minhash", nBuckets = 8)
+        IncrementalDedup.writeFpIndex(LineDedup.lineFps(even),
+          s"$root/line", nBuckets = 8)
+        SubstringIncremental.writeDigestIndex(
+          SubstringDedup.windowDigests(even), s"$root/substring", nBuckets = 8)
+        Ranking.buildBm25Index(spark, even, s"$root/bm25")
+        // ONE takedown across all five; its removed counts persist as
+        // part of the artifact
+        val rm = retractEverywhere(spark, root,
+          TakedownTargets(
+            fpIndex = Some(s"$root/fp"),
+            minhash = Some(s"$root/minhash"),
+            lineIndex = Some(s"$root/line"),
+            substring = Some(s"$root/substring"),
+            bm25 = Some(s"$root/bm25")),
+          retr, remaining = Some(rem))
+        rm.toSeq.toDF("family", "removed").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/removed")
+        Tables.markArtifactComplete(root)
+      }
+    }
+    val removed = spark.read.parquet(s"$root/removed").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in-query parity arm: each surviving index vs its contract, as ONE
+    // aggregation job — every (family, side) pair reduces to (row count,
+    // Σ xxhash64(row) as decimal(38,0)), the driver gate's own
+    // hash-compare methodology (multiset equality ⟺ equal count + equal
+    // hash sum; the decimal sum cannot overflow — 2⁶⁴-bounded terms with
+    // 10³⁸ headroom). One DAG scans all seven indexes and recomputes all
+    // seven references in parallel, instead of ~21 sequential jobs.
+    def tagged(family: String, side: String, df: DataFrame): DataFrame =
+      df.select(lit(family).as("family"), lit(side).as("side"),
+        xxhash64(struct(df.columns.map(col): _*)).as("h"))
     val prepRem = MinHashIncremental.prepared(rem)
-    val fpIdx = spark.read.parquet(s"$root/fp").select("fp")
     val fpRef = IncrementalDedup.fingerprints(even).select("fp").distinct()
       .join(IncrementalDedup.fingerprints(retr).select("fp").distinct(),
         Seq("fp"), "left_anti")
-    val bandsIdx = spark.read
-      .parquet(MinHashIncremental.bandsSubPath(s"$root/minhash"))
-      .select("doc_id", "band", "sig")
-    val setsIdx = spark.read.parquet(s"$root/minhash/sets")
-      .select("doc_id", "hset")
-    val lineIdx = spark.read.parquet(s"$root/line").select("fp")
-    val subIdx = spark.read.parquet(s"$root/substring/digests").select("g")
-    val postIdx = spark.read.parquet(s"$root/bm25/postings")
-      .select("term", "doc_id", "tf")
     val postRef = rem
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val dlIdx = spark.read.parquet(s"$root/bm25/doclen").select("doc_id", "dl")
-    val dlRef = rem.select(col("doc_id"),
-      size(split(col("text"), " ")).as("dl"))
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("fp", spark.read.parquet(s"$root/fp").select("fp"), fpRef),
+      ("minhash_bands",
+        spark.read.parquet(MinHashIncremental.bandsSubPath(s"$root/minhash"))
+          .select("doc_id", "band", "sig"),
+        MinHashIncremental.bandRows(prepRem)),
+      ("minhash_sets",
+        spark.read.parquet(s"$root/minhash/sets").select("doc_id", "hset"),
+        prepRem.select("doc_id", "hset")),
+      ("line", spark.read.parquet(s"$root/line").select("fp"),
+        LineDedup.lineFps(rem)),
+      ("substring",
+        spark.read.parquet(s"$root/substring/digests").select("g"),
+        SubstringDedup.windowDigests(rem).select("g").distinct()),
+      ("bm25_postings",
+        spark.read.parquet(s"$root/bm25/postings")
+          .select("term", "doc_id", "tf"),
+        postRef),
+      ("bm25_doclen",
+        spark.read.parquet(s"$root/bm25/doclen").select("doc_id", "dl"),
+        rem.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))))
+    val agged = pairs
+      .flatMap { case (f, idx, ref) =>
+        Seq(tagged(f, "idx", idx), tagged(f, "ref", ref)) }
+      .reduce(_ unionByName _)
+      .groupBy("family", "side")
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("hs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3).toBigInteger.toString)))
+      .toMap
+    // an empty side produces no group row; None == None keeps
+    // empty-vs-empty equal and empty-vs-nonempty unequal, as required
+    def parity(f: String): Boolean =
+      agged.get((f, "idx")) == agged.get((f, "ref"))
+    def survivors(f: String): Long =
+      agged.get((f, "idx")).map(_._1).getOrElse(0L)
+    // stats row: one tiny direct compare on top of the doclen parity
     val statsRow = spark.read.parquet(s"$root/bm25/stats").head()
     val statsRef = rem.agg(count(lit(1)),
       coalesce(sum(size(split(col("text"), " "))), lit(0L))).head()
-    val parity = Map(
-      "fp" -> sameRows(fpIdx, fpRef),
-      "minhash_bands" -> sameRows(bandsIdx,
-        MinHashIncremental.bandRows(prepRem)),
-      "minhash_sets" -> sameRows(setsIdx, prepRem.select("doc_id", "hset")),
-      "line" -> sameRows(lineIdx, LineDedup.lineFps(rem)),
-      "substring" -> sameRows(subIdx,
-        SubstringDedup.windowDigests(rem).select("g").distinct()),
-      "bm25_postings" -> sameRows(postIdx, postRef),
-      "bm25_doclen" -> (sameRows(dlIdx, dlRef) &&
-        statsRow.getLong(0) == statsRef.getLong(0) &&
-        statsRow.getLong(1) == statsRef.getLong(1)))
-    def survivors(p: String) = spark.read.parquet(p).count()
-    val out = Seq(
-      ("bm25_doclen", s"$root/bm25/doclen"),
-      ("bm25_postings", s"$root/bm25/postings"),
-      ("fp", s"$root/fp"),
-      ("line", s"$root/line"),
-      ("minhash_bands", MinHashIncremental.bandsSubPath(s"$root/minhash")),
-      ("minhash_sets", s"$root/minhash/sets"),
-      ("substring", s"$root/substring/digests"))
-      .map { case (f, p) => (f, removed(f), survivors(p), parity(f)) }
+    val statsOk = statsRow.getLong(0) == statsRef.getLong(0) &&
+      statsRow.getLong(1) == statsRef.getLong(1)
+    val out = Seq("bm25_doclen", "bm25_postings", "fp", "line",
+      "minhash_bands", "minhash_sets", "substring")
+      .map(f => (f, removed(f), survivors(f),
+        parity(f) && (f != "bm25_doclen" || statsOk)))
       .toDF("family", "removed", "survivors", "parity_ok")
       .orderBy("family")
     docsL.unpersist(blocking = false)
