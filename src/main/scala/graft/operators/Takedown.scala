@@ -77,7 +77,11 @@ object Takedown {
       substring: Option[String] = None,   // [[SubstringIncremental]] root
       bm25: Option[String] = None,        // [[Ranking]] serving artifact
       curation: Option[String] = None,    // [[CurationIncremental]] state
-      ivfpq: Option[String] = None) {     // [[ProductQuant]] IVFADC index
+      ivfpq: Option[String] = None,       // [[ProductQuant]] IVFADC index
+      ivf: Option[String] = None,         // [[Similarity.writeIvfIndex]]
+      textEmbed: Option[String] = None,   // [[TextEmbed]] band+vec index
+      textEmbedBandBits: Int = TextEmbed.BandBits,
+      textEmbedTables: Int = 4) {
     /** Families whose keys need the REMAINING corpus (support recount). */
     def needsRemaining: Boolean = lineIndex.nonEmpty || substring.nonEmpty
   }
@@ -135,7 +139,8 @@ object Takedown {
     * need the support recount. Returns removed-row counts per plan
     * family (`fp`, `curation`, `minhash_bands`, `minhash_sets`,
     * `phash_bands`, `phash_hashes`, `video_bands`, `video_hashes`,
-    * `line`, `substring`, `bm25_postings`, `bm25_doclen`, `ivfpq`). */
+    * `line`, `substring`, `bm25_postings`, `bm25_doclen`, `ivfpq`,
+    * `ivf`, `text_embed_bands`, `text_embed_vecs`). */
   def retractEverywhere(spark: SparkSession, root: String,
       targets: TakedownTargets, docs: DataFrame,
       remaining: Option[DataFrame] = None): Map[String, Long] = {
@@ -190,7 +195,14 @@ object Takedown {
         ("bm25_postings", s"$p/postings", "doc_id", "bucket", "ids"),
         ("bm25_doclen", s"$p/doclen", "doc_id", "bucket", "ids"))) ++
       targets.ivfpq.map(p =>
-        ("ivfpq", s"$p/assigned", "vec_id", "cid", "ids")).toSeq
+        ("ivfpq", s"$p/assigned", "vec_id", "cid", "ids")).toSeq ++
+      targets.ivf.map(p =>
+        ("ivf", s"$p/assigned", "vec_id", "cid", "ids")).toSeq ++
+      targets.textEmbed.toSeq.flatMap(p => Seq(
+        ("text_embed_bands",
+          TextEmbed.bandsPath(p, targets.textEmbedBandBits,
+            targets.textEmbedTables), "doc_id", "bucket", "ids"),
+        ("text_embed_vecs", s"$p/vecs", "doc_id", "bucket", "ids")))
     // stage: each referenced key derivation once, then the plan — all
     // under the journal, nothing live touched before the marker
     val needed = entries.map(_._5).distinct

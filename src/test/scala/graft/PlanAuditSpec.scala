@@ -409,6 +409,23 @@ class PlanAuditSpec extends SparkSpec {
       "the batch served form must never scan the corpus text")
   }
 
+  test("bm25_serve_incremental: the appended artifact serves with the same pruned plan") {
+    // the arrival mode must not cost the serving path anything: the
+    // appended index's posting read is bucket-pruned exactly like the
+    // full-build artifact's, and the corpus text never enters the plan
+    // (the append's work happened at ingest time, once)
+    val df = SparkEntry.queries("bm25_serve_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val postingScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("/postings")).getOrElse("")
+    assert(postingScan.contains("PartitionFilters: [bucket") ||
+      postingScan.contains("PartitionFilters: [cast(bucket"),
+      "bucket pruning must reach the appended posting scan:\n" + postingScan)
+    assert(!p.contains("documents.parquet"),
+      "the appended served form must never scan the corpus text")
+  }
+
   test("large_order: fact pre-agg is the only wide shuffle; HAVING survivors broadcast") {
     val p = plan("large_order")
     assert(count(p, "Exchange hashpartitioning") === 1,

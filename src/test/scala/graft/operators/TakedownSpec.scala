@@ -38,6 +38,9 @@ class TakedownSpec extends SparkSpec {
       graft.Tables.embeddings(spark, sf0001)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     ProductQuant.writeIvfPqIndex(spark, s"$root/ivfpq", emb, c = 4)
+    // text-embedding band+vector index over the even docs
+    TextEmbed.writeTextEmbedIndex(
+      TextEmbed.embedText(even), s"$root/textembed", nBuckets = 8)
     val retr = docs.filter(col("doc_id") % 10 === 0)
       .localCheckpoint(true)
     val retrIds = retr.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -48,7 +51,8 @@ class TakedownSpec extends SparkSpec {
         fpIndex = Some(s"$root/fp"),
         bm25 = Some(s"$root/bm25"),
         curation = Some(s"$root/curation"),
-        ivfpq = Some(s"$root/ivfpq")),
+        ivfpq = Some(s"$root/ivfpq"),
+        textEmbed = Some(s"$root/textembed")),
       retr)
     // journal gone, counts sane
     assert(java.nio.file.Files.notExists(
@@ -77,6 +81,14 @@ class TakedownSpec extends SparkSpec {
     val vecAfter = spark.read.parquet(s"$root/ivfpq/assigned")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(vecAfter === vecBefore -- retrIds)
+    // text-embedding family: both sub-tables purged of the retracted ids
+    Seq(TextEmbed.bandsPath(s"$root/textembed", TextEmbed.BandBits, 4),
+        s"$root/textembed/vecs").foreach { p =>
+      assert(spark.read.parquet(p)
+        .filter(col("doc_id").isin(retrIds.toSeq: _*)).count() === 0,
+        s"$p must carry no retracted doc rows")
+    }
+    assert(removed("text_embed_vecs") > 0L)
   }
 
   test("crash BEFORE the journal marker: no index mutated; retry applies cleanly") {
