@@ -242,6 +242,47 @@ class ProductQuantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("vector lifecycle capstone: build → append → retract → retrain → serve, one artifact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb.persist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-life").toString
+    // build on the even half, append the odd half under frozen models
+    ProductQuant.writeIvfPqIndex(spark, tmp,
+      emb.filter(col("vec_id") % 2 === 0), c = 4)
+    ProductQuant.ivfpqAppend(spark, tmp,
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") % 2 === 1))
+    // takedown: every 10th vector leaves WITHOUT a retrain
+    val retrIds = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val retrSet = retrIds.collect().map(_.getLong(0)).toSet
+    val removed = ProductQuant.ivfpqRetract(spark, tmp, retrIds)
+    assert(removed === retrSet.size.toLong)
+    // drift maintenance: retrain with DEFAULT geometry — must preserve
+    // the live index's c (4), not the build-time constant (8)
+    val (centNew, cbsNew) = ProductQuant.ivfpqRetrain(spark, tmp)
+    assert(centNew.size === 4,
+      "a parameterless retrain must keep the live centroid count")
+    val (assigned, rc, rcbs) = ProductQuant.readIvfPqIndex(spark, tmp)
+    assert(rc === centNew.sortBy(_._1) && rcbs === cbsNew)
+    // membership = (everything) minus (retracted), through all four ops
+    val ids = assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === all -- retrSet)
+    // and the surviving artifact serves: a query never sees a retracted
+    // vector, and finds real neighbors
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val hits = ProductQuant.ivfPqSearch(assigned, assigned.select("vec_id", "v"),
+      q, rc, rcbs, k = 5, nProbe = 4).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(h => !retrSet.contains(h.getLong(2))),
+      "a retracted vector must never be served")
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ivfpqRetrain crash recovery: uncommitted staging rolls back, committed rolls forward") {
     val spark0 = spark
     import spark0.implicits._
