@@ -3243,6 +3243,30 @@ object Probe {
             .otherwise(0L)).as("over"))
         .collect()(0)
     }
+    // the SERVING path at full table depth — the mapPartitions encoder
+    // the chained-replace expression can't express: every doc through
+    // ALL learned merges, memoized per distinct word per partition
+    val servedAgg = timed(s"bpe servedEncode: $nDocs docs through ALL " +
+        s"${table.size} merges (mapPartitions + word memo)") {
+      Bpe.servedEncode(docs, table)
+        .agg(sum("n_sym").as("syms"), count(lit(1)).as("n")).head()
+    }
+    // spot-check the iterative lowest-rank kernel against rank-order
+    // application on a distinct-word sample at this depth
+    val ranks = table.map { case (rk, l, r, _) => (l, r) -> rk }.toMap
+    val sample = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().limit(300).collect().map(_.getString(0))
+    val kernelBad = sample.count { w =>
+      val ref = table.foldLeft(w.toCharArray.map(_.toString)) {
+        case (syms, (_, l, r, _)) => Bpe.applyMergeSyms(syms, l, r)
+      }.length
+      Bpe.encodeWordSymCount(w, ranks) != ref
+    }
+    println(s"[probe] bpe servedEncode: ${servedAgg.getLong(1)} docs → " +
+      s"${servedAgg.getLong(0)} syms at depth ${table.size}; " +
+      s"kernel-vs-rank-order mismatches $kernelBad/300")
+    assert(kernelBad == 0,
+      "iterative lowest-rank must equal rank-order application at depth")
     // letters only (spaces excluded): chars − 29 spaces per 30-token doc
     val letters = enc.getLong(0) - 29L * nDocs
     val ratio = letters.toDouble / enc.getLong(1)

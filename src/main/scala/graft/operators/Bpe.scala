@@ -94,6 +94,23 @@ object Bpe {
     trainFromDictionary(dict, merges)
   }
 
+  /** Left-first non-overlapping application of one merge on a symbol
+    * array — the in-memory twin of [[applyMerge]]'s seq-string literal
+    * replace ('a a a' → '(aa) a'; 'a b a b' → '(ab)(ab)'). Shared by
+    * the trainer's re-count, the served encoder, and the spec's
+    * rank-order reference. */
+  private[graft] def applyMergeSyms(sym: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** The driver-side merge loop over a (word, count) dictionary —
     * [[train]]'s engine, callable directly when the dictionary is
     * already at hand. Maintains, across rounds: each word's current
@@ -116,18 +133,6 @@ object Bpe {
     for (wi <- words.indices; p <- pairsOf(words(wi))) {
       pairCount.update(p, pairCount.getOrElse(p, 0L) + counts(wi))
       pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
-    }
-    // left-first non-overlapping application on a symbol array — the
-    // in-memory twin of [[applyMerge]]'s seq-string literal replace
-    def applyMergeSyms(sym: Array[String], l: String, r: String): Array[String] = {
-      val out = mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < sym.length) {
-        if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += sym(i); i += 1 }
-      }
-      out.toArray
     }
     val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rk = 1
@@ -292,6 +297,75 @@ object Bpe {
       case (s, (_, l, r, _)) => applyMerge(s, l, r)
     }
     size(split(trim(merged), "  ")) - (size(toks) - 1)
+  }
+
+  /** One word's encoded symbol count under the iterative LOWEST-RANK
+    * merge algorithm — the production encoder's per-word kernel (the
+    * HF-tokenizers/tiktoken shape): repeatedly find the adjacent pair
+    * with the lowest merge rank present and apply it left-to-right
+    * non-overlapping, until no pair is mergeable. For a table TRAINED
+    * by BPE this is equivalent to applying the merges in rank order (a
+    * merge's pair can only assemble once its constituent symbols exist,
+    * which is exactly rank order — the spec pins the equivalence per
+    * word at 4k-merge depth and against [[encodeSymCount]]'s chained
+    * replaces on the corpus), but costs O(len × merges-APPLIED) instead
+    * of O(len × table size) — at 32k merges the rank-order scan per
+    * word is 32k map probes, this is ~len. */
+  private[graft] def encodeWordSymCount(w: String,
+      ranks: Map[(String, String), Int]): Int = {
+    var syms: Array[String] = w.toCharArray.map(_.toString)
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms = applyMergeSyms(syms, syms(bi), syms(bi + 1))
+        done = syms.length < 2
+      }
+    }
+    syms.length
+  }
+
+  /** PRODUCTION-SCALE serving encoder ([[encodeSymCount]]'s twin for
+    * merge tables beyond the chained-replace expression's reach): a
+    * narrow mapPartitions pass applying the iterative lowest-rank
+    * kernel per word, with a per-partition word→count memo — corpora
+    * repeat words heavily (Zipf), so the kernel runs once per DISTINCT
+    * word per partition and every later occurrence is a hash hit. The
+    * rank map is table-sized (32k entries ≈ 1 MB) and ships in the
+    * task closure — the driver-resident-model discipline. Returns
+    * (doc_id, n_ws, n_sym); per-word sums equal the doc-level count
+    * because merges never bridge the word boundary, the
+    * [[encodeSymCount]] contract. mapPartitions (not an Expression) is
+    * deliberate: the per-word loop is genuinely imperative state the
+    * HOF/codegen surface can't express, and the stage stays scan-bound
+    * and shuffle-free. */
+  def servedEncode(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ranks = merges.map { case (rk, l, r, _) => (l, r) -> rk }.toMap
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, text) =>
+          val ws = text.split(' ')
+          var total = 0
+          var i = 0
+          while (i < ws.length) {
+            total += memo.getOrElseUpdate(ws(i), encodeWordSymCount(ws(i), ranks))
+            i += 1
+          }
+          (id, ws.length, total)
+        }
+      }
+      .toDF("doc_id", "n_ws", "n_sym")
   }
 
   /** Declared key (`bpe_encode`): re-tokenize every document with the

@@ -220,6 +220,38 @@ class SemanticOpsSpec extends SparkSpec {
       Bpe.trainDistributed(tricky, merges = 50))
   }
 
+  test("bpe: served encoder ≡ chained replaces on the corpus, ≡ rank order per word at depth") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    // corpus-level: the mapPartitions serving encoder must reproduce the
+    // chained-replace expression's counts bit-exactly at key depth
+    val merges = Bpe.servedMerges(spark, sf0001)
+    val expr = docs.select(col("doc_id"),
+        Bpe.encodeSymCount(col("text"), merges).as("n_sym"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = Bpe.servedEncode(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(served === expr,
+      "servedEncode must equal the chained-replace form per document")
+    // word-level at PRODUCTION depth (beyond the expression's reach):
+    // iterative lowest-rank ≡ applying the merges in rank order
+    // the fixture vocabulary exhausts at ~89 merges — already past the
+    // chained-expression bound (64), which is the boundary this pin
+    // guards; the 4k-depth run lives in the bpe probe's generator corpus
+    val deep = Bpe.train(docs, merges = 2000)
+    assert(deep.size > 64, "the table must outrun the expression-chain bound")
+    val ranks = deep.map { case (rk, l, r, _) => (l, r) -> rk }.toMap
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().limit(500).collect().map(_.getString(0))
+    words.foreach { w =>
+      val rankOrder = deep.foldLeft(w.toCharArray.map(_.toString)) {
+        case (syms, (_, l, r, _)) => Bpe.applyMergeSyms(syms, l, r)
+      }.length
+      assert(Bpe.encodeWordSymCount(w, ranks) === rankOrder,
+        s"iterative lowest-rank must equal rank-order application for '$w'")
+    }
+  }
+
   test("bpe: merge table round-trips through parquet in training order") {
     import spark.implicits._
     val docs = Seq((1L, "abc abc abd xy")).toDF("doc_id", "text")
