@@ -225,6 +225,15 @@ object Takedown {
 
   // --------------------------------------------------------- declared key
 
+  /** Fixture location of the declared key's built-and-retracted estate
+    * — corpus-fingerprinted ([[graft.operators.Bpe.mergeTablePath]]
+    * staleness discipline) and completion-marker-gated; the removed-row
+    * counts from the live retraction persist alongside (`removed/`) as
+    * the retraction's receipt, which the oracle cross-checks against
+    * its rule recompute on every call. */
+  def takedownFixturePath(dir: String): String =
+    "target/fixtures/takedown_v1_" + Tables.corpusFingerprint(dir, "documents")
+
   /** Declared key (`takedown`): the unified takedown certified through
     * the DuckDB gate over FIVE families at once. The corpus is the
     * line-restructured documents table ([[LineDedup.toLines]] — real
@@ -260,18 +269,6 @@ object Takedown {
     * receipt; EVERY call re-runs the parity arm and survivor counts
     * against the persisted post-takedown indexes, so the certification
     * stays live while the mutation cost is paid once. */
-  /** Fixture location of the declared key's built-and-retracted estate
-    * — corpus-fingerprinted ([[graft.operators.Bpe.mergeTablePath]]
-    * staleness discipline) and completion-marker-gated, so the
-    * build + journaled takedown run AT MOST ONCE per corpus (the
-    * `ivfpq_append` build-once/serve-many cadence) and repeat calls
-    * re-verify the persisted post-takedown artifacts. The removed-row
-    * counts from the live retraction persist alongside (`removed/`) —
-    * they are the retraction's own receipt, which the oracle then
-    * cross-checks against its rule recompute on every call. */
-  def takedownFixturePath(dir: String): String =
-    "target/fixtures/takedown_v1_" + Tables.corpusFingerprint(dir, "documents")
-
   def takedownQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docsL = LineDedup.toLines(
