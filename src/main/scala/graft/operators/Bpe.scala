@@ -79,18 +79,27 @@ object Bpe {
     * Returns the merge table in training order: (rk, left, right, cnt).
     * Bit-identical to [[trainDistributed]] by construction (spec-pinned):
     * same overlap-agnostic adjacent pair counts, same (cnt desc, pair
-    * lexicographic) argmax — the corpus is ASCII a-z + [[Boundary]], so
-    * JVM string order and Spark's UTF8 binary order agree — and the
-    * same left-first non-overlapping merge application. */
+    * lexicographic) argmax — ties compared in UTF-8 BYTE order
+    * ([[utf8Lt]]), the same total order as Spark's UTF8 binary
+    * `orderBy`, so the equality holds on ANY corpus, not just ASCII —
+    * and the same left-first non-overlapping merge application. */
   def train(docs: DataFrame, merges: Int = Merges,
       maxVocab: Int = 0): Seq[(Int, String, String, Long)] = {
-    // THE one corpus pass: word counts, collected as the dictionary
-    var dict = docs
+    // THE one corpus pass: word counts. The maxVocab cap is applied
+    // DISTRIBUTIVELY, before anything reaches the driver (r19 verdict:
+    // on real web text the distinct-token count — URLs, typos, hashes —
+    // is billions, and a collect-then-cap would OOM the driver the cap
+    // exists to protect). orderBy+limit is a TakeOrderedAndProject:
+    // per-partition top-K heaps, one K-row exchange — never a full sort.
+    // Tie order (count desc, word by Spark's UTF8 binary order) matches
+    // trainFromDictionary's UTF-8 argmax tie-break, so the cut is
+    // deterministic cross-engine.
+    val wc = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (maxVocab > 0 && dict.size > maxVocab)
-      dict = dict.sortBy { case (w, c) => (-c, w) }.take(maxVocab)
+    val capped = if (maxVocab > 0) wc.orderBy(desc("c"), asc("w")).limit(maxVocab)
+      else wc
+    val dict = capped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     trainFromDictionary(dict, merges)
   }
 
@@ -111,6 +120,43 @@ object Bpe {
     out.toArray
   }
 
+  /** Unsigned UTF-8 byte-order "less than" — Spark's UTF8String binary
+    * ordering, reproduced on the driver so [[trainFromDictionary]]'s
+    * argmax tie-break agrees with [[trainDistributed]]'s `orderBy` on
+    * ANY corpus: JVM UTF-16 code-unit comparison diverges for
+    * supplementary-plane characters (surrogate code units sort above
+    * U+E000..U+FFFF in UTF-16 but their UTF-8 bytes sort below), which
+    * would silently break the spec-pinned train ≡ trainDistributed
+    * bit-equality on non-ASCII text (r19 ADVICE). */
+  /** A word's initial symbol array, split by CODE POINT — the same
+    * segmentation Spark's `substring`/`length` use in [[seqStr]], so
+    * the driver trainer/encoder and the distributed twin agree on
+    * supplementary-plane text too (a UTF-16 `toCharArray` split would
+    * shear a surrogate pair into two lone-surrogate symbols). */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The driver-side merge loop over a (word, count) dictionary —
     * [[train]]'s engine, callable directly when the dictionary is
     * already at hand. Maintains, across rounds: each word's current
@@ -123,8 +169,7 @@ object Bpe {
   def trainFromDictionary(dict: Seq[(String, Long)],
       merges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
-    val words = dict.map { case (w, _) =>
-      w.toCharArray.map(_.toString) }.toArray
+    val words = dict.map { case (w, _) => codePointSyms(w) }.toArray
     val counts = dict.map(_._2).toArray
     def pairsOf(sym: Array[String]): Iterator[(String, String)] =
       (0 until sym.length - 1).iterator.map(i => (sym(i), sym(i + 1)))
@@ -137,12 +182,13 @@ object Bpe {
     val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rk = 1
     while (rk <= merges && pairCount.nonEmpty) {
-      // deterministic argmax: count desc, then pair lexicographic
+      // deterministic argmax: count desc, then pair lexicographic in
+      // UTF-8 BYTE order ([[utf8Lt]] — the twin's Spark orderBy order)
       var best: ((String, String), Long) = null
       for (e <- pairCount.iterator) {
         if (best == null || e._2 > best._2 ||
-          (e._2 == best._2 && (e._1._1 < best._1._1 ||
-            (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+          (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+            (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))) best = e
       }
       val ((l, r), cnt) = best
       out += ((rk, l, r, cnt))
@@ -313,7 +359,7 @@ object Bpe {
     * word is 32k map probes, this is ~len. */
   private[graft] def encodeWordSymCount(w: String,
       ranks: Map[(String, String), Int]): Int = {
-    var syms: Array[String] = w.toCharArray.map(_.toString)
+    var syms: Array[String] = codePointSyms(w)
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue

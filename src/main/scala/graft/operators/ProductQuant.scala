@@ -250,10 +250,11 @@ object ProductQuant {
     * c and M·Ks rows — the driver-resident discipline. */
   def readIvfPqIndex(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
-    // roll a committed-but-unfolded retrain forward before serving;
-    // NEVER roll back from the read path (an uncommitted staging may be
-    // an in-flight retrain's — see recoverIvfPq)
+    // roll a committed-but-unfolded retrain or ingest forward before
+    // serving; NEVER roll back from the read path (an uncommitted
+    // staging may be an in-flight writer's — see recoverIvfPq)
     recoverIvfPq(dir, rollBack = false)
+    recoverIvfPqIngest(dir, rollBack = false)
     val centroids = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
@@ -295,6 +296,118 @@ object ProductQuant {
       Seq(s"$path/assigned" -> "cid"))
   }
 
+  // ------------------------------------ streaming ingest (exactly-once)
+
+  private def ingestPending(path: String) =
+    java.nio.file.Paths.get(path, "_ingest")
+
+  /** Converge a possibly-crashed [[ivfpqAppendExactlyOnce]] at `path`:
+    * a committed pending batch rolls forward (idempotent per-file
+    * copies), an uncommitted one rolls back. `rollBack = false` (the
+    * read path) only rolls committed state forward — an uncommitted
+    * `_ingest` tree may be an in-flight append's, and a reader deleting
+    * it would race the writer (the [[recoverIvfPq]] rationale). */
+  def recoverIvfPqIngest(path: String, rollBack: Boolean = true): Unit = {
+    val pend = ingestPending(path)
+    if (java.nio.file.Files.exists(pend)) {
+      if (graft.Tables.artifactComplete(pend.toString)) foldIvfPqIngest(path)
+      else if (rollBack) IndexMaintenance.deleteRecursively(pend)
+    }
+  }
+
+  /** Fold a COMMITTED ingest staging: staged cid dirs APPEND into the
+    * live inverted lists (atomic per-file copy; staged part names are
+    * write-fresh UUIDs, so a re-fold skips already-copied files), then
+    * `meta/` swaps to the staged batch id (copy-first, delete-stale-by-
+    * name-difference), then marker first, pending tree last. Every
+    * action idempotent; a crash at any point re-folds cleanly. */
+  private def foldIvfPqIngest(path: String): Unit = {
+    val pend = ingestPending(path)
+    IndexMaintenance.listDir(pend.resolve("assigned"))
+      .filter(d => java.nio.file.Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("cid="))
+      .foreach { d =>
+        IndexMaintenance.dataFiles(d).foreach(
+          IndexMaintenance.copyInto(_, java.nio.file.Paths.get(
+            path, "assigned", d.getFileName.toString)))
+      }
+    val stagedM = pend.resolve("meta")
+    if (java.nio.file.Files.isDirectory(stagedM)) {
+      val live = java.nio.file.Paths.get(path, "meta")
+      val names = IndexMaintenance.dataFiles(stagedM)
+        .map(_.getFileName.toString).toSet
+      IndexMaintenance.dataFiles(stagedM)
+        .foreach(IndexMaintenance.copyInto(_, live))
+      IndexMaintenance.dataFiles(live)
+        .filterNot(f => names.contains(f.getFileName.toString))
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.deleteIfExists(pend.resolve("_GRAFT_COMPLETE"))
+    IndexMaintenance.deleteRecursively(pend)
+  }
+
+  /** Micro-batch id the index at `path` last committed through
+    * [[ivfpqAppendExactlyOnce]], or -1 when none has. Lives in `meta/`
+    * and commits ATOMICALLY with the appended codes (one `_ingest`
+    * pending marker), the [[CurationIncremental.committedBatchId]]
+    * discipline; data-file presence, not directory presence, detects
+    * fresh state. */
+  def committedIvfPqBatchId(spark: SparkSession, path: String): Long =
+    if (IndexMaintenance.dataFiles(
+        java.nio.file.Paths.get(path, "meta")).nonEmpty)
+      spark.read.parquet(s"$path/meta").head().getLong(0)
+    else -1L
+
+  /** [[ivfpqAppend]] for a streaming driver whose engine may RE-DELIVER
+    * a micro-batch after a restart (foreachBatch is at-least-once) —
+    * the committed-batch-id discipline closing the vector family's
+    * ingest cell (r19 verdict #4; the serve cell closed in r19). A
+    * replayed batch would re-insert every vector: duplicate index rows,
+    * duplicate search results, skewed list sizes. Here the batch's
+    * encoded rows stage under `_ingest/` with the batch id and commit
+    * at one marker: crash before → rollback, redelivery re-stages;
+    * crash after → roll-forward, redelivery no-ops (`batchId <=`
+    * committed). The MODELS are read, never written — an append serves
+    * under the frozen generation, exactly like [[ivfpqAppend]]. Returns
+    * true when applied, false on a replay. The index is owned by this
+    * entry point once streaming starts — don't interleave raw
+    * [[ivfpqAppend]] calls, which advance content without `meta/`. */
+  def ivfpqAppendExactlyOnce(spark: SparkSession, path: String,
+      batch: DataFrame, batchId: Long, autoCompact: Int = 0): Boolean = {
+    recoverIvfPqIngest(path)
+    if (batchId <= committedIvfPqBatchId(spark, path)) return false
+    stageIvfPqAppend(spark, path, batch, batchId)
+    foldIvfPqIngest(path)
+    spark.catalog.refreshByPath(s"$path/assigned")
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/assigned" -> "cid"))
+    true
+  }
+
+  /** Stage one exactly-once append's two pieces (encoded cid-partitioned
+    * rows + the batch id) under `_ingest` and (by default) commit them
+    * with the completion marker — split from [[ivfpqAppendExactlyOnce]]
+    * so the crash spec can stop on either side of the commit point
+    * ([[CurationIncremental.stageAndCommit]] convention). */
+  private[operators] def stageIvfPqAppend(spark: SparkSession, path: String,
+      batch: DataFrame, batchId: Long, commit: Boolean = true): Unit = {
+    import spark.implicits._
+    val (_, centroids, cbs) = readIvfPqIndex(spark, path)
+    val pend = ingestPending(path)
+    IndexMaintenance.deleteRecursively(pend)
+    val emb = normalized(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    encode(emb, cbs)
+      .join(Similarity.assignCids(spark, emb, centroids), "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(pend.resolve("assigned").toString)
+    emb.unpersist(blocking = false)
+    Seq(batchId).toDF("batch_id").coalesce(1).write.mode("overwrite")
+      .parquet(pend.resolve("meta").toString)
+    if (commit) graft.Tables.markArtifactComplete(pend.toString)
+  }
+
   /** Takedown for the IVFADC serving artifact WITHOUT a retrain
     * ([[IndexMaintenance.retractKeys]] applied to the cid-partitioned
     * inverted file): delete the retracted vec_ids' rows by anti-join
@@ -312,6 +425,7 @@ object ProductQuant {
     * number of index rows removed. */
   def ivfpqRetract(spark: SparkSession, path: String, ids: DataFrame): Long = {
     recoverIvfPq(path)
+    recoverIvfPqIngest(path)
     val removed = IndexMaintenance.retractKeys(spark, s"$path/assigned",
       "vec_id", ids, partCol = "cid")
     spark.catalog.refreshByPath(s"$path/assigned")
@@ -449,6 +563,7 @@ object ProductQuant {
       lloydIters: Int = 2, m: Int = 0, ks: Int = 0)
       : (Seq[(Int, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
     recoverIvfPq(path)
+    recoverIvfPqIngest(path)
     val (_, liveCentroids, liveCbs) = readIvfPqIndex(spark, path)
     val cEff = if (c > 0) c else liveCentroids.size
     val mEff = if (m > 0) m else liveCbs.size

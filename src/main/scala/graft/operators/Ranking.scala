@@ -189,7 +189,7 @@ object Ranking {
     if (java.nio.file.Files.exists(pend)) {
       if (Tables.artifactComplete(pend.toString)) foldBm25Pending(path)
       else IndexMaintenance.deleteRecursively(pend)
-      Seq("postings", "doclen", "stats").foreach(p =>
+      Seq("postings", "doclen", "stats", "meta").foreach(p =>
         spark.catalog.refreshByPath(s"$path/$p"))
     }
   }
@@ -197,10 +197,11 @@ object Ranking {
   /** Fold a COMMITTED pending batch into the live index: staged
     * postings/doclen bucket files APPEND into the live bucket dirs
     * (atomic per-file copy; staged part names are write-fresh UUIDs, so
-    * a re-fold skips already-copied files), then `stats/` SWAPS to the
-    * staged row (copy-first, delete-stale-by-name-difference — never a
-    * moment with no stats file), then marker first, pending tree last.
-    * Every action idempotent; a crash at any point re-folds cleanly. */
+    * a re-fold skips already-copied files), then `stats/` (and, for the
+    * exactly-once driver, `meta/`) SWAPS to the staged row (copy-first,
+    * delete-stale-by-name-difference — never a moment with no live
+    * file), then marker first, pending tree last. Every action
+    * idempotent; a crash at any point re-folds cleanly. */
   private def foldBm25Pending(path: String): Unit = {
     val pend = pendingDir(path)
     Seq("postings", "doclen").foreach { piece =>
@@ -213,16 +214,18 @@ object Ranking {
               path, piece, d.getFileName.toString)))
         }
     }
-    val stagedStats = pend.resolve("stats")
-    if (java.nio.file.Files.isDirectory(stagedStats)) {
-      val live = java.nio.file.Paths.get(path, "stats")
-      val names = IndexMaintenance.dataFiles(stagedStats)
-        .map(_.getFileName.toString).toSet
-      IndexMaintenance.dataFiles(stagedStats)
-        .foreach(IndexMaintenance.copyInto(_, live))
-      IndexMaintenance.dataFiles(live)
-        .filterNot(f => names.contains(f.getFileName.toString))
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    Seq("stats", "meta").foreach { piece =>
+      val staged = pend.resolve(piece)
+      if (java.nio.file.Files.isDirectory(staged)) {
+        val live = java.nio.file.Paths.get(path, piece)
+        val names = IndexMaintenance.dataFiles(staged)
+          .map(_.getFileName.toString).toSet
+        IndexMaintenance.dataFiles(staged)
+          .foreach(IndexMaintenance.copyInto(_, live))
+        IndexMaintenance.dataFiles(live)
+          .filterNot(f => names.contains(f.getFileName.toString))
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     java.nio.file.Files.deleteIfExists(pend.resolve("_GRAFT_COMPLETE"))
     IndexMaintenance.deleteRecursively(pend)
@@ -250,7 +253,10 @@ object Ranking {
     * corpus stats or vice versa. Caller contract: the batch's doc_ids
     * are NEW (the dedup gate upstream owns identity); re-appending an
     * id would double its postings, exactly as re-inserting into any
-    * inverted index would. `autoCompact > 0` sweeps both bucketed
+    * inverted index would — a driver that can RE-DELIVER a whole batch
+    * (restart replay) must use [[appendToBm25ExactlyOnce]], whose
+    * committed batch id turns the redelivery into a no-op.
+    * `autoCompact > 0` sweeps both bucketed
     * sub-tables after the fold ([[IndexMaintenance.autoCompact]]), so
     * nightly fragment accretion stays bounded. */
   def appendToBm25(spark: SparkSession, path: String, newDocs: DataFrame,
@@ -264,15 +270,66 @@ object Ranking {
       Seq(s"$path/postings" -> "bucket", s"$path/doclen" -> "bucket"))
   }
 
+  /** Micro-batch id the index at `path` last committed, or -1 when no
+    * exactly-once append has landed yet. Lives in `meta/` and commits
+    * ATOMICALLY with the posting/doclen/stats deltas (one more piece
+    * under the `_pending` marker — the [[CurationIncremental
+    * .committedBatchId]] discipline), so the id can never say "applied"
+    * while the postings say otherwise. Data-file presence, not
+    * directory presence, detects fresh state (the r18 first-batch
+    * lesson: an empty meta/ dir must read as fresh, not throw). */
+  def committedBm25BatchId(spark: SparkSession, path: String): Long =
+    if (IndexMaintenance.dataFiles(
+        java.nio.file.Paths.get(path, "meta")).nonEmpty)
+      spark.read.parquet(s"$path/meta").head().getLong(0)
+    else -1L
+
+  /** [[appendToBm25]] for a streaming driver whose engine may RE-DELIVER
+    * a micro-batch after a restart (Structured Streaming's foreachBatch
+    * contract is at-least-once) — the committed-batch-id discipline
+    * that closes [[appendToBm25]]'s documented caller contract: a
+    * replayed batch would double its postings AND the (n, dlsum) stats
+    * delta, silently skewing every BM25 score (r19 verdict #1). The
+    * batch id stages as a fourth `_pending` piece and commits with the
+    * marker, so "applied" and "id advanced" are one atomic fact:
+    *
+    *   - crash BEFORE the marker: [[recoverBm25]] rolls the staging
+    *     back; the redelivery re-stages from unchanged live state;
+    *   - crash AFTER: the fold rolls forward (idempotent per-file
+    *     copies), the id reads as committed, and the redelivery no-ops.
+    *
+    * Returns true when the batch was applied, false on a replay
+    * (`batchId <=` the committed id). Batch ids must be monotonically
+    * increasing, which Structured Streaming guarantees. The index is
+    * owned by this entry point once streaming starts — don't interleave
+    * raw [[appendToBm25]] calls, which advance content without `meta/`. */
+  def appendToBm25ExactlyOnce(spark: SparkSession, path: String,
+      newDocs: DataFrame, batchId: Long, autoCompact: Int = 0): Boolean = {
+    recoverBm25(spark, path)
+    if (batchId <= committedBm25BatchId(spark, path)) return false
+    stageBm25Append(spark, path, newDocs, metaRow = Some(batchId))
+    foldBm25Pending(path)
+    Seq("postings", "doclen", "stats").foreach(p =>
+      spark.catalog.refreshByPath(s"$path/$p"))
+    IndexMaintenance.autoCompact(spark, autoCompact,
+      Seq(s"$path/postings" -> "bucket", s"$path/doclen" -> "bucket"))
+    true
+  }
+
   /** Stage one append's three deltas under `_pending` and (by default)
     * commit them with the completion marker — split from
     * [[appendToBm25]] so the crash spec can stop on either side of the
     * commit point, the [[CurationIncremental.stageAndCommit]]
     * convention. */
   private[operators] def stageBm25Append(spark: SparkSession, path: String,
-      newDocs: DataFrame, commit: Boolean = true): Unit = {
+      newDocs: DataFrame, commit: Boolean = true,
+      metaRow: Option[Long] = None): Unit = {
+    import spark.implicits._
     val pend = pendingDir(path)
     IndexMaintenance.deleteRecursively(pend)
+    metaRow.foreach(id => Seq(id).toDF("batch_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(pend.resolve("meta").toString))
     def toks = newDocs.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
     toks.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -300,30 +357,39 @@ object Ranking {
 
   /** Serving location for the APPENDED-index declared key (separate
     * from `bm25_serve`'s full-build artifact — this one is built on the
-    * even half and grown to the full corpus by [[appendToBm25]]). */
+    * even half and grown to the full corpus by the exactly-once append).
+    * v2: the r20 layout gained the `meta/` committed-batch-id piece. */
   def bm25IncrIndexPath(dir: String): String =
-    "target/fixtures/bm25_incr_v1_" + Tables.corpusFingerprint(dir, "documents")
+    "target/fixtures/bm25_incr_v2_" + Tables.corpusFingerprint(dir, "documents")
 
   /** Declared key (`bm25_serve_incremental`): the arrival mode end to
     * end — even doc_ids play the already-indexed corpus (a full
-    * [[buildBm25Index]] over them alone), odd doc_ids arrive as the
-    * nightly batch and are APPENDED ([[appendToBm25]]: O(batch) deltas
-    * + the atomic three-piece commit, never a rebuild), and the query
-    * then serves from the appended artifact through the UNCHANGED
-    * [[serveFromIndex]] path. The DuckDB oracle is the full-corpus
-    * recompute (`bm25_topk`'s SQL): content-wise the appended index
-    * must be exactly a full build — same posting rows, same integer
-    * (n, dlsum) — so any append bug (lost postings, double stats, a
-    * batch leaking into the wrong bucket) turns rows red. Built at
-    * most once per corpus; repeat calls serve. */
+    * [[buildBm25Index]] over them alone), odd doc_ids arrive as
+    * micro-batch 0 through [[appendToBm25ExactlyOnce]] (O(batch)
+    * deltas + the atomic four-piece commit, never a rebuild), the SAME
+    * delivery is then REPLAYED (the at-least-once redelivery Structured
+    * Streaming's foreachBatch contract allows — it must no-op against
+    * the committed batch id), and the query serves from the appended
+    * artifact through the UNCHANGED [[serveFromIndex]] path. The DuckDB
+    * oracle is the full-corpus recompute (`bm25_topk`'s SQL):
+    * content-wise the appended index must be exactly a full build —
+    * same posting rows, same integer (n, dlsum) — so any append bug
+    * (lost postings, double stats, a batch leaking into the wrong
+    * bucket) AND a re-applied replay (doubled postings + doubled stats
+    * delta) turn rows red. Built at most once per corpus; repeat calls
+    * serve. */
   def bm25ServeIncremental(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     val path = bm25IncrIndexPath(dir)
     if (!Tables.artifactComplete(path)) synchronized {
       if (!Tables.artifactComplete(path)) {
         val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        val odd = docs.filter(col("doc_id") % 2 === 1)
         buildBm25Index(spark, docs.filter(col("doc_id") % 2 === 0), path)
-        appendToBm25(spark, path, docs.filter(col("doc_id") % 2 === 1))
+        appendToBm25ExactlyOnce(spark, path, odd, 0L)
+        // injected replay of the SAME delivery: must no-op, or the
+        // doubled postings/stats turn the oracle red
+        appendToBm25ExactlyOnce(spark, path, odd, 0L)
         Tables.markArtifactComplete(path)
       }
     }
@@ -345,10 +411,30 @@ object Ranking {
     IndexMaintenance.retractKeys(spark, s"$path/postings", "doc_id", ids)
     val removed = IndexMaintenance.retractKeys(spark, s"$path/doclen",
       "doc_id", ids)
-    spark.read.parquet(s"$path/doclen")
-      .agg(count(lit(1)).as("n"), sum("dl").as("dlsum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    recomputeBm25Stats(spark, path)
     removed
+  }
+
+  /** Recompute the (n, dlsum) stats row from the surviving doclen rows
+    * — the post-retraction convergence step shared with [[Takedown]]'s
+    * journal executor. Tolerates a doclen the takedown fully EMPTIED
+    * (every remaining document retracted): with no data files parquet
+    * can't infer a schema and the read would throw — after Takedown's
+    * commit point that wedged every recovery replay (r19 ADVICE) — so
+    * the empty corpus's row (0, 0) is written directly. */
+  private[operators] def recomputeBm25Stats(spark: SparkSession,
+      path: String): Unit = {
+    val dlPath = java.nio.file.Paths.get(path, "doclen")
+    val dlEmpty = IndexMaintenance.listDir(dlPath)
+      .filter(d => java.nio.file.Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("bucket="))
+      .forall(d => IndexMaintenance.dataFiles(d).isEmpty)
+    val stats =
+      if (dlEmpty) spark.range(1).select(lit(0L).as("n"), lit(0L).as("dlsum"))
+      else spark.read.parquet(dlPath.toString)
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dlsum"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    spark.catalog.refreshByPath(s"$path/stats")
   }
 
   /** Declared key (`bm25_serve`): the SAME ranking as [[bm25Topk]],
@@ -371,6 +457,12 @@ object Ranking {
     * artifact must never be mutated by a test). */
   private[operators] def serveFromIndex(spark: SparkSession, path: String,
       k: Int): DataFrame = {
+    // converge a crashed append before reading ANY sub-table (r19
+    // ADVICE: foldBm25Pending's stats swap has a window where stats/
+    // holds two rows — a reader that skipped the documented
+    // recover-before-serving contract would head() a nondeterministic
+    // one). Cheap no-op on a clean index (one directory existence check).
+    recoverBm25(spark, path)
     // Deliberately NOT cached: the per-doc tf aggregation and the df row
     // each read the postings once, but both reads are bucket-pruned to the
     // query terms' partitions — two pruned scans of a few-bucket slice are

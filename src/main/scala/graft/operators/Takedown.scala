@@ -112,19 +112,37 @@ object Takedown {
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4)))
       .sortBy(_._1)
+    // A plan row naming a sub-table that does not exist is a POISONED
+    // journal (a typo'd root, a band-geometry default that doesn't match
+    // the deployed layout) — [[stageJournal]] validates before the
+    // commit point, so reaching one here means the estate changed under
+    // a committed journal. Throwing would replay the same journal on
+    // every recovery forever (r19 ADVICE); instead roll the journal
+    // back and fail ONCE with the cause. Nothing has been mutated yet
+    // (the check precedes every retractKeys), so rollback is safe; a
+    // recovery replay that already retracted some families re-validates
+    // against paths retractKeys never deletes (only bucket dirs within).
+    val missing = plan.filterNot { case (_, path, _, _, _) =>
+      Files.isDirectory(Paths.get(path)) }
+    if (missing.nonEmpty) {
+      Files.deleteIfExists(jd.resolve("_GRAFT_COMPLETE"))
+      IndexMaintenance.deleteRecursively(jd)
+      throw new IllegalStateException(
+        "takedown journal rolled back: plan rows name missing sub-tables " +
+          missing.map(m => s"${m._1}=${m._2}").mkString(", "))
+    }
     val removed = plan.map { case (family, path, keyCol, partCol, keysName) =>
       val keys = spark.read.parquet(jd.resolve("keys").resolve(keysName).toString)
       family -> IndexMaintenance.retractKeys(spark, path, keyCol, keys, partCol)
     }.toMap
     // post-step: BM25's corpus stats re-derive from the surviving doclen
     // rows (one narrow scan; recomputing is idempotent, so a recovery
-    // replay converges — the retractFromBm25 discipline)
+    // replay converges — the retractFromBm25 discipline; tolerates a
+    // fully-emptied doclen, see recomputeBm25Stats — r19 ADVICE: the
+    // schema-inference throw landed after the commit point and wedged
+    // every recovery replay)
     plan.find(_._1 == "bm25_doclen").foreach { case (_, dlPath, _, _, _) =>
-      val idx = dlPath.stripSuffix("/doclen")
-      spark.read.parquet(dlPath)
-        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dlsum"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
-      spark.catalog.refreshByPath(s"$idx/stats")
+      Ranking.recomputeBm25Stats(spark, dlPath.stripSuffix("/doclen"))
     }
     Files.deleteIfExists(jd.resolve("_GRAFT_COMPLETE"))
     IndexMaintenance.deleteRecursively(jd)
@@ -151,7 +169,10 @@ object Takedown {
     // converge each multi-piece artifact's own pending state before
     // deriving keys from it (single-owner maintenance contract)
     targets.curation.foreach(CurationIncremental.recoverState(spark, _))
-    targets.ivfpq.foreach(ProductQuant.recoverIvfPq(_))
+    targets.ivfpq.foreach { p =>
+      ProductQuant.recoverIvfPq(p)
+      ProductQuant.recoverIvfPqIngest(p)
+    }
     targets.bm25.foreach(Ranking.recoverBm25(spark, _))
     stageJournal(spark, root, targets, docs, remaining)
     executeJournal(spark, root)
@@ -214,12 +235,33 @@ object Takedown {
       "digests" -> (() =>
         SubstringIncremental.unsupportedDigests(docs, remaining.get)))
     needed.foreach { name =>
-      keyFrames(name)().coalesce(1).write.mode("overwrite")
+      // the journal is takedown-batch-sized, so each key frame lands as
+      // one file — but the SHARED-EVIDENCE frames are derived by a
+      // corpus-scale semi+anti join, and coalesce(1) would collapse that
+      // whole upstream stage to ONE task (r19 verdict: the support
+      // recount is the 1M probe's dominant term). repartition(1) puts a
+      // shuffle boundary after the parallel join; the id/fp frames are
+      // O(batch) and keep the cheaper coalesce.
+      val frame = keyFrames(name)()
+      val one = if (name == "line_fps" || name == "digests")
+        frame.repartition(1) else frame.coalesce(1)
+      one.write.mode("overwrite")
         .parquet(jd.resolve("keys").resolve(name).toString)
     }
     entries.toDF("family", "path", "key_col", "part_col", "keys_name")
       .coalesce(1).write.mode("overwrite")
       .parquet(jd.resolve("plan").toString)
+    // validate BEFORE the commit point: every plan row must name an
+    // existing sub-table — a typo'd root or a band-geometry default that
+    // doesn't match the deployed index layout must fail on the ROLLBACK
+    // side of the marker (r19 ADVICE: committing first poisoned the
+    // journal, and every recoverTakedown replayed the same failure
+    // forever). The journal stays uncommitted, so recovery rolls it
+    // back and no index was touched.
+    val missing = entries.filterNot(e => Files.isDirectory(Paths.get(e._2)))
+    require(missing.isEmpty,
+      "takedown targets name missing sub-tables: " +
+        missing.map(e => s"${e._1}=${e._2}").mkString(", "))
     if (commit) Tables.markArtifactComplete(jd.toString)
   }
 

@@ -1549,6 +1549,81 @@ object StreamingOps {
     * restart, and replay (a re-applied batch would double-count its
     * domains and starve the rest of the stream — the counter is the
     * piece that makes exactly-once LOAD-BEARING here, not just tidy). */
+  def streamingCurationIncrementalFull(docs: DataFrame, statePath: String,
+      outDir: String, checkpointDir: String,
+      budgets: Seq[(String, Long)] = graft.operators.DomainMix.Budgets,
+      budget: Int = graft.operators.Packing.SeqBudget,
+      bucketWidth: Long = graft.operators.Packing.BucketWidth,
+      autoCompact: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CurationIncremental.stepFullExactlyOnce(
+          batch.sparkSession, batch, statePath, outDir, batchId,
+          budgets, budget, bucketWidth, autoCompact): Unit
+      }
+      .start()
+
+  /** [EXT] Streaming BM25 ingest — the ARRIVAL cell of the retrieval
+    * index family as a continuous query (r19 verdict: the one index
+    * family whose streaming ingest was still open): every micro-batch
+    * of NEW (doc_id, text) documents is appended to the persisted
+    * serving artifact at `indexPath` through [[graft.operators.Ranking
+    * .appendToBm25ExactlyOnce]] — O(batch) posting/doclen/stats deltas,
+    * one atomic four-piece `_pending` commit (the fourth piece is the
+    * committed batch id), never a rebuild.
+    *
+    * Exactly-once end to end: Structured Streaming's checkpoint makes
+    * delivery at-least-once, and the committed batch id makes a
+    * re-delivered micro-batch a NO-OP — without it, a restart replay
+    * would double the batch's postings AND the (n, dlsum) stats delta,
+    * silently skewing every BM25 score the index ever serves. A query
+    * against the index between micro-batches always sees one committed
+    * generation (the `_pending` staging is invisible to readers, and
+    * [[graft.operators.Ranking.serveFromIndex]] converges a crashed
+    * fold before reading). `autoCompact > 0` sweeps both bucketed
+    * sub-tables as the stream runs, bounding fragment accretion. */
+  def streamingBm25Append(docs: DataFrame, indexPath: String,
+      checkpointDir: String, autoCompact: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ranking.appendToBm25ExactlyOnce(
+          batch.sparkSession, indexPath, batch, batchId, autoCompact): Unit
+      }
+      .start()
+
+  /** [EXT] Streaming IVFADC ingest — the ARRIVAL cell of the vector
+    * index family as a continuous query (r19 verdict: symmetry with
+    * every dedup family; the serve cell closed in r19): every
+    * micro-batch of NEW (vec_id, v) vectors is appended to the
+    * persisted index at `indexPath` through [[graft.operators
+    * .ProductQuant.ivfpqAppendExactlyOnce]] — normalize + assign +
+    * encode under the FROZEN models (an append never drifts the
+    * serving generation), staged per-cid and committed with the batch
+    * id at one `_ingest` marker. A restart replay no-ops instead of
+    * re-inserting the batch's vectors (duplicate rows would surface as
+    * duplicate search results and skewed list sizes). `autoCompact > 0`
+    * sweeps the inverted lists as the stream runs. */
+  def streamingIvfPqAppend(vecs: DataFrame, indexPath: String,
+      checkpointDir: String, autoCompact: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ProductQuant.ivfpqAppendExactlyOnce(
+          batch.sparkSession, indexPath, batch, batchId, autoCompact): Unit
+      }
+      .start()
+
   /** Streaming ANN serving — the ONLINE cell of the vector stack
     * ([[graft.operators.ProductQuant]]'s modality-blind IVFADC index,
     * served against a continuous query stream instead of a batch): each
@@ -1592,22 +1667,4 @@ object StreamingOps {
       }
       .start()
   }
-
-  def streamingCurationIncrementalFull(docs: DataFrame, statePath: String,
-      outDir: String, checkpointDir: String,
-      budgets: Seq[(String, Long)] = graft.operators.DomainMix.Budgets,
-      budget: Int = graft.operators.Packing.SeqBudget,
-      bucketWidth: Long = graft.operators.Packing.BucketWidth,
-      autoCompact: Int = 0,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.CurationIncremental.stepFullExactlyOnce(
-          batch.sparkSession, batch, statePath, outDir, batchId,
-          budgets, budget, bucketWidth, autoCompact): Unit
-      }
-      .start()
 }

@@ -220,6 +220,46 @@ class SemanticOpsSpec extends SparkSpec {
       Bpe.trainDistributed(tricky, merges = 50))
   }
 
+  test("bpe: non-ASCII parity — UTF-8 tie-break and code-point segmentation") {
+    import spark.implicits._
+    // U+FFFD vs U+10000: JVM UTF-16 code-unit order puts the surrogate
+    // pair FIRST (0xD800 < 0xFFFD); UTF-8 byte order puts U+FFFD first
+    // (EF.. < F0..) — the one region where the orders disagree
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10000))
+    assert((supp < bmp) && Bpe.utf8Lt(bmp, supp),
+      "the test pair must actually distinguish the two orderings")
+    // and Spark's orderBy agrees with utf8Lt, not with the JVM order
+    val sparkFirst = Seq(bmp, supp).toDF("s").orderBy("s")
+      .collect().head.getString(0)
+    assert(sparkFirst === bmp)
+    // a corpus whose FIRST argmax ties on count across that pair, with
+    // supplementary chars also exercising the code-point segmentation:
+    // both trainers must agree bit-exactly (r19 ADVICE — the UTF-16
+    // tie-break silently diverged here)
+    val docs = Seq((1L, s"a$supp a$bmp zz")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, merges = 4) ===
+      Bpe.trainDistributed(docs, merges = 4))
+  }
+
+  test("bpe: maxVocab caps distributively, never collecting the full dictionary") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    // a cap above the vocabulary size is a no-op
+    assert(Bpe.train(docs, merges = 12, maxVocab = 1000000) ===
+      Bpe.train(docs, merges = 12))
+    // a binding cap equals the driver-side reference cut: top-K by
+    // (count desc, word asc) over the full dictionary
+    val full = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = full.length / 2
+    val ref = full.sortBy { case (w, c) => (-c, w) }.take(k).toSeq
+    assert(Bpe.train(docs, merges = 12, maxVocab = k) ===
+      Bpe.trainFromDictionary(ref, 12),
+      "the distributed top-K cut must equal the reference driver-side cut")
+  }
+
   test("bpe: served encoder ≡ chained replaces on the corpus, ≡ rank order per word at depth") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")

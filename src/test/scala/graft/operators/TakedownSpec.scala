@@ -138,6 +138,64 @@ class TakedownSpec extends SparkSpec {
       spark.read.parquet(s"$rootRef/fp").count())
   }
 
+  test("a typo'd target fails on the ROLLBACK side of the commit point") {
+    val root = buildEstate()
+    val retr = docs.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
+    val bad = Takedown.TakedownTargets(
+      fpIndex = Some(s"$root/fp"), bm25 = Some(s"$root/fp-typo"))
+    val fpBefore = spark.read.parquet(s"$root/fp").count()
+    intercept[IllegalArgumentException] {
+      Takedown.retractEverywhere(spark, root, bad, retr)
+    }
+    // the journal must NOT be committed (r19 ADVICE: committing first
+    // poisoned it, and every recovery replayed the failure forever) —
+    // recovery rolls it back, nothing was touched, nothing is wedged
+    assert(!graft.Tables.artifactComplete(s"$root/_takedown"))
+    Takedown.recoverTakedown(spark, root)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(root, "_takedown")))
+    assert(spark.read.parquet(s"$root/fp").count() === fpBefore)
+    // the corrected request applies cleanly
+    val removed = Takedown.retractEverywhere(spark, root,
+      Takedown.TakedownTargets(
+        fpIndex = Some(s"$root/fp"), bm25 = Some(s"$root/bm25")), retr)
+    assert(removed("fp") > 0L)
+  }
+
+  test("a committed journal whose sub-table vanished rolls back ONCE, no replay loop") {
+    val root = buildEstate()
+    val retr = docs.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
+    val targets = Takedown.TakedownTargets(
+      fpIndex = Some(s"$root/fp"), bm25 = Some(s"$root/bm25"))
+    Takedown.stageJournal(spark, root, targets, retr) // committed
+    // the estate changes under the committed journal: a sub-table vanishes
+    IndexMaintenance.deleteRecursively(
+      java.nio.file.Paths.get(root, "bm25", "postings"))
+    intercept[IllegalStateException] {
+      Takedown.recoverTakedown(spark, root)
+    }
+    // the poisoned journal is GONE — the next entry is a clean no-op,
+    // not the permanent half-retracted replay loop the journal exists
+    // to prevent
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(root, "_takedown")))
+    Takedown.recoverTakedown(spark, root)
+  }
+
+  test("retracting EVERY document leaves an empty bm25 with a (0, 0) stats row") {
+    val root = tmpDir("takedown-empty")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    Ranking.buildBm25Index(spark, even, s"$root/bm25")
+    val removed = Takedown.retractEverywhere(spark, root,
+      Takedown.TakedownTargets(bm25 = Some(s"$root/bm25")), even)
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(root, "_takedown")),
+      "the journal must complete, not wedge on the empty doclen")
+    assert(removed("bm25_doclen") > 0L)
+    val stats = spark.read.parquet(s"$root/bm25/stats").head()
+    assert(stats.getLong(0) === 0L && stats.getLong(1) === 0L)
+  }
+
   test("declared takedown key: 7 family rows, all parity_ok, counts consistent") {
     val rows = Takedown.takedownQuery(spark, sf0001).collect()
     assert(rows.length === 7)
