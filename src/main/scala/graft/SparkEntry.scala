@@ -239,6 +239,13 @@ object SparkEntry {
     // the oracle recomputes removed/survivor counts per family from the
     // parity/modulus rules and pins the in-query fresh-build parity
     "takedown" -> (Takedown.takedownQuery _),
+    // the takedown capstone's VECTOR/MEDIA half (r19 verdict: these
+    // families were spec-only): one journaled retraction across the
+    // image-dHash, video slot-hash, text-embedding, and IVFADC indexes;
+    // the oracle recomputes removed/survivor counts from the id parity
+    // rules × fixed rows-per-id geometry and pins the in-query
+    // frozen-model fresh-build parity
+    "takedown_vectors" -> (Takedown.takedownVectorsQuery _),
     // §2.7 [EXT] incremental NEAR-dup: batch vs persisted band index (the
     // E14 arrival discipline for the MinHash family; exact-Jaccard verify
     // over the index's hashed shingle sets keeps the verdict oracle-exact)
@@ -1796,6 +1803,49 @@ object SparkEntry {
          |  UNION ALL SELECT 'substring',
          |    (SELECT COUNT(*) FROM wr WHERE w NOT IN (SELECT w FROM wk)),
          |    (SELECT COUNT(*) FROM wk), TRUE
+         |) ORDER BY family""".stripMargin,
+    // the vector/media estate under the same harness: EVEN ids indexed,
+    // id % 10 = 0 retracted from all four families in one journal
+    // commit. Every family is identity-keyed with a FIXED row count per
+    // id (4 dHash bands + 1 hash per image, 8 slots × 4 bands + 1 hash
+    // array per video, 8 bands × 4 tables + 1 vector per document, one
+    // inverted-file row per vector), so the oracle counts ids by the
+    // parity rules from the fixtures' metadata — the Spark side must
+    // reach the same counts from the retraction receipts and its
+    // frozen-model fresh-build parity, which this pins TRUE
+    "takedown_vectors" ->
+      s"""WITH
+         |imr AS (SELECT COUNT(*) c FROM read_parquet('${operators.ImagePhash.fixturePath}/*.parquet')
+         |        WHERE media_id % 2 = 0 AND media_id % 10 = 0),
+         |imk AS (SELECT COUNT(*) c FROM read_parquet('${operators.ImagePhash.fixturePath}/*.parquet')
+         |        WHERE media_id % 2 = 0 AND media_id % 10 <> 0),
+         |vir AS (SELECT COUNT(*) c FROM read_parquet('${operators.VideoPhash.videoFixturePath}/*.parquet')
+         |        WHERE media_id % 2 = 0 AND media_id % 10 = 0),
+         |vik AS (SELECT COUNT(*) c FROM read_parquet('${operators.VideoPhash.videoFixturePath}/*.parquet')
+         |        WHERE media_id % 2 = 0 AND media_id % 10 <> 0),
+         |txr AS (SELECT COUNT(*) c FROM read_parquet('${operators.TextEmbed.textFixturePath}/*.parquet')
+         |        WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+         |txk AS (SELECT COUNT(*) c FROM read_parquet('${operators.TextEmbed.textFixturePath}/*.parquet')
+         |        WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+         |emr AS (SELECT COUNT(*) c FROM embeddings
+         |        WHERE vec_id % 2 = 0 AND vec_id % 10 = 0),
+         |emk AS (SELECT COUNT(*) c FROM embeddings
+         |        WHERE vec_id % 2 = 0 AND vec_id % 10 <> 0)
+         |SELECT family, removed, survivors, parity_ok FROM (
+         |  SELECT 'ivfpq' AS family, (SELECT c FROM emr) AS removed,
+         |         (SELECT c FROM emk) AS survivors, TRUE AS parity_ok
+         |  UNION ALL SELECT 'phash_bands',
+         |    ${operators.ImagePhash.Bands} * (SELECT c FROM imr),
+         |    ${operators.ImagePhash.Bands} * (SELECT c FROM imk), TRUE
+         |  UNION ALL SELECT 'phash_hashes', (SELECT c FROM imr), (SELECT c FROM imk), TRUE
+         |  UNION ALL SELECT 'text_embed_bands',
+         |    ${(64 / operators.TextEmbed.BandBits) * 4} * (SELECT c FROM txr),
+         |    ${(64 / operators.TextEmbed.BandBits) * 4} * (SELECT c FROM txk), TRUE
+         |  UNION ALL SELECT 'text_embed_vecs', (SELECT c FROM txr), (SELECT c FROM txk), TRUE
+         |  UNION ALL SELECT 'video_bands',
+         |    ${operators.VideoPhash.Slots * operators.ImagePhash.Bands} * (SELECT c FROM vir),
+         |    ${operators.VideoPhash.Slots * operators.ImagePhash.Bands} * (SELECT c FROM vik), TRUE
+         |  UNION ALL SELECT 'video_hashes', (SELECT c FROM vir), (SELECT c FROM vik), TRUE
          |) ORDER BY family""".stripMargin,
     // incremental dedup: even doc_ids are the accumulated corpus (their
     // distinct fingerprints are the index), odd doc_ids the arriving

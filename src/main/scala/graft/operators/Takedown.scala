@@ -422,4 +422,169 @@ object Takedown {
     docsL.unpersist(blocking = false)
     out
   }
+
+  // ------------------------------------------- declared key: vector estate
+
+  /** Fixture location of the vector/media takedown estate — keyed on the
+    * embeddings corpus fingerprint (the media/text fixtures are
+    * content-fixed, so the one variable input is the corpus). */
+  def takedownVectorsFixturePath(dir: String): String =
+    "target/fixtures/takedown_vec_v1_" + Tables.corpusFingerprint(dir, "embeddings")
+
+  /** Declared key (`takedown_vectors`): the unified takedown certified
+    * through the DuckDB gate over the VECTOR/MEDIA index estate — the
+    * four identity-keyed families the text `takedown` key leaves out
+    * (r19 verdict: they were spec-only). EVEN ids are the indexed
+    * estate — the image dHash index (bands + hashes) over the planted
+    * PNG fixture, the video slot-hash index over the AVI/MP4 fixture,
+    * the text-embedding band + vector index over the paraphrase
+    * fixture, and the IVFADC inverted file over the embeddings table —
+    * id % 10 == 0 is the takedown request, and ONE [[retractEverywhere]]
+    * journal commit removes it from all four.
+    *
+    * Output: one row per plan family — removed rows, surviving rows,
+    * and an in-query `parity_ok` verdict comparing each index's
+    * post-takedown CONTENT against a fresh build over the remaining
+    * ids (identity semantics: these families share no evidence). The
+    * references are decode-free at serve time: the image/video hash
+    * frames — the deterministic DECODE OUTPUT the index builds from —
+    * persist once under `truth/` at estate build (the decode itself is
+    * certified by the media keys), the text embedding recomputes from
+    * the fixture text (one narrow projection), and the IVFADC reference
+    * re-encodes the remaining vectors under the LIVE frozen models
+    * (retraction must be bit-preserving on survivors — a fresh model
+    * train would be a different generation by design). The oracle
+    * recomputes removed/survivors from the id parity rules × each
+    * family's fixed rows-per-id geometry and pins parity_ok TRUE.
+    *
+    * Build-once/serve-many (the `takedown` key's cadence): estate build
+    * + journaled retraction run at most once per corpus; every call
+    * re-runs the parity arm as ONE fused hash-sum DAG over all seven
+    * index/reference pairs. */
+  def takedownVectorsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ImagePhash.ensurePhashFixture(spark)
+    VideoPhash.ensureVideoPhashFixture(spark)
+    TextEmbed.ensureTextFixture(spark)
+    val root = takedownVectorsFixturePath(dir)
+    def evenOf(df: DataFrame, id: String) = df.filter(col(id) % 2 === 0)
+    def remOf(df: DataFrame, id: String) =
+      evenOf(df, id).filter(col(id) % 10 =!= 0)
+    val txtFix = spark.read.parquet(TextEmbed.textFixturePath)
+      .select("doc_id", "text")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    if (!Tables.artifactComplete(root)) synchronized {
+      if (!Tables.artifactComplete(root)) {
+        // truth frames: the even estate's decode output, persisted once
+        // so the serve arm never decodes
+        ImagePhash.phashFrame(evenOf(
+            spark.read.parquet(ImagePhash.fixturePath)
+              .select("media_id", "payload"), "media_id"))
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$root/truth/img_hashes")
+        VideoPhash.videoPhashFrame(evenOf(
+            spark.read.parquet(VideoPhash.videoFixturePath)
+              .select("media_id", "payload"), "media_id"))
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$root/truth/video_hashes")
+        // the four family indexes, each written by its own family's
+        // writer (8 buckets at declared-key scale)
+        PhashIncremental.writePhashIndex(
+          spark.read.parquet(s"$root/truth/img_hashes"),
+          s"$root/phash", nBuckets = 8)
+        VideoPhashIncremental.writeVideoIndex(
+          spark.read.parquet(s"$root/truth/video_hashes"),
+          s"$root/video", nBuckets = 8)
+        TextEmbed.writeTextEmbedIndex(
+          TextEmbed.embedText(evenOf(txtFix, "doc_id")),
+          s"$root/textembed", nBuckets = 8)
+        ProductQuant.writeIvfPqIndex(spark, s"$root/ivfpq",
+          ProductQuant.normalized(evenOf(embAll, "vec_id")), c = 8)
+        // ONE takedown across all four; the request is the UNION of the
+        // estates' retractable ids (the one-global-id convention — a
+        // family retracts the ids it holds, the rest match nothing)
+        val retrIds = Seq(
+            spark.read.parquet(ImagePhash.fixturePath)
+              .select(col("media_id").as("doc_id")),
+            spark.read.parquet(VideoPhash.videoFixturePath)
+              .select(col("media_id").as("doc_id")),
+            txtFix.select("doc_id"),
+            embAll.select(col("vec_id").as("doc_id")))
+          .reduce(_ unionByName _)
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+          .distinct()
+          .withColumn("text", lit(""))
+        val rm = retractEverywhere(spark, root,
+          TakedownTargets(
+            phash = Some(s"$root/phash"),
+            videoPhash = Some(s"$root/video"),
+            textEmbed = Some(s"$root/textembed"),
+            ivfpq = Some(s"$root/ivfpq")),
+          retrIds)
+        rm.toSeq.toDF("family", "removed").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/removed")
+        Tables.markArtifactComplete(root)
+      }
+    }
+    val removed = spark.read.parquet(s"$root/removed").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // parity arm: one fused aggregation (the takedownQuery methodology —
+    // multiset equality ⟺ equal count + equal xxhash64 sum per side)
+    def tagged(family: String, side: String, df: DataFrame): DataFrame =
+      df.select(lit(family).as("family"), lit(side).as("side"),
+        xxhash64(struct(df.columns.map(col): _*)).as("h"))
+    val imgRem = remOf(spark.read.parquet(s"$root/truth/img_hashes"), "media_id")
+    val vidRem = remOf(spark.read.parquet(s"$root/truth/video_hashes"), "media_id")
+    val txtEmbRem = TextEmbed.embedText(remOf(txtFix, "doc_id"))
+    val (_, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, s"$root/ivfpq")
+    val embRem = ProductQuant.normalized(remOf(embAll, "vec_id"))
+    val ivfRef = ProductQuant.encode(embRem, cbs)
+      .join(Similarity.assignCids(spark, embRem, centroids), "vec_id")
+      .select("vec_id", "v", "codes", "cid")
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("phash_bands",
+        spark.read.parquet(s"$root/phash/bands").select("media_id", "b", "v"),
+        PhashIncremental.bandRows(imgRem)),
+      ("phash_hashes",
+        spark.read.parquet(s"$root/phash/hashes").select("media_id", "phash"),
+        imgRem.select("media_id", "phash")),
+      ("video_bands",
+        spark.read.parquet(s"$root/video/bands").select("media_id", "sb", "v"),
+        VideoPhashIncremental.bandRows(vidRem)),
+      ("video_hashes",
+        spark.read.parquet(s"$root/video/hashes").select("media_id", "phashes"),
+        vidRem.select("media_id", "phashes")),
+      ("text_embed_bands",
+        spark.read.parquet(
+            TextEmbed.bandsPath(s"$root/textembed", TextEmbed.BandBits, 4))
+          .select("doc_id", "tbl", "b", "bv"),
+        TextEmbed.bandRowsAll(txtEmbRem)),
+      ("text_embed_vecs",
+        spark.read.parquet(s"$root/textembed/vecs").select("doc_id", "v"),
+        txtEmbRem.select("doc_id", "v")),
+      ("ivfpq",
+        spark.read.parquet(s"$root/ivfpq/assigned")
+          .select("vec_id", "v", "codes", "cid"),
+        ivfRef))
+    val agged = pairs
+      .flatMap { case (f, idx, ref) =>
+        Seq(tagged(f, "idx", idx), tagged(f, "ref", ref)) }
+      .reduce(_ unionByName _)
+      .groupBy("family", "side")
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("hs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3).toBigInteger.toString)))
+      .toMap
+    def parity(f: String): Boolean =
+      agged.get((f, "idx")) == agged.get((f, "ref"))
+    def survivors(f: String): Long =
+      agged.get((f, "idx")).map(_._1).getOrElse(0L)
+    pairs.map(_._1)
+      .map(f => (f, removed(f), survivors(f), parity(f)))
+      .toDF("family", "removed", "survivors", "parity_ok")
+      .orderBy("family")
+  }
 }

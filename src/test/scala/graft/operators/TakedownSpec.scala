@@ -196,6 +196,22 @@ class TakedownSpec extends SparkSpec {
     assert(stats.getLong(0) === 0L && stats.getLong(1) === 0L)
   }
 
+  test("declared takedown_vectors key: 7 family rows, all parity_ok, geometry consistent") {
+    val rows = Takedown.takedownVectorsQuery(spark, sf0001).collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getBoolean(3)), "every family must pass parity")
+    assert(rows.forall(_.getLong(1) > 0), "every family removed rows")
+    assert(rows.forall(_.getLong(2) > 0), "every family kept rows")
+    val byFam = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // fixed rows-per-id geometry ties the band tables to their hash twins
+    assert(byFam("phash_bands")._1 ===
+      ImagePhash.Bands * byFam("phash_hashes")._1)
+    assert(byFam("video_bands")._1 ===
+      VideoPhash.Slots * ImagePhash.Bands * byFam("video_hashes")._1)
+    assert(byFam("text_embed_bands")._1 ===
+      (64 / TextEmbed.BandBits) * 4 * byFam("text_embed_vecs")._1)
+  }
+
   test("declared takedown key: 7 family rows, all parity_ok, counts consistent") {
     val rows = Takedown.takedownQuery(spark, sf0001).collect()
     assert(rows.length === 7)
