@@ -43,6 +43,42 @@ class MediaExtractorSpec extends SparkSpec {
       "audio extractor must decline non-audio payloads")
   }
 
+  test("reference learned extractor: fixed-weight network recovers the planted twins") {
+    ImagePhash.ensurePhashFixture(spark)
+    val fix = spark.read.parquet(ImagePhash.fixturePath)
+    val emb = MediaExtractor.embedFrame(
+      fix.select("media_id", "payload"), MediaExtractor.LearnedImageExtractor)
+    // the extractor's own operating point: a learned descriptor carries
+    // its own margin; 0.95 is measured-safe for the fixture's near
+    // twins while 1200 distinct 24-dim outputs stay far below it
+    val verdicts = ImageEmbed.embedNearDup(emb, threshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getAs[Boolean]("keep"))))
+      .toMap
+    val truth = fix.select("media_id", "twin_of").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    truth.foreach { case (id, twinOf) =>
+      twinOf match {
+        case Some(base) =>
+          assert(verdicts(id) === ((Some(base), false)),
+            s"planted twin $id must near-dup its base $base through the " +
+              "learned pathway")
+        case None =>
+          assert(verdicts(id)._2,
+            s"distinct base $id must keep (zero false pairs)")
+      }
+    }
+    // determinism across calls — the dedup/lifecycle contract
+    val again = MediaExtractor.embedFrame(
+      fix.select("media_id", "payload").limit(50),
+      MediaExtractor.LearnedImageExtractor)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ref = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    again.foreach { case (id, v) => assert(ref(id) === v) }
+  }
+
   test("a stand-in learned extractor drops into the near-dup machinery unchanged") {
     val spark0 = spark
     import spark0.implicits._
