@@ -519,7 +519,15 @@ object Ranking {
     * ranking never sorts a query's full match set — the 100 TB shape for
     * "k best of millions of matches × N queries". */
   def bm25ServeBatch(spark: SparkSession, dir: String, k: Int = 10,
-      queries: Seq[(String, Seq[String])] = BatchQueries): DataFrame = {
+      queries: Seq[(String, Seq[String])] = BatchQueries): DataFrame =
+    serveBatchFromIndex(spark, ensureBm25Index(spark, dir), k, queries)
+
+  /** [[bm25ServeBatch]]'s body over an EXPLICIT index path — factored
+    * so the streaming serving driver ([[graft.streaming.StreamingOps
+    * .streamingBm25Serve]]) and throwaway-index specs reuse the one
+    * batched plan. */
+  private[graft] def serveBatchFromIndex(spark: SparkSession, path: String,
+      k: Int, queries: Seq[(String, Seq[String])]): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25ServeBatch needs at least one query, each with at least one term")
@@ -539,7 +547,7 @@ object Ranking {
       "query terms must be case-insensitively distinct (df_<term> columns " +
         "resolve case-insensitively): " +
         caseClash.values.map(_.mkString("/")).mkString(", "))
-    val path = ensureBm25Index(spark, dir)
+    recoverBm25(spark, path) // converge a crashed append before reading
     val allTerms = queries.flatMap(_._2).distinct
     // ONE pruned read feeds both aggregations (tf's and df's) — the
     // bm25Serve double-read note applies: both passes prune to the same

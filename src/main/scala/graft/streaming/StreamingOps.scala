@@ -1624,6 +1624,49 @@ object StreamingOps {
       }
       .start()
 
+  /** [EXT] Streaming BM25 serving — the ONLINE cell of the retrieval
+    * family ([[streamingAnnServe]]'s shape on the lexical index): each
+    * micro-batch of (qid, terms) queries is answered from the persisted
+    * BM25 artifact at `indexPath` by the UNCHANGED batched serving plan
+    * ([[graft.operators.Ranking.bm25ServeBatch]]'s body: one posting
+    * read pruned to the batch's term buckets, per-(query, doc) tf map,
+    * one broadcast stats+dfs row, bounded-heap top-k per query).
+    *
+    * Delivery: results land idempotently at `outDir/batch=<id>`
+    * (overwrite + completion marker). Serving is DETERMINISTIC under a
+    * frozen index generation, so foreachBatch's at-least-once
+    * redelivery converges to the same bytes — exactly-once output with
+    * no state beyond the engine's checkpointed offsets; a restarted
+    * query continues at the next unprocessed micro-batch. Each
+    * micro-batch converges a crashed append before reading (the
+    * serve-path contract), and sees ONE committed index generation —
+    * interleave [[streamingBm25Append]] runs between serving runs, not
+    * concurrently (the single-owner maintenance contract every index
+    * family carries). The per-batch query list collects to the driver —
+    * queries are the SMALL side of retrieval by definition (the score
+    * expression is built per term set, the [[graft.operators.Ranking
+    * .bm25ServeBatch]] contract), and each term set must satisfy that
+    * method's identifier-safety requirements. */
+  def streamingBm25Serve(queries: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String, k: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select("qid", "terms").collect()
+          .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+        if (qs.nonEmpty) {
+          val out = graft.operators.Ranking.serveBatchFromIndex(
+            batch.sparkSession, indexPath, k, qs)
+          val batchOut = s"$outDir/batch=$batchId"
+          out.write.mode("overwrite").parquet(batchOut)
+          graft.Tables.markArtifactComplete(batchOut)
+        }
+      }
+      .start()
+
   /** Streaming ANN serving — the ONLINE cell of the vector stack
     * ([[graft.operators.ProductQuant]]'s modality-blind IVFADC index,
     * served against a continuous query stream instead of a batch): each

@@ -65,6 +65,45 @@ class StreamingBm25Spec extends SparkSpec {
       Ranking.serveFromIndex(spark, full, 10).collect().toSeq)
   }
 
+  test("streaming serving ≡ batch bm25ServeBatch; restart skips completed batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark0.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val idx = tmpDir("sbm25s-idx")
+    Ranking.buildBm25Index(spark, docs, idx)
+    val (chop1, chop2) = Ranking.BatchQueries.splitAt(2)
+    val out = tmpDir("sbm25s-out")
+    val ck = tmpDir("sbm25s-ck")
+    val in = MemoryStream[(String, Seq[String])]
+    val q1 = StreamingOps.streamingBm25Serve(
+      in.toDF().toDF("qid", "terms"), idx, out, ck)
+    try {
+      in.addData(chop1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(Tables.artifactComplete(s"$out/batch=0"))
+    val b0Marker = new java.io.File(s"$out/batch=0/_GRAFT_COMPLETE")
+    val b0Mtime = b0Marker.lastModified()
+    // RESTART from the same checkpoint: only the new chop processes
+    val q2 = StreamingOps.streamingBm25Serve(
+      in.toDF().toDF("qid", "terms"), idx, out, ck)
+    try {
+      in.addData(chop2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(b0Marker.lastModified() === b0Mtime,
+      "a restarted query must not re-emit completed batches")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "doc_id", "score").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val served = rows(spark.read.parquet(s"$out/batch=0")
+      .union(spark.read.parquet(s"$out/batch=1")))
+    val reference = rows(Ranking.serveBatchFromIndex(
+      spark, idx, 10, Ranking.BatchQueries))
+    assert(served === reference && served.nonEmpty,
+      "streamed micro-batches must reproduce the batched serving bit-exactly")
+  }
+
   test("replay of a committed batch no-ops, even with poisoned content") {
     val spark0 = spark
     import spark0.implicits._
