@@ -227,7 +227,7 @@ object Probe {
         bpeVocabProbe(spark,
           nDocs = args.lift(1).map(_.toInt).getOrElse(5000000),
           maxVocab = args.lift(2).map(_.toInt).getOrElse(10000))
-      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | bm25serve | mediaann | bpepack)")
+      case other => sys.error(s"unknown probe $other (winnow | cc | media | streamdedup | curation | substr | streamcurate | ivf | domainmix | incdedup | incminhash | incbudget | inccuration | incsubstr | streamsubstr | streameo | bm25batch | pq | ivfretrain | textinc | textann | indexmaint | keytime | lm | semdedup | linededup | dsir | bpe | rank | phash | ivfpq | ivfpqappend | streamlines | jpegphash | audiophash | audioembed | videophash | videoembed | incphash | incvphash | streamphash | bucketjoin | sortlayout | skewjoin | bm25serve | mediaann | bpepack | takedown | curation20 | streamivf | bpevocab)")
     }
     spark.stop()
   }

@@ -120,14 +120,6 @@ object Bpe {
     out.toArray
   }
 
-  /** Unsigned UTF-8 byte-order "less than" — Spark's UTF8String binary
-    * ordering, reproduced on the driver so [[trainFromDictionary]]'s
-    * argmax tie-break agrees with [[trainDistributed]]'s `orderBy` on
-    * ANY corpus: JVM UTF-16 code-unit comparison diverges for
-    * supplementary-plane characters (surrogate code units sort above
-    * U+E000..U+FFFF in UTF-16 but their UTF-8 bytes sort below), which
-    * would silently break the spec-pinned train ≡ trainDistributed
-    * bit-equality on non-ASCII text (r19 ADVICE). */
   /** A word's initial symbol array, split by CODE POINT — the same
     * segmentation Spark's `substring`/`length` use in [[seqStr]], so
     * the driver trainer/encoder and the distributed twin agree on
@@ -144,6 +136,14 @@ object Bpe {
     out.toArray
   }
 
+  /** Unsigned UTF-8 byte-order "less than" — Spark's UTF8String binary
+    * ordering, reproduced on the driver so [[trainFromDictionary]]'s
+    * argmax tie-break agrees with [[trainDistributed]]'s `orderBy` on
+    * ANY corpus: JVM UTF-16 code-unit comparison diverges for
+    * supplementary-plane characters (surrogate code units sort above
+    * U+E000..U+FFFF in UTF-16 but their UTF-8 bytes sort below), which
+    * would silently break the spec-pinned train ≡ trainDistributed
+    * bit-equality on non-ASCII text (r19 ADVICE). */
   private[operators] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -182,13 +182,22 @@ object Ranking {
   /** Converge a possibly-crashed [[appendToBm25]] at `path`: a committed
     * pending batch rolls forward (the fold is idempotent), an
     * uncommitted one rolls back — the [[CurationIncremental
-    * .recoverState]] discipline for this artifact's three sub-tables.
-    * Run at every append entry and before serving/retraction. */
-  def recoverBm25(spark: SparkSession, path: String): Unit = {
+    * .recoverState]] discipline for this artifact's sub-tables. Run at
+    * every append entry and before retraction. `rollBack = false` (the
+    * SERVE paths) only rolls committed state forward: an uncommitted
+    * `_pending` tree may be an in-flight append's, and a reader
+    * deleting it mid-write would let the writer commit a staging
+    * missing the deleted pieces — silently lost postings (the
+    * [[ProductQuant.recoverIvfPq]] reader/writer race, same fix). The
+    * forward-only form still closes the two-stats-files window the
+    * serve contract cares about: live stats mutate ONLY while folding a
+    * COMMITTED batch, which this converges. */
+  def recoverBm25(spark: SparkSession, path: String,
+      rollBack: Boolean = true): Unit = {
     val pend = pendingDir(path)
     if (java.nio.file.Files.exists(pend)) {
       if (Tables.artifactComplete(pend.toString)) foldBm25Pending(path)
-      else IndexMaintenance.deleteRecursively(pend)
+      else if (rollBack) IndexMaintenance.deleteRecursively(pend)
       Seq("postings", "doclen", "stats", "meta").foreach(p =>
         spark.catalog.refreshByPath(s"$path/$p"))
     }
@@ -461,8 +470,9 @@ object Ranking {
     // ADVICE: foldBm25Pending's stats swap has a window where stats/
     // holds two rows — a reader that skipped the documented
     // recover-before-serving contract would head() a nondeterministic
-    // one). Cheap no-op on a clean index (one directory existence check).
-    recoverBm25(spark, path)
+    // one). Forward-only: a read path must never delete an in-flight
+    // writer's uncommitted staging. Cheap no-op on a clean index.
+    recoverBm25(spark, path, rollBack = false)
     // Deliberately NOT cached: the per-doc tf aggregation and the df row
     // each read the postings once, but both reads are bucket-pruned to the
     // query terms' partitions — two pruned scans of a few-bucket slice are
@@ -547,7 +557,9 @@ object Ranking {
       "query terms must be case-insensitively distinct (df_<term> columns " +
         "resolve case-insensitively): " +
         caseClash.values.map(_.mkString("/")).mkString(", "))
-    recoverBm25(spark, path) // converge a crashed append before reading
+    // converge a crashed append before reading — forward-only, the
+    // serve-path contract (see recoverBm25's reader/writer race note)
+    recoverBm25(spark, path, rollBack = false)
     val allTerms = queries.flatMap(_._2).distinct
     // ONE pruned read feeds both aggregations (tf's and df's) — the
     // bm25Serve double-read note applies: both passes prune to the same

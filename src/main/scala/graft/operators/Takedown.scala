@@ -115,21 +115,28 @@ object Takedown {
     // A plan row naming a sub-table that does not exist is a POISONED
     // journal (a typo'd root, a band-geometry default that doesn't match
     // the deployed layout) — [[stageJournal]] validates before the
-    // commit point, so reaching one here means the estate changed under
+    // commit point, so reaching one here means the estate changed UNDER
     // a committed journal. Throwing would replay the same journal on
-    // every recovery forever (r19 ADVICE); instead roll the journal
-    // back and fail ONCE with the cause. Nothing has been mutated yet
-    // (the check precedes every retractKeys), so rollback is safe; a
-    // recovery replay that already retracted some families re-validates
-    // against paths retractKeys never deletes (only bucket dirs within).
+    // every recovery forever (r19 ADVICE); instead discard the journal
+    // and fail ONCE with the cause. The check precedes every retractKeys
+    // of THIS invocation, so this invocation mutates nothing — but on a
+    // recovery replay of a partially-executed journal, families an
+    // EARLIER invocation already retracted stay retracted (retractKeys
+    // never deletes sub-table roots, only bucket dirs within, so their
+    // paths still validate); the error message says so, because that
+    // estate needs a fresh takedown request once the missing sub-table
+    // is explained, not a silent all-clear.
     val missing = plan.filterNot { case (_, path, _, _, _) =>
       Files.isDirectory(Paths.get(path)) }
     if (missing.nonEmpty) {
       Files.deleteIfExists(jd.resolve("_GRAFT_COMPLETE"))
       IndexMaintenance.deleteRecursively(jd)
       throw new IllegalStateException(
-        "takedown journal rolled back: plan rows name missing sub-tables " +
-          missing.map(m => s"${m._1}=${m._2}").mkString(", "))
+        "takedown journal discarded: plan rows name missing sub-tables " +
+          missing.map(m => s"${m._1}=${m._2}").mkString(", ") +
+          "; retractions already executed by a prior run of this journal " +
+          "(if any) remain applied — re-issue the takedown once the " +
+          "estate is explained")
     }
     val removed = plan.map { case (family, path, keyCol, partCol, keysName) =>
       val keys = spark.read.parquet(jd.resolve("keys").resolve(keysName).toString)
@@ -224,6 +231,17 @@ object Takedown {
           TextEmbed.bandsPath(p, targets.textEmbedBandBits,
             targets.textEmbedTables), "doc_id", "bucket", "ids"),
         ("text_embed_vecs", s"$p/vecs", "doc_id", "bucket", "ids")))
+    // validate FIRST, before any key derivation: every plan row must
+    // name an existing sub-table — a typo'd root or a band-geometry
+    // default that doesn't match the deployed index layout must fail
+    // before the corpus-scale support-recount join runs (and, below,
+    // on the ROLLBACK side of the marker — r19 ADVICE: committing
+    // first poisoned the journal, and every recoverTakedown replayed
+    // the same failure forever)
+    val missing = entries.filterNot(e => Files.isDirectory(Paths.get(e._2)))
+    require(missing.isEmpty,
+      "takedown targets name missing sub-tables: " +
+        missing.map(e => s"${e._1}=${e._2}").mkString(", "))
     // stage: each referenced key derivation once, then the plan — all
     // under the journal, nothing live touched before the marker
     val needed = entries.map(_._5).distinct
@@ -251,17 +269,6 @@ object Takedown {
     entries.toDF("family", "path", "key_col", "part_col", "keys_name")
       .coalesce(1).write.mode("overwrite")
       .parquet(jd.resolve("plan").toString)
-    // validate BEFORE the commit point: every plan row must name an
-    // existing sub-table — a typo'd root or a band-geometry default that
-    // doesn't match the deployed index layout must fail on the ROLLBACK
-    // side of the marker (r19 ADVICE: committing first poisoned the
-    // journal, and every recoverTakedown replayed the same failure
-    // forever). The journal stays uncommitted, so recovery rolls it
-    // back and no index was touched.
-    val missing = entries.filterNot(e => Files.isDirectory(Paths.get(e._2)))
-    require(missing.isEmpty,
-      "takedown targets name missing sub-tables: " +
-        missing.map(e => s"${e._1}=${e._2}").mkString(", "))
     if (commit) Tables.markArtifactComplete(jd.toString)
   }
 
