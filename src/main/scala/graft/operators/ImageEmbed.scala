@@ -109,6 +109,10 @@ object ImageEmbed {
     * Output: one row per input id, (media_id, dup_of, keep) with
     * keep-first-by-id, the dedup family's verdict shape. */
   def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
+    // `emb` (the decode->descriptor kernel output) is referenced seven
+    // times below (two signature tables x two self-join sides, both
+    // verify joins, keep join) -- persist so the kernel runs once.
+    val e = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tableCand(hashed: DataFrame): DataFrame = {
       val banded = hashed.select(col("media_id"), col("sig"),
         explode(array((0 until ImagePhash.Bands).map(b =>
@@ -125,18 +129,18 @@ object ImageEmbed {
         .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
         .select("lo", "hi")
     }
-    val cand = tableCand(emb.select(col("media_id"),
-        Similarity.simhashFor(emb, col("v"), 64).as("sig")))
-      .union(tableCand(emb.select(col("media_id"),
-        Similarity.simhashFor(emb, reverse(col("v")), 64).as("sig"))))
+    val cand = tableCand(e.select(col("media_id"),
+        Similarity.simhashFor(e, col("v"), 64).as("sig")))
+      .union(tableCand(e.select(col("media_id"),
+        Similarity.simhashFor(e, reverse(col("v")), 64).as("sig"))))
       .distinct()
     val verified = cand
-      .join(emb.select(col("media_id").as("lo"), col("v").as("v_lo")), "lo")
-      .join(emb.select(col("media_id").as("hi"), col("v").as("v_hi")), "hi")
-      .filter(Similarity.cosineFor(emb, col("v_lo"), col("v_hi")) >= threshold)
+      .join(e.select(col("media_id").as("lo"), col("v").as("v_lo")), "lo")
+      .join(e.select(col("media_id").as("hi"), col("v").as("v_hi")), "hi")
+      .filter(Similarity.cosineFor(e, col("v_lo"), col("v_hi")) >= threshold)
     val dupOf = verified.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    emb.select("media_id").join(dupOf, Seq("media_id"), "left")
+    e.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
 

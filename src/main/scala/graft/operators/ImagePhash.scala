@@ -321,7 +321,7 @@ object ImagePhash {
     out
   }
 
-  val fixturePath = "/root/repo/target/fixtures/media_phash_v1.parquet"
+  val fixturePath = "/root/repo/target/fixtures/media_phash_v2.parquet"
 
   /** Write the phash fixture once (the [[Multimodal.ensureMediaFixture]]
     * discipline: built deterministically, moved into place atomically,
@@ -350,7 +350,8 @@ object ImagePhash {
         (NearOffset + i, payload, Option(i.longValue), "near")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = fixturePath + ".tmp"
-      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      rows.repartition(graft.Tables.FixtureShards)
+        .write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -378,7 +379,14 @@ object ImagePhash {
     * matched partner id (keep-first discipline), keep = no match with a
     * lower id within [[HammingMax]]. */
   def phashDedup(hashes: DataFrame): DataFrame = {
-    val banded = hashes.select(col("media_id"), col("phash"),
+    // The decode→hash frame is referenced four times below (both LSH
+    // self-join sides + the final keep join); without a persist each
+    // reference re-runs the per-payload decode kernel. Narrow rows
+    // (media_id, phash), so the cache is index-row-sized at any scale.
+    // Unpersisted by the harness's per-key clearCache (the
+    // dedupClusters convention).
+    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.select(col("media_id"), col("phash"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("b"),
           shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
@@ -395,7 +403,7 @@ object ImagePhash {
       .filter(bit_count(col("ph_lo").bitwiseXOR(col("ph_hi"))) <= HammingMax)
     val dupOf = pairs.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    hashes.select("media_id").join(dupOf, Seq("media_id"), "left")
+    h.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
 
@@ -550,7 +558,7 @@ object ImagePhash {
     g
   }
 
-  val jpegFixturePath = "/root/repo/target/fixtures/media_phash_jpeg_v1.parquet"
+  val jpegFixturePath = "/root/repo/target/fixtures/media_phash_jpeg_v2.parquet"
 
   /** Write the JPEG/cross-format phash fixture once (same atomic-move
     * discipline as [[ensurePhashFixture]]). Schema: (media_id, payload,
@@ -579,7 +587,8 @@ object ImagePhash {
           Option(i.longValue), "gray")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = jpegFixturePath + ".tmp"
-      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      rows.repartition(graft.Tables.FixtureShards)
+        .write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

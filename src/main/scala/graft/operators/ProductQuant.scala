@@ -199,7 +199,11 @@ object ProductQuant {
       k: Int = Similarity.DefaultK, nProbe: Int = 2,
       shortlist: Int = Shortlist): DataFrame = {
     val ks = codebooks.head.size
-    val probes = Similarity.probeCids(queries, centroids, nProbe)
+    // `queries` feeds both the probe/ADC side and the rerank broadcast;
+    // for the media/audio/video/text ANN keys it is itself a decode+embed
+    // kernel output, so persist to run that kernel once per call.
+    val q = queries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = Similarity.probeCids(q, centroids, nProbe)
       .withColumn("tbl", adcTable(col("qv"), codebooks))
     val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
     val short = assigned.join(probes.select("q_id", "cid", "tbl"), Seq("cid"))
@@ -212,7 +216,7 @@ object ProductQuant {
       lit(0d), (s, x) => s + x)
     val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     short.join(emb, "vec_id")
-      .join(broadcast(queries.select("q_id", "qv")), "q_id")
+      .join(broadcast(q.select("q_id", "qv")), "q_id")
       .withColumn("cos", dotQ)
       .withColumn("rn", row_number().over(wR))
       .filter(col("rn") <= k)

@@ -369,7 +369,11 @@ object Takedown {
     def tagged(family: String, side: String, df: DataFrame): DataFrame =
       df.select(lit(family).as("family"), lit(side).as("side"),
         xxhash64(struct(df.columns.map(col): _*)).as("h"))
+    // prepared() is the MinHash signature kernel — it feeds BOTH the
+    // bands and sets reference branches of the fused parity DAG, so
+    // persist it or the kernel runs twice per call.
     val prepRem = MinHashIncremental.prepared(rem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fpRef = IncrementalDedup.fingerprints(even).select("fp").distinct()
       .join(IncrementalDedup.fingerprints(retr).select("fp").distinct(),
         Seq("fp"), "left_anti")
@@ -543,9 +547,14 @@ object Takedown {
         xxhash64(struct(df.columns.map(col): _*)).as("h"))
     val imgRem = remOf(spark.read.parquet(s"$root/truth/img_hashes"), "media_id")
     val vidRem = remOf(spark.read.parquet(s"$root/truth/video_hashes"), "media_id")
+    // embedText feeds both the bands and vecs reference branches, and the
+    // normalized remaining vectors feed both encode() and assignCids() —
+    // persist each so its kernel runs once inside the fused parity DAG.
     val txtEmbRem = TextEmbed.embedText(remOf(txtFix, "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (_, centroids, cbs) = ProductQuant.readIvfPqIndex(spark, s"$root/ivfpq")
     val embRem = ProductQuant.normalized(remOf(embAll, "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ivfRef = ProductQuant.encode(embRem, cbs)
       .join(Similarity.assignCids(spark, embRem, centroids), "vec_id")
       .select("vec_id", "v", "codes", "cid")

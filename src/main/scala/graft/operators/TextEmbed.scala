@@ -86,7 +86,7 @@ object TextEmbed {
   private val RotateOffset = 200000L
   private val DropOffset = 300000L
 
-  val textFixturePath = "/root/repo/target/fixtures/text_paraphrase_v3.parquet"
+  val textFixturePath = "/root/repo/target/fixtures/text_paraphrase_v4.parquet"
 
   /** Topics in the fixture corpus — matches [[AnnClusters]] so the IVF
     * coarse cells have real structure to find. */
@@ -143,7 +143,8 @@ object TextEmbed {
         (DropOffset + i, dropped.mkString(" "), Option(i.longValue), "drop")
       }).toDF("doc_id", "text", "twin_of", "kind")
       val tmp = textFixturePath + ".tmp"
-      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      rows.repartition(graft.Tables.FixtureShards)
+        .write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -180,6 +181,10 @@ object TextEmbed {
     * signatures → exact-cosine verify at `threshold` → keep-first-by-id
     * (one row per input id, the dedup family's verdict shape). */
   def textNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
+    // `emb` (the n-gram embed kernel output) is referenced eleven times
+    // below (four signature tables x two self-join sides, both verify
+    // joins, keep join) -- persist so the kernel runs once.
+    val e = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tableCand(hashed: DataFrame): DataFrame = {
       val banded = hashed.select(col("doc_id"),
         explode(array((0 until Bands).map(b =>
@@ -198,15 +203,15 @@ object TextEmbed {
     val tables: Seq[Column] = Seq(col("v"), reverse(col("v")),
       shift1(col("v")), reverse(shift1(col("v"))))
     val cand = tables.map(t => tableCand(
-        emb.select(col("doc_id"), Similarity.simhashFor(emb, t, 64).as("sig"))))
+        e.select(col("doc_id"), Similarity.simhashFor(e, t, 64).as("sig"))))
       .reduce(_ union _).distinct()
     val verified = cand
-      .join(emb.select(col("doc_id").as("lo"), col("v").as("v_lo")), "lo")
-      .join(emb.select(col("doc_id").as("hi"), col("v").as("v_hi")), "hi")
-      .filter(Similarity.cosineFor(emb, col("v_lo"), col("v_hi")) >= threshold)
+      .join(e.select(col("doc_id").as("lo"), col("v").as("v_lo")), "lo")
+      .join(e.select(col("doc_id").as("hi"), col("v").as("v_hi")), "hi")
+      .filter(Similarity.cosineFor(e, col("v_lo"), col("v_hi")) >= threshold)
     val dupOf = verified.groupBy(col("hi").as("doc_id"))
       .agg(min("lo").as("dup_of"))
-    emb.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+    e.select("doc_id").join(dupOf, Seq("doc_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
 

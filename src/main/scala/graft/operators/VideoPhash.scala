@@ -119,11 +119,15 @@ object VideoPhash {
     * the pair aggregate; the arrays re-join by id AFTER the key-count
     * cut, once per surviving candidate pair instead of 32× per video. */
   def videoPhashDedup(hashes: DataFrame): DataFrame = {
+    // Referenced four times below (self-join sides, both verify joins,
+    // keep join) — persist so the container-walk + frame-decode kernel
+    // behind `hashes` runs once. Narrow (media_id, phashes) rows.
+    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = for (s <- 0 until Slots; b <- 0 until ImagePhash.Bands) yield
       struct(lit(s * ImagePhash.Bands + b).as("sb"),
         shiftrightunsigned(element_at(col("phashes"), s + 1), 16 * b)
           .bitwiseAND(lit(0xffffL)).as("v"))
-    val banded = hashes.select(col("media_id"),
+    val banded = h.select(col("media_id"),
         explode(array(keys: _*)).as("band"))
       .select(col("media_id"),
         col("band.sb").as("sb"), col("band.v").as("v"))
@@ -138,12 +142,12 @@ object VideoPhash {
       size(filter(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
         d => d <= lit(ImagePhash.HammingMax)))
     val pairs = candidates
-      .join(hashes.select(col("media_id").as("lo"), col("phashes").as("ph_lo")), Seq("lo"))
-      .join(hashes.select(col("media_id").as("hi"), col("phashes").as("ph_hi")), Seq("hi"))
+      .join(h.select(col("media_id").as("lo"), col("phashes").as("ph_lo")), Seq("lo"))
+      .join(h.select(col("media_id").as("hi"), col("phashes").as("ph_hi")), Seq("hi"))
       .filter(slotsWithin(col("ph_lo"), col("ph_hi")) >= lit(SlotsMin))
     val dupOf = pairs.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    hashes.select("media_id").join(dupOf, Seq("media_id"), "left")
+    h.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
 
@@ -227,7 +231,7 @@ object VideoPhash {
   val VideoBrightOffset = 30000L // twins of bases 100..149
   val VideoMp4Offset = 40000L    // twins of bases 150..199
 
-  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v2.parquet"
+  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v3.parquet"
 
   def ensureVideoPhashFixture(spark: SparkSession): Unit = synchronized {
     val p = java.nio.file.Paths.get(videoFixturePath)
@@ -245,7 +249,8 @@ object VideoPhash {
         (VideoMp4Offset + i, mp4Twin(i), Option(i.longValue), "mp4")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = videoFixturePath + ".tmp"
-      rows.repartition(4).write.mode("overwrite").parquet(tmp)
+      rows.repartition(graft.Tables.FixtureShards)
+        .write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
