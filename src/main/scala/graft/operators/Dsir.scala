@@ -58,16 +58,23 @@ object Dsir {
     * bucket observed in the RAW corpus (scored documents ARE the raw
     * corpus, so scoring never misses); `oov` is the both-unseen constant,
     * defined for completeness when scoring external frames. */
-  def trainWeights(docs: DataFrame): (Map[String, Long], Long) = {
-    def microLp(p: Column): Column =
-      round(log10(p) * LmScore.Micro, 0).cast("long")
+  def trainWeights(docs: DataFrame): (Map[String, Long], Long) =
     // toks materializes in its own projection: gramsOfToks' lambda body
     // references it per element, and a non-attribute split(text) there
     // re-splits the document per gram position — O(n²) splits per doc
     // (the TextOps.repetition pitfall; measured 8× on this key at sf0.1)
-    val cnt = docs
+    trainWeightsFromFeats(docs
       .select(col("is_target"), split(col("text"), " ").as("toks"))
-      .select(col("is_target"), explode(bucketsOfToks(col("toks"))).as("b"))
+      .select(col("is_target"), bucketsOfToks(col("toks")).as("feats")))
+
+  /** [[trainWeights]] over an already-hashed (is_target, feats) frame —
+    * lets [[dsirSelect]] share ONE materialized feature pass between
+    * training and scoring instead of re-hashing every gram per pass. */
+  def trainWeightsFromFeats(feats: DataFrame): (Map[String, Long], Long) = {
+    def microLp(p: Column): Column =
+      round(log10(p) * LmScore.Micro, 0).cast("long")
+    val cnt = feats
+      .select(col("is_target"), explode(col("feats")).as("b"))
       .groupBy("b").agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
@@ -100,10 +107,18 @@ object Dsir {
   /** Both scoring formulations behind one switch so the spec can assert
     * their bit-equality (the engine-wide kernel≡HOF contract). */
   private[operators] def scoreWith(docs: DataFrame, model: Map[String, Long],
+      oov: Long, useKernel: Boolean): DataFrame =
+    scoreFeats(docs
+        .withColumn("toks", split(col("text"), " ")) // own projection — see trainWeights
+        .withColumn("feats", bucketsOfToks(col("toks"))),
+      model, oov, useKernel)
+      .drop("toks")
+
+  /** Scoring over a frame that already carries the hashed `feats` column
+    * (consumed and dropped) — the shared half of [[scoreWith]]. */
+  private[operators] def scoreFeats(withF: DataFrame, model: Map[String, Long],
       oov: Long, useKernel: Boolean): DataFrame = {
-    val withFeats = docs
-      .withColumn("toks", split(col("text"), " ")) // own projection — see trainWeights
-      .withColumn("feats", bucketsOfToks(col("toks")))
+    val withFeats = withF
       .withColumn("n_feat", size(col("feats")).cast("long"))
     val lwSum =
       if (useKernel)
@@ -123,9 +138,17 @@ object Dsir {
     * whole corpus; one training pass, kernel scoring, sign cut. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (model, oov) = trainWeights(
-      docs.select((col("lang") === "en").as("is_target"), col("text")))
-    score(docs.select("doc_id", "lang", "text"), model, oov)
+    // ONE hashed-feature pass, persisted: training explodes it, scoring
+    // folds it. Hashing (md5 per unigram+bigram) is this key's dominant
+    // kernel, and the train/score passes previously each re-ran it.
+    val feats = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), bucketsOfToks(col("toks")).as("feats"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (model, oov) = trainWeightsFromFeats(
+      feats.select((col("lang") === "en").as("is_target"), col("feats")))
+    scoreFeats(feats, model, oov,
+        useKernel = spark.catalog.functionExists("graft_unigram_score"))
       .select("doc_id", "lang", "n_feat", "lw_mean", "selected")
       .orderBy("doc_id")
   }

@@ -78,15 +78,16 @@ object ProductQuant {
     * driver-resident. */
   def trainCodebooks(spark: SparkSession, emb: DataFrame, m: Int = M,
       ks: Int = Ks, lloydIters: Int = 2): Seq[Seq[Seq[Double]]] = {
-    val d = emb.select(size(col("v"))).first().getInt(0)
+    // the seed collect also answers the dimension question — one driver
+    // round-trip instead of a separate first() job for d
+    val seeds = emb.orderBy("vec_id").limit(ks).collect()
+      .map(_.getSeq[Double](1))
+    val d = seeds.head.size
     require(d % m == 0, s"dim $d must divide into $m subspaces")
     val dsub = d / m
-    var cbs: Seq[Seq[Seq[Double]]] = {
-      val seeds = emb.orderBy("vec_id").limit(ks).collect()
-        .map(_.getSeq[Double](1))
+    var cbs: Seq[Seq[Seq[Double]]] =
       (0 until m).map(mi =>
         seeds.toSeq.map(s => s.slice(mi * dsub, mi * dsub + dsub)))
-    }
     for (_ <- 1 to lloydIters) {
       val means = encode(emb, cbs)
         .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -108,21 +109,33 @@ object ProductQuant {
     * (array<int>, length M) — per subspace the argmin-squared-L2 codeword
     * index, ties to the lower code (the `array_min` struct order). Pure
     * narrow projection over the codebook literal. */
-  def encode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  def encode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    encodeWith(emb, codebooks,
+      useKernel = emb.sparkSession.catalog.functionExists("graft_pq_encode"))
+
+  /** Both encode formulations behind one switch so the spec can assert
+    * their bit-equality (the engine-wide kernel≡HOF contract — the HOF
+    * form is four nested higher-order functions, interpreted per
+    * (subspace × codeword); the kernel is one codegen'd primitive loop,
+    * see [[graft.plans.PqEncodeExpr]]). */
+  private[operators] def encodeWith(emb: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], useKernel: Boolean): DataFrame = {
     val m = codebooks.size
     val ks = codebooks.head.size
     val dsub = codebooks.head.head.size
     val cb = typedLit(codebooks)
-    val codes = transform(sequence(lit(0), lit(m - 1)), mi => {
-      val sub = slice(col("v"), mi * dsub + 1, lit(dsub))
-      array_min(transform(sequence(lit(0), lit(ks - 1)), k =>
-        struct(
-          aggregate(
-            zip_with(sub, element_at(element_at(cb, mi + 1), k + 1),
-              (x, y) => (x - y) * (x - y)),
-            lit(0d), (s, x) => s + x).as("d2"),
-          k.as("code")))).getField("code")
-    })
+    val codes =
+      if (useKernel) call_function("graft_pq_encode", col("v"), cb)
+      else transform(sequence(lit(0), lit(m - 1)), mi => {
+        val sub = slice(col("v"), mi * dsub + 1, lit(dsub))
+        array_min(transform(sequence(lit(0), lit(ks - 1)), k =>
+          struct(
+            aggregate(
+              zip_with(sub, element_at(element_at(cb, mi + 1), k + 1),
+                (x, y) => (x - y) * (x - y)),
+              lit(0d), (s, x) => s + x).as("d2"),
+            k.as("code")))).getField("code")
+      })
     emb.withColumn("codes", codes)
   }
 

@@ -36,15 +36,26 @@ object Sketches {
     * Expand + second shuffle; that is the verification harness, not the
     * scale path — production code uses [[approxDistinct]] (sketch only,
     * single hash-agg pass). */
-  def approxDistinctChecked(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  def approxDistinctChecked(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame = {
+    // The sketches and the exact multi-distinct are SEPARATE aggregations
+    // joined on the 3-row group key, not one agg: mixing them forces the
+    // HLL partials onto the multi-distinct's Expand plan, whose partial
+    // aggregate keys on (flag, suppkey, partkey, gid) — ~1M groups at
+    // sf0.1, EACH allocating two ~3 KB HLL buffers (gigabytes of
+    // aggregation state for six output rows; guide §5 spill). Split, the
+    // HLL pass keeps 6 groups × 2 sketches and the Expand pass carries
+    // only counts. Same values, same rows.
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_suppkey")).as("exact_supp"),
         countDistinct(col("l_partkey")).as("exact_part"),
-        count(lit(1)).as("n"),
+        count(lit(1)).as("n"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(
         approx_count_distinct(col("l_suppkey"), rsd).as("approx_supp"),
         approx_count_distinct(col("l_partkey"), rsd).as("approx_part"))
+    exact.join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("exact_supp"), col("exact_part"), col("n"),
         (abs(col("approx_supp") - col("exact_supp")).cast("double")
@@ -52,6 +63,7 @@ object Sketches {
         (abs(col("approx_part") - col("exact_part")).cast("double")
           / col("exact_part") <= 3 * rsd).as("part_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Spec-only: sketch next to exact multi-distinct (the exact form plans
     * Expand + a second shuffle — the thing the sketch avoids at scale). */

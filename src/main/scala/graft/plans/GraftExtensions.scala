@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HashEmbedExpr].getName, "graft_hash_embed"),
       (children: Seq[Expression]) => HashEmbedExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncodeExpr(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
