@@ -370,12 +370,6 @@ object CurationIncremental {
         domainCol, "n_tok", budgets, consumed, materialize)
       .withColumnRenamed("tok_start", "mix_start")
 
-  /** Per-domain token totals of a mixed batch — the counter delta the
-    * state commit persists (bounded: one row per budgeted domain). */
-  private def consumedOf(mixed: DataFrame, domainCol: String): Map[String, Long] =
-    mixed.groupBy(domainCol).agg(sum("n_tok").as("t")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-
   /** Declared key (`curation_incremental_full`): the EVERY-stage macro
     * ([[Curation.curationFull]]: redact → quality → dedup → split →
     * domain-mix → pack) in the two-night arrival mode. Night 1 = even
@@ -394,13 +388,20 @@ object CurationIncremental {
     val acc1 = acceptedFull(docs.filter(col("doc_id") % 2 === 0),
         Seq.empty[String].toDF("fp"))
       .localCheckpoint(true)
-    val mix1 = mixBatch(acc1, budgets, Map.empty, materialize = true)
+    // the mix is consumed exactly once (by the pack), so it needs no
+    // materialization of its own; packing preserves the mixed rows and
+    // their (lang, n_tok) columns, so ONE collect over the packed output
+    // answers both the cursor hand-off (Σ n_tok) and the per-domain
+    // consumed counters — previously three separate actions
+    val mix1 = mixBatch(acc1, budgets, Map.empty)
     val out1 = packBatchMixed(mix1, 0L, materialize = true)
-    val tot1 = out1.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
-    val cons1 = consumedOf(mix1, "lang")
+    val stats1 = out1.groupBy("lang")
+      .agg(coalesce(sum("n_tok"), lit(0L)).as("t")).collect()
+    val tot1 = stats1.map(_.getLong(1)).sum
+    val cons1 = stats1.map(r => r.getString(0) -> r.getLong(1)).toMap
     val mix2 = mixBatch(
       acceptedFull(docs.filter(col("doc_id") % 2 === 1), acc1.select("fp")),
-      budgets, cons1, materialize = true)
+      budgets, cons1)
     val out2 = packBatchMixed(mix2, tot1, materialize = true)
     out1.withColumn("batch", lit(1))
       .union(out2.withColumn("batch", lit(2)))
@@ -441,11 +442,15 @@ object CurationIncremental {
         spark.read.parquet(s"$path/budgets").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
-    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
+    // mix consumed once (by the pack); total + per-domain deltas come
+    // from ONE collect over the packed output (see curationIncrementalFull)
+    val mixed = mixBatch(acc, budgets, consumed)
     val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
       materialize = true)
-    val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
-    val delta = consumedOf(mixed, "lang")
+    val stats = out.groupBy("lang")
+      .agg(coalesce(sum("n_tok"), lit(0L)).as("t")).collect()
+    val total = stats.map(_.getLong(1)).sum
+    val delta = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
     val newConsumed = budgets.map { case (d, _) =>
       d -> (consumed.getOrElse(d, 0L) + delta.getOrElse(d, 0L))
     }
@@ -497,13 +502,17 @@ object CurationIncremental {
         spark.read.parquet(s"$path/budgets").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
-    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
+    // mix consumed once (by the pack); total + per-domain deltas come
+    // from ONE collect over the packed output (see curationIncrementalFull)
+    val mixed = mixBatch(acc, budgets, consumed)
     val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
       materialize = true)
       .select("doc_id", "lang", "quality", "n_tok", "mix_start",
         "start_tok", "seq_id")
-    val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
-    val delta = consumedOf(mixed, "lang")
+    val stats = out.groupBy("lang")
+      .agg(coalesce(sum("n_tok"), lit(0L)).as("t")).collect()
+    val total = stats.map(_.getLong(1)).sum
+    val delta = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
     val newConsumed = budgets.map { case (d, _) =>
       d -> (consumed.getOrElse(d, 0L) + delta.getOrElse(d, 0L))
     }

@@ -309,18 +309,22 @@ object IndexMaintenance {
     val even = docs.filter(col("doc_id") % 2 === 0)
     val path = java.nio.file.Files
       .createTempDirectory("graft-lifecycle").toString
+    // ONE fingerprint pass over the even half, persisted: the four
+    // nightly appends and the retraction list are SLICES of it — the
+    // lifecycle being demonstrated is the four separate append/compact/
+    // retract mutations, not four recomputations of the same md5 kernel
+    val evenFps = IncrementalDedup.fingerprints(even)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // four "nightly" appends: even docs sliced by doc_id mod 8
     (0 until 4).foreach { k =>
       IncrementalDedup.writeFpIndex(
-        IncrementalDedup.fingerprints(
-          even.filter(pmod(col("doc_id"), lit(8)) === 2 * k))
+        evenFps.filter(pmod(col("doc_id"), lit(8)) === 2 * k)
           .select("fp").distinct(),
         path, nBuckets = 8, append = k > 0)
     }
     compactIndex(spark, path, maxFragments = 1)
     retractKeys(spark, path, "fp",
-      IncrementalDedup.fingerprints(even.filter(col("doc_id") % 10 === 0))
-        .select("fp"))
+      evenFps.filter(col("doc_id") % 10 === 0).select("fp"))
     IncrementalDedup.dedupAgainst(
         docs.filter(col("doc_id") % 2 === 1),
         spark.read.parquet(path).select("fp"))
