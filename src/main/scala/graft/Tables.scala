@@ -102,16 +102,4 @@ object Tables {
 
   def artifactComplete(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_GRAFT_COMPLETE"))
-
-  /** Shard count for the payload fixtures (media/audio/video/text twins).
-    * The fixtures are small (1-6 MB) but feed CPU-heavy decode kernels
-    * (mapPartitions over payload bytes), and Spark's file-split packing
-    * yields roughly one scan task per file at these sizes — a 4-file
-    * fixture capped every decode stage at 4-way parallelism regardless of
-    * core count (optimization guide §6: small-file layout bounds scan
-    * parallelism). 32 shards gives one decode task per core on the widest
-    * bench config, costs nothing at lower core counts (tasks just queue),
-    * and at production scale payload tables are written by upstream jobs
-    * and split naturally — this constant only shapes the test fixtures. */
-  val FixtureShards = 32
 }

@@ -166,7 +166,7 @@ object AudioPhash {
   val AudioDitherOffset = 20000L   // twins of bases 100..199
   val AudioResampleOffset = 30000L // twins of bases 200..299
 
-  val audioFixturePath = "/root/repo/target/fixtures/audio_phash_v2.parquet"
+  val audioFixturePath = "/root/repo/target/fixtures/audio_phash_v1.parquet"
 
   def ensureAudioPhashFixture(spark: SparkSession): Unit = synchronized {
     val p = java.nio.file.Paths.get(audioFixturePath)
@@ -186,8 +186,7 @@ object AudioPhash {
           Option(i.longValue), "resample")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = audioFixturePath + ".tmp"
-      rows.repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

@@ -229,7 +229,9 @@ object CurationIncremental {
     // reading it would throw and wedge every retry (r18 ADVICE)
     if (IndexMaintenance.dataFiles(
         java.nio.file.Paths.get(path, "meta")).nonEmpty)
-      spark.read.parquet(s"$path/meta").head().getLong(0)
+      // max, not head(): see Ranking.committedBm25BatchId (r20 ADVICE)
+      spark.read.parquet(s"$path/meta")
+        .agg(max("batch_id")).head().getLong(0)
     else -1L
 
   /** One EXACTLY-ONCE arrival step — [[step]] for a streaming driver

@@ -321,7 +321,7 @@ object ImagePhash {
     out
   }
 
-  val fixturePath = "/root/repo/target/fixtures/media_phash_v2.parquet"
+  val fixturePath = "/root/repo/target/fixtures/media_phash_v1.parquet"
 
   /** Write the phash fixture once (the [[Multimodal.ensureMediaFixture]]
     * discipline: built deterministically, moved into place atomically,
@@ -350,8 +350,7 @@ object ImagePhash {
         (NearOffset + i, payload, Option(i.longValue), "near")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = fixturePath + ".tmp"
-      rows.repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -558,7 +557,7 @@ object ImagePhash {
     g
   }
 
-  val jpegFixturePath = "/root/repo/target/fixtures/media_phash_jpeg_v2.parquet"
+  val jpegFixturePath = "/root/repo/target/fixtures/media_phash_jpeg_v1.parquet"
 
   /** Write the JPEG/cross-format phash fixture once (same atomic-move
     * discipline as [[ensurePhashFixture]]). Schema: (media_id, payload,
@@ -587,8 +586,7 @@ object ImagePhash {
           Option(i.longValue), "gray")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = jpegFixturePath + ".tmp"
-      rows.repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

@@ -99,8 +99,19 @@ object IndexMaintenance {
     if (!Files.exists(dst)) {
       Files.createDirectories(dstDir)
       val tmp = dstDir.resolve(".tmp-" + src.getFileName.toString)
-      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // Two idempotent finishers can race the same committed staging
+        // (a serve-path forward-only recovery vs the writer's own fold —
+        // r20 ADVICE): the one that finishes first deletes the staged
+        // tree, and the loser's copy sees the source vanish. That is
+        // "already folded", not an error — but ONLY when the source is
+        // in fact gone; any other NoSuchFileException must surface.
+        case _: java.nio.file.NoSuchFileException
+          if !Files.exists(src) => ()
+      }
     }
   }
 

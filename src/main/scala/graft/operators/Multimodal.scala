@@ -184,7 +184,7 @@ object Multimodal {
 
   // v2: image payloads carry real PNG/JPEG headers (media_dims key); the
   // version bump forces regeneration of any v1 fixture left on disk.
-  val fixturePath = "/root/repo/target/fixtures/media_v3.parquet"
+  val fixturePath = "/root/repo/target/fixtures/media_v2.parquet"
 
   /** Deterministic media parquet fixture for the declared E4 queries (the
     * binary-column analog of [[graft.sources.Sources.ensureBigFixture]]):
@@ -200,8 +200,7 @@ object Multimodal {
       val dups = base.filter(col("media_id") < 500)
         .map(r => r.copy(media_id = r.media_id + 10000L))
       val tmp = fixturePath + ".tmp"
-      base.union(dups).repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      base.union(dups).repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

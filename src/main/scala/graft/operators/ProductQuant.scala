@@ -157,7 +157,18 @@ object ProductQuant {
   /** ADC score of a codes column against a flat table column:
     * Σ_m table[m·Ks + codes(m)] — M indexed array reads per row. */
   def adcScore(codes: Column, table: Column, ks: Int): Column =
-    aggregate(
+    adcScoreWith(codes, table, ks,
+      useKernel = org.apache.spark.sql.SparkSession.active
+        .catalog.functionExists("graft_adc_score"))
+
+  /** Both ADC-score formulations behind one switch so the spec can
+    * assert their bit-equality (kernel≡HOF contract — the HOF allocates
+    * a sequence + zipped array per row; see
+    * [[graft.plans.AdcScoreExpr]]). */
+  private[operators] def adcScoreWith(codes: Column, table: Column,
+      ks: Int, useKernel: Boolean): Column =
+    if (useKernel) call_function("graft_adc_score", codes, table, lit(ks))
+    else aggregate(
       zip_with(codes, sequence(lit(0), size(codes) - 1),
         (c, mi) => element_at(table, mi * ks + c + 1)),
       lit(0d), (s, x) => s + x)
@@ -372,7 +383,9 @@ object ProductQuant {
   def committedIvfPqBatchId(spark: SparkSession, path: String): Long =
     if (IndexMaintenance.dataFiles(
         java.nio.file.Paths.get(path, "meta")).nonEmpty)
-      spark.read.parquet(s"$path/meta").head().getLong(0)
+      // max, not head(): see Ranking.committedBm25BatchId (r20 ADVICE)
+      spark.read.parquet(s"$path/meta")
+        .agg(max("batch_id")).head().getLong(0)
     else -1L
 
   /** [[ivfpqAppend]] for a streaming driver whose engine may RE-DELIVER

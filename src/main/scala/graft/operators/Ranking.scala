@@ -290,7 +290,11 @@ object Ranking {
   def committedBm25BatchId(spark: SparkSession, path: String): Long =
     if (IndexMaintenance.dataFiles(
         java.nio.file.Paths.get(path, "meta")).nonEmpty)
-      spark.read.parquet(s"$path/meta").head().getLong(0)
+      // max, not head(): mid-swap after a crash meta/ transiently holds
+      // the old AND new row; ids are monotonic so max is the committed
+      // one either way (r20 ADVICE — head() was nondeterministic there)
+      spark.read.parquet(s"$path/meta")
+        .agg(max("batch_id")).head().getLong(0)
     else -1L
 
   /** [[appendToBm25]] for a streaming driver whose engine may RE-DELIVER
@@ -339,8 +343,15 @@ object Ranking {
     metaRow.foreach(id => Seq(id).toDF("batch_id")
       .coalesce(1).write.mode("overwrite")
       .parquet(pend.resolve("meta").toString))
-    def toks = newDocs.select(col("doc_id"),
+    // THE one tokenize pass over the BATCH, persisted so the postings
+    // write, the doclen write, and the stats-delta aggregate consume ONE
+    // materialization instead of re-reading and re-tokenizing the batch
+    // three times (r20 verdict). A batch is bounded by definition — this
+    // is not the buildBm25Index full-corpus case, whose three passes
+    // deliberately re-stream the scan (see there).
+    val toks = newDocs.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("term")))
@@ -355,6 +366,7 @@ object Ranking {
       .parquet(pend.resolve("doclen").toString)
     val delta = toks.agg(count(lit(1)).as("dn"),
       coalesce(sum(size(col("toks"))), lit(0L)).as("ddl")).head()
+    toks.unpersist(blocking = false) // all three consumers have run
     val live = spark.read.parquet(s"$path/stats").head()
     spark.range(1).select(
         (lit(live.getLong(0)) + lit(delta.getLong(0))).as("n"),

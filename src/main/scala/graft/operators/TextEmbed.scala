@@ -86,7 +86,7 @@ object TextEmbed {
   private val RotateOffset = 200000L
   private val DropOffset = 300000L
 
-  val textFixturePath = "/root/repo/target/fixtures/text_paraphrase_v4.parquet"
+  val textFixturePath = "/root/repo/target/fixtures/text_paraphrase_v3.parquet"
 
   /** Topics in the fixture corpus — matches [[AnnClusters]] so the IVF
     * coarse cells have real structure to find. */
@@ -143,8 +143,7 @@ object TextEmbed {
         (DropOffset + i, dropped.mkString(" "), Option(i.longValue), "drop")
       }).toDF("doc_id", "text", "twin_of", "kind")
       val tmp = textFixturePath + ".tmp"
-      rows.repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

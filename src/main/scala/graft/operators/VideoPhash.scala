@@ -231,7 +231,7 @@ object VideoPhash {
   val VideoBrightOffset = 30000L // twins of bases 100..149
   val VideoMp4Offset = 40000L    // twins of bases 150..199
 
-  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v3.parquet"
+  val videoFixturePath = "/root/repo/target/fixtures/video_phash_v2.parquet"
 
   def ensureVideoPhashFixture(spark: SparkSession): Unit = synchronized {
     val p = java.nio.file.Paths.get(videoFixturePath)
@@ -249,8 +249,7 @@ object VideoPhash {
         (VideoMp4Offset + i, mp4Twin(i), Option(i.longValue), "mp4")
       }).toDF("media_id", "payload", "twin_of", "kind")
       val tmp = videoFixturePath + ".tmp"
-      rows.repartition(graft.Tables.FixtureShards)
-        .write.mode("overwrite").parquet(tmp)
+      rows.repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

@@ -77,6 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HashEmbedExpr].getName, "graft_hash_embed"),
       (children: Seq[Expression]) => HashEmbedExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_adc_score"),
+      new ExpressionInfo(classOf[AdcScoreExpr].getName, "graft_adc_score"),
+      (children: Seq[Expression]) =>
+        AdcScoreExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window_digests"),
+      new ExpressionInfo(classOf[WindowDigestsExpr].getName, "graft_window_digests"),
+      (children: Seq[Expression]) => WindowDigestsExpr(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncodeExpr(children(0), children(1))))

@@ -371,6 +371,37 @@ class ProductQuantSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach { id => assert(ek(id) === eh(id), s"vec $id") }
   }
 
+  test("adc score kernel ≡ HOF fold, bit-equal incl. null/OOB shapes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb
+    val cbs = ProductQuant.trainCodebooks(spark, emb)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(ProductQuant.adcTable(col("v"), cbs).as("tbl"))
+    val coded = ProductQuant.encode(emb, cbs).select("vec_id", "codes")
+      .crossJoin(broadcast(q))
+    val k = coded.select(col("vec_id"),
+      ProductQuant.adcScoreWith(col("codes"), col("tbl"), ProductQuant.Ks,
+        useKernel = true).as("s"))
+    val h = coded.select(col("vec_id"),
+      ProductQuant.adcScoreWith(col("codes"), col("tbl"), ProductQuant.Ks,
+        useKernel = false).as("s"))
+    assert(k.exceptAll(h).count() === 0)
+    assert(h.exceptAll(k).count() === 0)
+    // NULL codes NULL-poison the fold on both formulations (an OOB
+    // lookup is OUTSIDE the contract — encode yields codes in [0, Ks)
+    // and adcTable builds exactly M·Ks entries, and ANSI element_at
+    // would raise on it; the kernel's null there is defensive only)
+    val edge = Seq((2L, Option.empty[Seq[Int]], Seq(0.5, 1.5)))
+      .toDF("vec_id", "codes", "tbl")
+    Seq(true, false).foreach { uk =>
+      val r = edge.select(col("vec_id"),
+        ProductQuant.adcScoreWith(col("codes"), col("tbl"), ProductQuant.Ks,
+          useKernel = uk).as("s")).collect()
+      assert(r.forall(_.isNullAt(1)), s"useKernel=$uk")
+    }
+  }
+
   test("ivfpq_append declared key: appended index recall-green, repeat-call served") {
     val a = ProductQuant.ivfpqAppendRecall(spark, sf0001).collect()
     assert(a.length === Similarity.NumQueryVecs)

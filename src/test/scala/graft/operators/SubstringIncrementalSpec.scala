@@ -15,6 +15,37 @@ class SubstringIncrementalSpec extends SparkSpec {
   private def spanSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
+  test("window-digest kernel ≡ HOF, bit-equal incl. null tokens") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val k = SubstringDedup.windowDigestsWith(docs, SubstringDedup.SpanL,
+      Nil, useKernel = true)
+    val h = SubstringDedup.windowDigestsWith(docs, SubstringDedup.SpanL,
+      Nil, useKernel = false)
+    assert(k.exceptAll(h).count() === 0)
+    assert(h.exceptAll(k).count() === 0)
+    // concat_ws skips NULL tokens entirely (single separator) — pin the
+    // kernel against the HOF on a frame with a null element and exactly
+    // spanL tokens
+    val edge = Seq((1L, (1 to SubstringDedup.SpanL).map(i => s"t$i")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        transform(col("toks"),
+          t => when(t === "t3", lit(null)).otherwise(t)).as("toks"))
+    val ek = edge.select(
+      call_function("graft_window_digests", col("toks"),
+        lit(SubstringDedup.SpanL)).as("w")).collect()
+    val eh = edge.select(
+      transform(
+        sequence(lit(1), size(col("toks")) - (SubstringDedup.SpanL - 1)),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ",
+            slice(col("toks"), i, lit(SubstringDedup.SpanL)))).as("g"))).as("w"))
+      .collect()
+    assert(ek.map(_.get(0)) === eh.map(_.get(0)))
+  }
+
   test("cross-index and in-batch spans mark; unique batch text survives") {
     import spark.implicits._
     // L = 8. Index doc 100 carries passage s10 (10 tokens). Batch: d1
