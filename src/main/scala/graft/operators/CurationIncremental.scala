@@ -390,12 +390,13 @@ object CurationIncremental {
     val acc1 = acceptedFull(docs.filter(col("doc_id") % 2 === 0),
         Seq.empty[String].toDF("fp"))
       .localCheckpoint(true)
-    // the mix is consumed exactly once (by the pack), so it needs no
-    // materialization of its own; packing preserves the mixed rows and
-    // their (lang, n_tok) columns, so ONE collect over the packed output
-    // answers both the cursor hand-off (Σ n_tok) and the per-domain
-    // consumed counters — previously three separate actions
-    val mix1 = mixBatch(acc1, budgets, Map.empty)
+    // packing preserves the mixed rows and their (lang, n_tok) columns,
+    // so ONE collect over the packed output answers both the cursor
+    // hand-off (Σ n_tok) and the per-domain consumed counters —
+    // previously two separate actions over two frames. materialize=true
+    // stays on the mix: it scopes DomainMix's internal cache to the call
+    // (the CacheHygieneSpec contract).
+    val mix1 = mixBatch(acc1, budgets, Map.empty, materialize = true)
     val out1 = packBatchMixed(mix1, 0L, materialize = true)
     val stats1 = out1.groupBy("lang")
       .agg(coalesce(sum("n_tok"), lit(0L)).as("t")).collect()
@@ -403,7 +404,7 @@ object CurationIncremental {
     val cons1 = stats1.map(r => r.getString(0) -> r.getLong(1)).toMap
     val mix2 = mixBatch(
       acceptedFull(docs.filter(col("doc_id") % 2 === 1), acc1.select("fp")),
-      budgets, cons1)
+      budgets, cons1, materialize = true)
     val out2 = packBatchMixed(mix2, tot1, materialize = true)
     out1.withColumn("batch", lit(1))
       .union(out2.withColumn("batch", lit(2)))
@@ -444,9 +445,10 @@ object CurationIncremental {
         spark.read.parquet(s"$path/budgets").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
-    // mix consumed once (by the pack); total + per-domain deltas come
-    // from ONE collect over the packed output (see curationIncrementalFull)
-    val mixed = mixBatch(acc, budgets, consumed)
+    // total + per-domain deltas come from ONE collect over the packed
+    // output (see curationIncrementalFull); materialize=true scopes
+    // DomainMix's internal cache to the call
+    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
     val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
       materialize = true)
     val stats = out.groupBy("lang")
@@ -504,9 +506,10 @@ object CurationIncremental {
         spark.read.parquet(s"$path/budgets").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
-    // mix consumed once (by the pack); total + per-domain deltas come
-    // from ONE collect over the packed output (see curationIncrementalFull)
-    val mixed = mixBatch(acc, budgets, consumed)
+    // total + per-domain deltas come from ONE collect over the packed
+    // output (see curationIncrementalFull); materialize=true scopes
+    // DomainMix's internal cache to the call
+    val mixed = mixBatch(acc, budgets, consumed, materialize = true)
     val out = packBatchMixed(mixed, cursor, budget, bucketWidth,
       materialize = true)
       .select("doc_id", "lang", "quality", "n_tok", "mix_start",
