@@ -313,9 +313,7 @@ object Probe {
         f"frags max ${frags.values.max}%2d " +
         f"(agg read ${(System.nanoTime() - t0) / 1e9}%.1f s)")
     }
-    val cursor = spark.read.parquet(s"$dir/cursor").head().getLong(0)
-    val consumed = spark.read.parquet(s"$dir/budgets").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (cursor, _, consumed) = CurationIncremental.readCtl(spark, dir)
     val frags = IndexMaintenance.fragmentCounts(s"$dir/fps")
     println(s"[probe] curation20 after $nights nights: cursor $cursor " +
       s"(sum of totals $totals), consumed ${consumed.toSeq.sorted}, " +
@@ -2243,7 +2241,7 @@ object Probe {
       CurationIncremental.step(spark, night1, dir, init = true)
         .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
     }
-    val cur1 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    val cur1 = CurationIncremental.readCtl(spark, dir)._1
     assert(cur1 == t1, "cursor must equal night 1's packed total")
     // batch ids nIdx…: [0, nDup) duplicate night-1 text, [nDup,
     // nDup+nJunk) junk, rest fresh
@@ -2390,7 +2388,7 @@ object Probe {
     }
     val cons1 = spark.read.parquet(s"$dir/budgets").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val cur1 = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    val cur1 = CurationIncremental.readCtl(spark, dir)._1
     (0 until 4).foreach(d => assert(cons1(s"L$d") >= 50000L,
       s"night 1 must exhaust L$d: ${cons1(s"L$d")}"))
     val out2 = timed(s"night 2: full macro over $nBatch docs vs persisted state") {

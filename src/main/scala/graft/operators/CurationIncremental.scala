@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     ([[IncrementalDedup]]'s bucket-partitioned layout, verbatim) —
   *     appended per step with ALL accepted survivors (both shards: a
   *     val-shard doc must still suppress future duplicates);
-  *   - `cursor/`: ONE row — the global token offset the next run's
-  *     packing starts from (the train shard's running total).
+  *   - `ctl/`:    ONE row — the fused control state (r22): the global
+  *     token offset the next run's packing starts from (the train
+  *     shard's running total), the streaming driver's committed batch
+  *     id (-1 outside streaming), and the full macro's per-domain
+  *     consumed counters (empty outside the full macro).
   *
   * Per-step cost is O(batch) text work + one narrow anti-join against
   * the index — the accumulated corpus's TEXT is never touched again,
@@ -85,9 +88,9 @@ object CurationIncremental {
   /** Fold a COMMITTED pending night into the live state: append the
     * staged fp files into `fps/` (atomic per-file copy, skip files a
     * prior fold attempt already moved — staged part names are
-    * write-fresh UUIDs, collision-free), then swap `cursor/` to the
-    * staged row (copy staged in first, delete old after — never a
-    * moment with no cursor file), then delete the marker FIRST and the
+    * write-fresh UUIDs, collision-free), then swap `ctl/` to the
+    * staged control row (copy staged in first, delete old after — never
+    * a moment with no control file), then delete the marker FIRST and the
     * pending tree. Every action is idempotent, so a crash at any point
     * re-folds cleanly. */
   private def foldPending(path: String): Unit = {
@@ -102,11 +105,11 @@ object CurationIncremental {
           IndexMaintenance.copyInto(_,
             java.nio.file.Paths.get(path, "fps", d.getFileName.toString)))
       }
-    // cursor (and, for the full macro, budgets; for the streaming
-    // driver, the committed batch id): staged files in, stale files out
-    // (by name difference) — copy-first so there is never a moment with
-    // no live file
-    Seq("cursor", "budgets", "meta").foreach { piece =>
+    // the fused control row (cursor + per-domain budget counters + the
+    // streaming driver's committed batch id — ONE staged parquet, r22):
+    // staged files in, stale files out (by name difference) — copy-first
+    // so there is never a moment with no live file
+    Seq("ctl").foreach { piece =>
       val staged = pend.resolve(piece)
       if (java.nio.file.Files.isDirectory(staged)) {
         val live = java.nio.file.Paths.get(path, piece)
@@ -123,6 +126,39 @@ object CurationIncremental {
     IndexMaintenance.deleteRecursively(pend)
   }
 
+  /** The fused control row (r22, guide §5 driver round-trips): what used
+    * to be three single-row parquet sub-tables — `cursor/` (next_tok),
+    * `budgets/` (one (lang, consumed) row per domain), `meta/`
+    * (batch_id) — is ONE `ctl/` parquet of ONE row
+    * (next_tok, batch_id, consumed-map). Every step previously paid up
+    * to three tiny write JOBS staging them and up to three read jobs
+    * loading them back; fused, each side is one job. batch_id = -1 means
+    * "no streaming driver has committed" (exactly the old meta-absent
+    * state); consumed is empty outside the full macro. */
+  private[graft] def readCtl(spark: SparkSession, path: String)
+      : (Long, Long, Map[String, Long]) =
+    if (IndexMaintenance.dataFiles(
+        java.nio.file.Paths.get(path, "ctl")).isEmpty) (0L, -1L, Map.empty)
+    else {
+      // max over rows, like the old meta read (r20 ADVICE): a crash in
+      // the fold's copy-first/delete-stale window can leave the stale
+      // file beside the staged one; the staged row is the one with the
+      // larger (batch_id, next_tok) — both monotone per commit
+      val r = spark.read.parquet(s"$path/ctl").collect()
+        .maxBy(r => (r.getLong(1), r.getLong(0)))
+      (r.getLong(0), r.getLong(1),
+        r.getMap[String, Long](2).toMap)
+    }
+
+  /** Write the fused control row (live path on init, staged under
+    * `_pending` otherwise). */
+  private def writeCtl(spark: SparkSession, dir: java.nio.file.Path,
+      nextTok: Long, batchId: Long, consumed: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Seq((nextTok, batchId, consumed)).toDF("next_tok", "batch_id", "consumed")
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
   /** Stage one night's state delta under `_pending` (invisible to Spark
     * readers of the live paths) and commit it with the completion
     * marker. Split from [[step]] so the crash spec can stop at either
@@ -132,17 +168,12 @@ object CurationIncremental {
       budgetRows: Option[Seq[(String, Long)]] = None,
       metaRow: Option[Long] = None,
       nBuckets: Int = IncrementalDedup.IndexBuckets): Unit = {
-    import spark.implicits._
     val pend = pendingDir(path)
     IndexMaintenance.deleteRecursively(pend)
     IncrementalDedup.writeFpIndex(acc.select("fp"),
       pend.resolve("fps").toString, nBuckets)
-    Seq(nextCursor).toDF("next_tok")
-      .write.mode("overwrite").parquet(pend.resolve("cursor").toString)
-    budgetRows.foreach(_.toDF("lang", "consumed")
-      .write.mode("overwrite").parquet(pend.resolve("budgets").toString))
-    metaRow.foreach(id => Seq(id).toDF("batch_id")
-      .write.mode("overwrite").parquet(pend.resolve("meta").toString))
+    writeCtl(spark, pend.resolve("ctl"), nextCursor,
+      metaRow.getOrElse(-1L), budgetRows.map(_.toMap).getOrElse(Map.empty))
     if (commit) Tables.markArtifactComplete(pend.toString)
   }
 
@@ -174,14 +205,14 @@ object CurationIncremental {
     val (idxFps, cursor) =
       if (init) (Seq.empty[String].toDF("fp"), 0L)
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
-        spark.read.parquet(s"$path/cursor").head().getLong(0))
+        readCtl(spark, path)._1)
     val acc = accepted(batch, idxFps).localCheckpoint(true)
     val out = packBatch(acc, cursor, budget, bucketWidth, materialize = true)
     val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
     if (init) {
       IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps")
-      Seq(cursor + total).toDF("next_tok")
-        .write.mode("overwrite").parquet(s"$path/cursor")
+      writeCtl(spark, java.nio.file.Paths.get(path, "ctl"),
+        cursor + total, -1L, Map.empty)
     } else {
       stageAndCommit(spark, acc, cursor + total, path)
       foldPending(path)
@@ -217,22 +248,20 @@ object CurationIncremental {
   // ------------------------------ streaming arrival driver (exactly-once)
 
   /** Micro-batch id the state at `path` last committed, or -1 on fresh
-    * state. Lives in `meta/` and commits ATOMICALLY with the fp delta
-    * and the cursor (one more piece under [[stageAndCommit]]'s pending
-    * marker) — which is what makes [[stepExactlyOnce]]'s replay check
+    * state. Lives in the fused `ctl/` row and commits ATOMICALLY with
+    * the fp delta and the cursor (the same staged parquet under
+    * [[stageAndCommit]]'s pending marker) — which is what makes
+    * [[stepExactlyOnce]]'s replay check
     * trustworthy: the id can never say "applied" while the fps/cursor
     * say otherwise, or vice versa. */
   def committedBatchId(spark: SparkSession, path: String): Long =
-    // data-file presence, not directory presence: a meta/ directory with
-    // no committed data files (a crash window of the r18 first-batch
-    // protocol, kept robust here as belt-and-braces) is FRESH state —
-    // reading it would throw and wedge every retry (r18 ADVICE)
-    if (IndexMaintenance.dataFiles(
-        java.nio.file.Paths.get(path, "meta")).nonEmpty)
-      // max, not head(): see Ranking.committedBm25BatchId (r20 ADVICE)
-      spark.read.parquet(s"$path/meta")
-        .agg(max("batch_id")).head().getLong(0)
-    else -1L
+    // data-file presence, not directory presence: a ctl/ directory with
+    // no committed data files (the r18 wedge artifact's shape, kept
+    // robust here as belt-and-braces) is FRESH state — reading it would
+    // throw and wedge every retry (r18 ADVICE). readCtl returns -1 both
+    // there and when only non-streaming steps have written (their fused
+    // row carries batch_id = -1), exactly the old meta-absent semantics.
+    readCtl(spark, path)._2
 
   /** One EXACTLY-ONCE arrival step — [[step]] for a streaming driver
     * whose engine may re-deliver a micro-batch after a restart
@@ -262,14 +291,15 @@ object CurationIncremental {
     * fresh state (r19, r18 ADVICE): it stages into `_pending` and
     * commits at the marker like every later batch — the previous
     * meta-written-last overwrite scheme had a wedge window where a
-    * crash mid-meta-write left `meta/` present but unreadable, sending
-    * every retry down the non-first path into a throw. Fresh state is
-    * detected by `meta/` carrying no committed DATA FILES, and
+    * crash mid-meta-write left the batch-id state present but
+    * unreadable, sending every retry down the non-first path into a
+    * throw. Fresh state is detected by `ctl/` carrying no committed
+    * DATA FILES (or only rows with batch_id = -1), and
     * [[recoverState]] runs unconditionally, so a first batch that
     * crashed past its marker rolls forward and the retry is correctly
     * classified as a replay. The state dir is owned by this entry
     * point — don't interleave raw [[step]] calls, which advance state
-    * without `meta/`. */
+    * with batch_id = -1. */
   def stepExactlyOnce(spark: SparkSession, batch: DataFrame, path: String,
       outDir: String, batchId: Long,
       budget: Int = Packing.SeqBudget,
@@ -278,13 +308,15 @@ object CurationIncremental {
       nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
     import spark.implicits._
     recoverState(spark, path)
-    val committed = committedBatchId(spark, path)
+    // ONE control read answers the replay check AND the cursor (the
+    // fused ctl row, r22 — previously two jobs over two sub-tables)
+    val (ctlCursor, committed, _) = readCtl(spark, path)
     val first = committed < 0
     if (!first && batchId <= committed) return false
     val (idxFps, cursor) =
       if (first) (Seq.empty[String].toDF("fp"), 0L)
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
-        spark.read.parquet(s"$path/cursor").head().getLong(0))
+        ctlCursor)
     val acc = accepted(batch, idxFps).localCheckpoint(true)
     val out = packBatch(acc, cursor, budget, bucketWidth, materialize = true)
     val total = out.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
@@ -424,9 +456,10 @@ object CurationIncremental {
       offset, materialize)
 
   /** One nightly step of the FULL macro against the state at `path` —
-    * [[step]]'s protocol with the third piece of state: `budgets/`
-    * (one (domain, consumed) row per budgeted domain) commits atomically
-    * with the fp delta and the cursor under the same pending marker.
+    * [[step]]'s protocol with the third piece of state: the per-domain
+    * consumed counters, riding the fused `ctl/` row so they commit
+    * atomically with the fp delta and the cursor under the same pending
+    * marker.
     * fps of ALL accepted survivors enter the index, including docs the
     * mix rejected for budget — dedup state and sampling state are
     * independent: a budget-rejected doc is still SEEN text, and its
@@ -438,12 +471,13 @@ object CurationIncremental {
       init: Boolean = false, autoCompact: Int = 0): DataFrame = {
     import spark.implicits._
     if (!init) recoverState(spark, path)
+    // cursor + per-domain counters from ONE control read (fused ctl, r22)
     val (idxFps, cursor, consumed) =
       if (init) (Seq.empty[String].toDF("fp"), 0L, Map.empty[String, Long])
-      else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
-        spark.read.parquet(s"$path/cursor").head().getLong(0),
-        spark.read.parquet(s"$path/budgets").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      else {
+        val (c, _, cons) = readCtl(spark, path)
+        (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"), c, cons)
+      }
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
     // total + per-domain deltas come from ONE collect over the packed
     // output (see curationIncrementalFull); materialize=true scopes
@@ -460,10 +494,8 @@ object CurationIncremental {
     }
     if (init) {
       IncrementalDedup.writeFpIndex(acc.select("fp"), s"$path/fps")
-      Seq(cursor + total).toDF("next_tok")
-        .write.mode("overwrite").parquet(s"$path/cursor")
-      newConsumed.toDF("lang", "consumed")
-        .write.mode("overwrite").parquet(s"$path/budgets")
+      writeCtl(spark, java.nio.file.Paths.get(path, "ctl"),
+        cursor + total, -1L, newConsumed.toMap)
     } else {
       stageAndCommit(spark, acc, cursor + total, path,
         budgetRows = Some(newConsumed))
@@ -496,15 +528,16 @@ object CurationIncremental {
       nBuckets: Int = IncrementalDedup.IndexBuckets): Boolean = {
     import spark.implicits._
     recoverState(spark, path)
-    val committed = committedBatchId(spark, path)
+    // ONE control read answers the replay check, the cursor AND the
+    // per-domain counters (fused ctl, r22 — previously three jobs over
+    // three single-row sub-tables)
+    val (ctlCursor, committed, ctlConsumed) = readCtl(spark, path)
     val first = committed < 0
     if (!first && batchId <= committed) return false
     val (idxFps, cursor, consumed) =
       if (first) (Seq.empty[String].toDF("fp"), 0L, Map.empty[String, Long])
       else (IncrementalDedup.readFpIndex(spark, s"$path/fps").select("fp"),
-        spark.read.parquet(s"$path/cursor").head().getLong(0),
-        spark.read.parquet(s"$path/budgets").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        ctlCursor, ctlConsumed)
     val acc = acceptedFull(batch, idxFps).localCheckpoint(true)
     // total + per-domain deltas come from ONE collect over the packed
     // output (see curationIncrementalFull); materialize=true scopes

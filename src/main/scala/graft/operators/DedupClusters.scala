@@ -138,7 +138,13 @@ object DedupClusters {
     val canon = truncate(pairs
       .select(least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
       .distinct())
-    var edges = truncate(canon.filter(col("u") =!= col("v")))
+    // No second checkpoint for the initial edge set (r22): the self-loop
+    // filter is one narrow op over canon's already-materialized blocks, so
+    // round 1 reads THROUGH it at filter cost instead of paying a full
+    // rebase + re-materialization job. canon is not released explicitly —
+    // round 1's release(edges) resolves backingRdd through the Filter to
+    // canon's LogicalRDD and frees exactly those blocks.
+    var edges = canon.filter(col("u") =!= col("v"))
     // An id seen ONLY in self-loop pairs is a singleton component labeled
     // rep = self. The star rounds drop self-loops (they carry no
     // connectivity), so those label rows are built here, eagerly, before
@@ -153,7 +159,7 @@ object DedupClusters {
             .union(edges.select(col("v").as("id"))).distinct(),
           Seq("id"), "left_anti")
         .select(col("id"), col("id").as("rep"))))
-    release(canon)
+    // canon's release is owned by round 1's release(edges) — see above
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))

@@ -109,30 +109,39 @@ object ImageEmbed {
     * Output: one row per input id, (media_id, dup_of, keep) with
     * keep-first-by-id, the dedup family's verdict shape. */
   def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
-    // `emb` (the decode->descriptor kernel output) is referenced seven
-    // times below (two signature tables x two self-join sides, both
-    // verify joins, keep join) -- persist so the kernel runs once.
+    // `emb` (the decode->descriptor kernel output) is referenced five
+    // times below (banded self-join sides, both verify joins, keep join)
+    // -- persist so the kernel runs once.
     val e = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def tableCand(hashed: DataFrame): DataFrame = {
-      val banded = hashed.select(col("media_id"), col("sig"),
-        explode(array((0 until ImagePhash.Bands).map(b =>
-          struct(lit(b).as("b"),
-            shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
-        .select(col("media_id"), col("sig"),
-          col("band.b").as("b"), col("band.v").as("bv"))
-      banded.as("a").join(banded.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
-          col("a.sig").as("sig_lo"), col("b.sig").as("sig_hi"))
-        .distinct()
-        .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
-        .select("lo", "hi")
-    }
-    val cand = tableCand(e.select(col("media_id"),
-        Similarity.simhashFor(e, col("v"), 64).as("sig")))
-      .union(tableCand(e.select(col("media_id"),
-        Similarity.simhashFor(e, reverse(col("v")), 64).as("sig"))))
+    // ONE banded pass over both tables (r22, guide §2.4): the previous
+    // shape ran a separate explode + self-join + distinct per signature
+    // table and union'd the pair sets — 2× the stages and exchanges for
+    // the same candidates. Band rows keyed by the composite
+    // (table·Bands + band) id make the per-table equi-joins ONE equi-join;
+    // each row carries ITS table's signature, so the Hamming-radius cut
+    // compares the same sig pair the per-table shape compared, and the
+    // union-then-distinct of per-table pair sets is exactly the distinct
+    // of the single join's surviving pairs.
+    val sigs = e.select(col("media_id"),
+      Similarity.simhashFor(e, col("v"), 64).as("_sig0"),
+      Similarity.simhashFor(e, reverse(col("v")), 64).as("_sig1"))
+    val banded = sigs.select(col("media_id"),
+      explode(array((0 until 2).flatMap(ti =>
+        (0 until ImagePhash.Bands).map(b =>
+          struct(lit(ti * ImagePhash.Bands + b).as("tb"),
+            shiftrightunsigned(col(s"_sig$ti"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("bv"),
+            col(s"_sig$ti").as("sig")))): _*)).as("band"))
+      .select(col("media_id"), col("band.tb").as("tb"),
+        col("band.bv").as("bv"), col("band.sig").as("sig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"),
+        col("a.sig").as("sig_lo"), col("b.sig").as("sig_hi"))
+      .distinct()
+      .filter(bit_count(col("sig_lo").bitwiseXOR(col("sig_hi"))) <= ImagePhash.HammingMax)
+      .select("lo", "hi")
       .distinct()
     val verified = cand
       .join(e.select(col("media_id").as("lo"), col("v").as("v_lo")), "lo")

@@ -141,12 +141,24 @@ object ProductQuant {
 
   /** The per-query flat ADC table: entry m·Ks + k = ⟨q_sub(m), cb(m)(k)⟩.
     * One array<double> column of M·Ks entries on the QUERY frame. */
-  def adcTable(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def adcTable(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    adcTableWith(qv, codebooks,
+      useKernel = org.apache.spark.sql.SparkSession.active
+        .catalog.functionExists("graft_adc_table"))
+
+  /** Both table formulations behind one switch so the spec can assert
+    * their bit-equality (kernel≡HOF contract — the HOF is four nested
+    * higher-order functions with a slice + zip allocation per
+    * (subspace × codeword) per query row; the kernel is one codegen'd
+    * primitive loop, see [[graft.plans.AdcTableExpr]]). */
+  private[operators] def adcTableWith(qv: Column,
+      codebooks: Seq[Seq[Seq[Double]]], useKernel: Boolean): Column = {
     val m = codebooks.size
     val ks = codebooks.head.size
     val dsub = codebooks.head.head.size
     val cb = typedLit(codebooks)
-    flatten(transform(sequence(lit(0), lit(m - 1)), mi =>
+    if (useKernel) call_function("graft_adc_table", qv, cb)
+    else flatten(transform(sequence(lit(0), lit(m - 1)), mi =>
       transform(sequence(lit(0), lit(ks - 1)), k =>
         aggregate(
           zip_with(slice(qv, mi * dsub + 1, lit(dsub)),

@@ -180,30 +180,34 @@ object TextEmbed {
     * signatures → exact-cosine verify at `threshold` → keep-first-by-id
     * (one row per input id, the dedup family's verdict shape). */
   def textNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
-    // `emb` (the n-gram embed kernel output) is referenced eleven times
-    // below (four signature tables x two self-join sides, both verify
-    // joins, keep join) -- persist so the kernel runs once.
+    // `emb` (the n-gram embed kernel output) is referenced five times
+    // below (banded self-join sides, both verify joins, keep join) --
+    // persist so the kernel runs once.
     val e = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def tableCand(hashed: DataFrame): DataFrame = {
-      val banded = hashed.select(col("doc_id"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("b"),
-            shiftrightunsigned(col("sig"), BandBits * b)
-              .bitwiseAND(lit((1L << BandBits) - 1)).as("v"))): _*)).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("bv"))
-      banded.as("a").join(banded.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
-        .distinct()
-    }
+    // ONE banded pass over all four tables (r22, guide §2.4): the previous
+    // shape ran a separate explode + self-join + distinct per signature
+    // table and union'd the four candidate sets — 4× the stages and
+    // exchanges for the same candidate pairs. Keying the band rows by the
+    // composite (table·Bands + band) id makes the per-table equi-joins ONE
+    // equi-join; the union-then-distinct of per-table pair sets is exactly
+    // the distinct of the single join's pairs.
     // four deterministic coordinate images of v — independent plane sets
     val shift1 = (v: Column) => concat(slice(v, 2, Dim - 1), slice(v, 1, 1))
     val tables: Seq[Column] = Seq(col("v"), reverse(col("v")),
       shift1(col("v")), reverse(shift1(col("v"))))
-    val cand = tables.map(t => tableCand(
-        e.select(col("doc_id"), Similarity.simhashFor(e, t, 64).as("sig"))))
-      .reduce(_ union _).distinct()
+    val sigs = e.select(col("doc_id") +: tables.zipWithIndex.map {
+      case (t, ti) => Similarity.simhashFor(e, t, 64).as(s"_sig$ti") }: _*)
+    val banded = sigs.select(col("doc_id"),
+      explode(array(tables.indices.flatMap(ti => (0 until Bands).map(b =>
+        struct(lit(ti * Bands + b).as("tb"),
+          shiftrightunsigned(col(s"_sig$ti"), BandBits * b)
+            .bitwiseAND(lit((1L << BandBits) - 1)).as("bv")))): _*)).as("band"))
+      .select(col("doc_id"), col("band.tb").as("tb"), col("band.bv").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+      .distinct()
     val verified = cand
       .join(e.select(col("doc_id").as("lo"), col("v").as("v_lo")), "lo")
       .join(e.select(col("doc_id").as("hi"), col("v").as("v_hi")), "hi")
@@ -254,18 +258,23 @@ object TextEmbed {
   def bandRowsWithVec(emb: DataFrame, bandBits: Int = BandBits,
       nTables: Int = 4, carry: Seq[String] = Nil): DataFrame = {
     val nBands = 64 / bandBits
-    tableImages(nTables).zipWithIndex.map { case (t, ti) =>
-      emb.select(Seq(col("doc_id"), col("v"), lit(ti).as("tbl"),
-          Similarity.simhashFor(emb, t, 64).as("sig")) ++ carry.map(col): _*)
-        .select(Seq(col("doc_id"), col("v"), col("tbl"),
-          explode(array((0 until nBands).map(b =>
-            struct(lit(b).as("b"),
-              shiftrightunsigned(col("sig"), bandBits * b)
-                .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("band"))
-          ++ carry.map(col): _*)
-        .select(Seq(col("doc_id"), col("tbl"), col("band.b").as("b"),
-          col("band.bv").as("bv"), col("v")) ++ carry.map(col): _*)
-    }.reduce(_ union _)
+    // ONE pass over `emb` for every (table, band) row (r22, guide §2.4):
+    // the previous per-table select-then-union shape scanned the embedding
+    // nTables times and stacked nTables plan branches; all nTables
+    // signatures now ride one projection and a single explode fans out the
+    // identical (doc_id, tbl, b, bv, v[, carry…]) row multiset.
+    val sigCols = tableImages(nTables).zipWithIndex.map { case (t, ti) =>
+      Similarity.simhashFor(emb, t, 64).as(s"_sig$ti") }
+    emb.select(Seq(col("doc_id"), col("v")) ++ sigCols ++ carry.map(col): _*)
+      .select(Seq(col("doc_id"), col("v"),
+        explode(array((0 until nTables).flatMap(ti => (0 until nBands).map(b =>
+          struct(lit(ti).as("tbl"), lit(b).as("b"),
+            shiftrightunsigned(col(s"_sig$ti"), bandBits * b)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bv")))): _*)).as("band"))
+        ++ carry.map(col): _*)
+      .select(Seq(col("doc_id"), col("band.tbl").as("tbl"),
+        col("band.b").as("b"), col("band.bv").as("bv"), col("v"))
+        ++ carry.map(col): _*)
   }
 
   /** The embedding as a bare COLUMN over a text column — the kernel path

@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowDigestsExpr].getName, "graft_window_digests"),
       (children: Seq[Expression]) => WindowDigestsExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_adc_table"),
+      new ExpressionInfo(classOf[AdcTableExpr].getName, "graft_adc_table"),
+      (children: Seq[Expression]) => AdcTableExpr(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncodeExpr(children(0), children(1))))

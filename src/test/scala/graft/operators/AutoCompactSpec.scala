@@ -136,8 +136,8 @@ class AutoCompactSpec extends SparkSpec {
         budget = 8, bucketWidth = 2, init = i == 0, autoCompact = 1))
       assert(a === p, s"night ${i + 1} packed rows must not change")
     }
-    assert(spark.read.parquet(s"$auto/cursor").head().getLong(0) ===
-      spark.read.parquet(s"$plain/cursor").head().getLong(0))
+    assert(CurationIncremental.readCtl(spark, auto)._1 ===
+      CurationIncremental.readCtl(spark, plain)._1)
     assert(maxFragments(s"$auto/fps") <= 1)
     val pf = spark.read.parquet(s"$plain/fps").select("fp")
       .as[String].collect().sorted

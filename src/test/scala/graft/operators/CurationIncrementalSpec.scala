@@ -28,7 +28,7 @@ class CurationIncrementalSpec extends SparkSpec {
     val out1 = CurationIncremental.step(spark, n1, dir,
       budget = 8, bucketWidth = 2, init = true)
     assert(rows(out1) === Set((2L, 4L, 0L, 0L), (4L, 4L, 4L, 0L)))
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 8L,
+    assert(CurationIncremental.readCtl(spark, dir)._1 === 8L,
       "the cursor must advance by night 1's packed train tokens")
     // night 2: 1 fresh (train), 3 = exact bag-of-words dup of indexed doc
     // 2 (cross-index drop), 5 = junk (gate drop), 7 fresh (train),
@@ -43,7 +43,7 @@ class CurationIncrementalSpec extends SparkSpec {
       budget = 8, bucketWidth = 2)
     assert(rows(out2) === Set((1L, 4L, 8L, 1L), (7L, 4L, 12L, 1L)),
       "night 2 must continue at offset 8 — the seam the operator removes")
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 16L)
+    assert(CurationIncremental.readCtl(spark, dir)._1 === 16L)
     // the val-shard doc 0's fingerprint IS in the index: its dup dies on
     // night 3 even though doc 0 was never packed
     val n3 = Seq((11L, "doc shard val solo")).toDF("doc_id", "text")
@@ -51,7 +51,7 @@ class CurationIncrementalSpec extends SparkSpec {
       budget = 8, bucketWidth = 2)
     assert(out3.count() === 0,
       "a duplicate of a val-shard accepted doc must still be suppressed")
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 16L,
+    assert(CurationIncremental.readCtl(spark, dir)._1 === 16L,
       "an all-duplicate night must not move the cursor")
   }
 
@@ -67,7 +67,7 @@ class CurationIncrementalSpec extends SparkSpec {
       init = true)
     val refOut2 = rows(CurationIncremental.step(spark, n2, ref,
       budget = 8, bucketWidth = 2))
-    val refCursor = spark.read.parquet(s"$ref/cursor").head().getLong(0)
+    val refCursor = CurationIncremental.readCtl(spark, ref)._1
     // crashed: night 2 staged its delta but DIED before the commit marker
     val dir = tmpDir("curinc-precommit")
     CurationIncremental.step(spark, n1, dir, budget = 8, bucketWidth = 2,
@@ -81,7 +81,7 @@ class CurationIncrementalSpec extends SparkSpec {
       budget = 8, bucketWidth = 2))
     assert(out2 === refOut2,
       "a retried crashed night must reproduce the batch bit-for-bit")
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === refCursor)
+    assert(CurationIncremental.readCtl(spark, dir)._1 === refCursor)
   }
 
   test("atomic state commit: a post-commit crash rolls forward on the next step") {
@@ -100,13 +100,13 @@ class CurationIncrementalSpec extends SparkSpec {
     CurationIncremental.step(spark, n2, ref, budget = 8, bucketWidth = 2)
     val refOut3 = rows(CurationIncremental.step(spark, n3, ref,
       budget = 8, bucketWidth = 2))
-    val refCursor = spark.read.parquet(s"$ref/cursor").head().getLong(0)
+    val refCursor = CurationIncremental.readCtl(spark, ref)._1
     // crashed: night 2 COMMITTED (marker written) but died before folding
     val dir = tmpDir("curinc-postcommit")
     CurationIncremental.step(spark, n1, dir, budget = 8, bucketWidth = 2,
       init = true)
     val idxFps = IncrementalDedup.readFpIndex(spark, s"$dir/fps").select("fp")
-    val cursor = spark.read.parquet(s"$dir/cursor").head().getLong(0)
+    val cursor = CurationIncremental.readCtl(spark, dir)._1
     val acc2 = CurationIncremental.accepted(n2, idxFps).localCheckpoint(true)
     val out2 = CurationIncremental.packBatch(acc2, cursor,
       budget = 8, bucketWidth = 2, materialize = true)
@@ -117,7 +117,7 @@ class CurationIncrementalSpec extends SparkSpec {
       budget = 8, bucketWidth = 2))
     assert(out3 === refOut3,
       "recovery must fold the committed night before processing the next")
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === refCursor)
+    assert(CurationIncremental.readCtl(spark, dir)._1 === refCursor)
   }
 
   test("stepFull: budget counters carry across nights; an exhausted domain stops filling") {
@@ -139,11 +139,10 @@ class CurationIncrementalSpec extends SparkSpec {
     assert(rows1.count(_._1 == "en") === 1,
       "exactly one en doc fits: the boundary-crossing doc is kept, the next is rejected")
     assert(rows1.filter(_._1 == "fr").map(_._3).sorted.toSeq === Seq(0L, 4L))
-    val cons1 = spark.read.parquet(s"$dir/budgets").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cons1 = CurationIncremental.readCtl(spark, dir)._3
     assert(cons1 === Map("en" -> 6L, "fr" -> 8L),
       "counters must equal the selected token sums")
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 14L)
+    assert(CurationIncremental.readCtl(spark, dir)._1 === 14L)
     // night 2: en is exhausted (6 ≥ 5) — its train doc must select
     // NOTHING; fr continues exactly at its counter
     val n2 = Seq(
@@ -156,10 +155,9 @@ class CurationIncrementalSpec extends SparkSpec {
     assert(rows2.toSeq === Seq(("fr", 4L, 8L, 14L)),
       "night 2: en exhausted selects nothing; fr continues at consumed=8, " +
         "packing continues at cursor=14")
-    val cons2 = spark.read.parquet(s"$dir/budgets").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cons2 = CurationIncremental.readCtl(spark, dir)._3
     assert(cons2 === Map("en" -> 6L, "fr" -> 12L))
-    assert(spark.read.parquet(s"$dir/cursor").head().getLong(0) === 18L)
+    assert(CurationIncremental.readCtl(spark, dir)._1 === 18L)
   }
 
   test("persisted stepFull two-step form equals the declared full key") {

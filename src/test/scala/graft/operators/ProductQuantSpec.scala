@@ -402,6 +402,40 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("adc table kernel ≡ HOF fold, bit-equal incl. short/null-element vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = normEmb
+    val cbs = ProductQuant.trainCodebooks(spark, emb)
+    // real corpus: identical M·Ks table row for row
+    val k = emb.select(col("vec_id"),
+      ProductQuant.adcTableWith(col("v"), cbs, useKernel = true).as("tbl"))
+    val h = emb.select(col("vec_id"),
+      ProductQuant.adcTableWith(col("v"), cbs, useKernel = false).as("tbl"))
+    assert(k.exceptAll(h).count() === 0)
+    assert(h.exceptAll(k).count() === 0)
+    // edge shapes the HOF defines implicitly: a short vector NULLs the
+    // truncated subspaces' entries (zip_with pads, the fold poisons), a
+    // null element NULLs its subspace, a NULL vector yields all-NULL
+    // entries (NOT a null array) — on BOTH formulations
+    val d = cbs.size * cbs.head.head.size
+    val edge = Seq(
+      (1L, Some(Seq.fill(d)(Option(0.25)))),             // full, clean
+      (2L, Some(Seq.fill(d - 3)(Option(0.5)))),          // short tail
+      (3L, Some(Seq.tabulate(d)(i =>
+        if (i == 5) None else Option(1.0)))),            // null element
+      (4L, None))                                        // null vector
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val ek = edge.select(col("vec_id"),
+        ProductQuant.adcTableWith(col("v"), cbs, useKernel = true).as("tbl"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val eh = edge.select(col("vec_id"),
+        ProductQuant.adcTableWith(col("v"), cbs, useKernel = false).as("tbl"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id => assert(ek(id) === eh(id), s"vec $id") }
+  }
+
   test("ivfpq_append declared key: appended index recall-green, repeat-call served") {
     val a = ProductQuant.ivfpqAppendRecall(spark, sf0001).collect()
     assert(a.length === Similarity.NumQueryVecs)

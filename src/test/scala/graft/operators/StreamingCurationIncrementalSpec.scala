@@ -24,7 +24,7 @@ class StreamingCurationIncrementalSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq
 
   private def cursor(path: String) =
-    spark.read.parquet(s"$path/cursor").head().getLong(0)
+    CurationIncremental.readCtl(spark, path)._1
 
   private val n1 = Seq(
     (2L, "alpha beta gamma delta"),
@@ -185,11 +185,11 @@ class StreamingCurationIncrementalSpec extends SparkSpec {
     assert(!applied, "a committed first batch must not re-apply")
     assert(cursor(sB) === cursor(ref) && fps(sB) === fps(ref))
     assert(CurationIncremental.committedBatchId(spark, sB) === 0L)
-    // belt-and-braces: a meta/ directory with NO data files (the exact
-    // r18 wedge artifact) reads as fresh state instead of throwing
+    // belt-and-braces: a ctl/ directory with NO data files (the r18
+    // wedge artifact's shape) reads as fresh state instead of throwing
     val sC = tmpDir("scur-first-wedge")
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(sC, "meta"))
+      java.nio.file.Paths.get(sC, "ctl"))
     assert(CurationIncremental.committedBatchId(spark, sC) === -1L)
     val oC = tmpDir("scur-first-wedgeout")
     assert(CurationIncremental.stepExactlyOnce(spark,
@@ -229,8 +229,7 @@ class StreamingCurationIncrementalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(got2 === refOut2)
-    def consumed(p: String) = spark.read.parquet(s"$p/budgets").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def consumed(p: String) = CurationIncremental.readCtl(spark, p)._3
     assert(consumed(state) === consumed(ref))
     assert(cursor(state) === cursor(ref))
     // the load-bearing case: a REPLAY of batch 1 must not double-count
