@@ -40,13 +40,23 @@ object BloomJoin {
 
   /** The declared key's SQL (ANSI apart from the two graft_* calls, which
     * the oracle simply omits): revenue by (priority, returnflag) over
-    * lineitems of expensive orders. */
-  private def sql: String =
+    * lineitems of expensive orders. The bloom is sized from the TRUE
+    * filtered key count (r22, guide §3.2 "expectedNumItems should be ≥
+    * the true count"): the 1-arg default sizes for 1 M items — an
+    * 8 M-bit array that rode EVERY fact-side task binary as a 1-3 MiB
+    * literal at any SF (the r21 driver log's "large task binary" WARNs,
+    * previously misattributed to the PQ codebooks) while UNDERSIZING at
+    * 100 TB, where the filtered dim side is billions of keys and a 1 M
+    * sizing saturates to fpp ≈ 1 (the filter prunes nothing). One tiny
+    * count over the already-filtered dim side makes the bit count follow
+    * the data on both ends. */
+  private def sql(nItems: Long): String =
     s"""WITH pruned AS (
        |  SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
        |  FROM lineitem
        |  WHERE graft_might_contain(
-       |          (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+       |          (SELECT graft_bloom_agg(xxhash64(o_orderkey),
+       |                                  CAST($nItems AS BIGINT))
        |           FROM orders WHERE o_totalprice > $PriceMin),
        |          xxhash64(l_orderkey))
        |)
@@ -58,10 +68,18 @@ object BloomJoin {
        |GROUP BY o.o_orderpriority, l.l_returnflag
        |ORDER BY o.o_orderpriority, l.l_returnflag""".stripMargin
 
-  /** Declared key (`bloom_join`). */
+  /** Declared key (`bloom_join`). The count is one aggregate over the
+    * filtered dim side — the side the bloom build scans anyway — so the
+    * sizing costs a driver round-trip of one long, not a new scan class.
+    * False-positive rate moves with the 8-bits-per-true-key ratio the
+    * 2-arg aggregate derives; correctness never depends on it (the exact
+    * join removes false positives — the oracle is the plain join). */
   def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
     SqlSurface.registerViews(spark, dir, Seq("orders", "lineitem"))
-    spark.sql(sql)
+    val n = spark.sql(
+      s"SELECT count(*) FROM orders WHERE o_totalprice > $PriceMin")
+      .head().getLong(0)
+    spark.sql(sql(math.max(n, 1L)))
   }
 
   /** The oracle: the identical query with the bloom pre-filter removed —

@@ -247,20 +247,26 @@ object DedupClusters {
     val sh = MinHashDedup.shingleDocs(spark, dir).persist(MEMORY_AND_DISK)
     val pairs = MinHashDedup.verified(sh, MinHashDedup.candidatePairs(sh))
       .select(col("doc_a"), col("doc_b"))
-    val cc = connectedComponents(pairs).toDF("doc_id", "rep")
+    val labels = connectedComponents(pairs)
+    val cc = labels.toDF("doc_id", "rep")
     // The CC fixpoint loop has already materialized `cc` (its convergence
     // counts are actions), so the shingle frame backing the edge list is
-    // no longer needed. `cc` itself stays cached and its handle is internal
-    // to this key: a fully clean session afterwards comes from the harness's
-    // spark.catalog.clearCache() per-key contract (Verify.scala). Library
-    // users who want scoped cleanup call [[connectedComponents]] directly —
-    // its returned frame IS the cached handle, wrappable in
+    // no longer needed. The final verdict frame is one narrow row per
+    // document — materialize it and release BOTH caches inside the call
+    // (r22 cache-contract enforcement; CacheHygieneSpec pins this key).
+    // Library users composing further call [[connectedComponents]]
+    // directly — its returned frame IS the cached handle, wrappable in
     // [[graft.Caching.withCleanup]] (exercised in DedupClustersSpec).
     sh.unpersist(blocking = false)
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(cc, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
-      .withColumn("is_survivor", col("cluster_rep") === col("doc_id"))
-      .orderBy("doc_id")
+    // release `labels` (the persisted handle itself — `cc` is a Project
+    // over it and would not match the cache entry)
+    graft.Caching.withCleanup(labels) {
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .withColumn("is_survivor", col("cluster_rep") === col("doc_id"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    }
   }
 }

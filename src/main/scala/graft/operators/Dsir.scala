@@ -136,7 +136,14 @@ object Dsir {
 
   /** Declared key (`dsir_select`): target = the `en` slice, raw = the
     * whole corpus; one training pass, kernel scoring, sign cut. */
-  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectWith(spark, dir, materialize = true)
+
+  /** [[dsirSelect]] with the cache-release switch: the lazy form is the
+    * plan-audit hook (the scoring pass's narrow-projection shape is only
+    * visible before the materializing checkpoint). */
+  private[graft] def dsirSelectWith(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // ONE hashed-feature pass, persisted: training explodes it, scoring
     // folds it. Hashing (md5 per unigram+bigram) is this key's dominant
@@ -147,9 +154,14 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (model, oov) = trainWeightsFromFeats(
       feats.select((col("lang") === "en").as("is_target"), col("feats")))
-    scoreFeats(feats, model, oov,
+    val out = scoreFeats(feats, model, oov,
         useKernel = spark.catalog.functionExists("graft_unigram_score"))
       .select("doc_id", "lang", "n_feat", "lw_mean", "selected")
       .orderBy("doc_id")
+    // one narrow verdict row per doc — materialize and release the
+    // hashed-feature cache inside the call (r22 cache-contract
+    // enforcement; CacheHygieneSpec pins dsir_select)
+    if (!materialize) out
+    else graft.Caching.withCleanup(feats) { out.localCheckpoint(true) }
   }
 }

@@ -108,7 +108,8 @@ object ImageEmbed {
     * pairs just face two exact-verify gates (precision unaffected).
     * Output: one row per input id, (media_id, dup_of, keep) with
     * keep-first-by-id, the dedup family's verdict shape. */
-  def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
+  def embedNearDup(emb: DataFrame, threshold: Double = CosThreshold,
+      materialize: Boolean = true): DataFrame = {
     // `emb` (the decode->descriptor kernel output) is referenced five
     // times below (banded self-join sides, both verify joins, keep join)
     // -- persist so the kernel runs once.
@@ -149,8 +150,14 @@ object ImageEmbed {
       .filter(Similarity.cosineFor(e, col("v_lo"), col("v_hi")) >= threshold)
     val dupOf = verified.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    e.select("media_id").join(dupOf, Seq("media_id"), "left")
+    val out = e.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
+    // one narrow verdict row per input id — materialize and release the
+    // descriptor cache inside the call (r22 cache-contract enforcement;
+    // CacheHygieneSpec pins the keys riding this operator). The lazy
+    // form is the plan-audit hook (caller owns cleanup).
+    if (!materialize) out
+    else graft.Caching.withCleanup(e) { out.localCheckpoint(true) }
   }
 
   /** Declared key (`media_embed`): pixels → embedding → vector-stack

@@ -377,7 +377,7 @@ object ImagePhash {
     * frame. Returns (media_id, dup_of, keep) — dup_of is the lowest
     * matched partner id (keep-first discipline), keep = no match with a
     * lower id within [[HammingMax]]. */
-  def phashDedup(hashes: DataFrame): DataFrame = {
+  def phashDedup(hashes: DataFrame, materialize: Boolean = true): DataFrame = {
     // The decode→hash frame is referenced four times below (both LSH
     // self-join sides + the final keep join); without a persist each
     // reference re-runs the per-payload decode kernel. Narrow rows
@@ -402,8 +402,14 @@ object ImagePhash {
       .filter(bit_count(col("ph_lo").bitwiseXOR(col("ph_hi"))) <= HammingMax)
     val dupOf = pairs.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    h.select("media_id").join(dupOf, Seq("media_id"), "left")
+    val out = h.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
+    // one narrow verdict row per input id — materialize and release the
+    // decode→hash cache inside the call (r22 cache-contract enforcement;
+    // CacheHygieneSpec pins the keys riding this operator). The lazy
+    // form is the plan-audit hook (caller owns cleanup).
+    if (!materialize) out
+    else graft.Caching.withCleanup(h) { out.localCheckpoint(true) }
   }
 
   /** Declared key (`media_phash`): content-level image near-dup over the

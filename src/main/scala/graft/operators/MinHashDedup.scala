@@ -133,6 +133,11 @@ object MinHashDedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleDocs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified(sh, candidatePairs(sh)).orderBy("doc_a", "doc_b")
+    // the verified pair set is small — materialize and release the
+    // shingle cache inside the call (r22 cache-contract enforcement)
+    graft.Caching.withCleanup(sh) {
+      verified(sh, candidatePairs(sh)).orderBy("doc_a", "doc_b")
+        .localCheckpoint(true)
+    }
   }
 }

@@ -233,7 +233,7 @@ object ProductQuant {
   def ivfPqSearch(assigned: DataFrame, emb: DataFrame, queries: DataFrame,
       centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[Seq[Double]]],
       k: Int = Similarity.DefaultK, nProbe: Int = 2,
-      shortlist: Int = Shortlist): DataFrame = {
+      shortlist: Int = Shortlist, materialize: Boolean = true): DataFrame = {
     val ks = codebooks.head.size
     // `queries` feeds both the probe/ADC side and the rerank broadcast;
     // for the media/audio/video/text ANN keys it is itself a decode+embed
@@ -251,12 +251,18 @@ object ProductQuant {
     val dotQ = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
       lit(0d), (s, x) => s + x)
     val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    short.join(emb, "vec_id")
+    val out = short.join(emb, "vec_id")
       .join(broadcast(q.select("q_id", "qv")), "q_id")
       .withColumn("cos", dotQ)
       .withColumn("rn", row_number().over(wR))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    // ≤ k rows per query — materialize the verdict and release the query
+    // cache inside the call (r22 cache-contract enforcement;
+    // CacheHygieneSpec pins the ann/ivfpq keys riding this operator).
+    // The lazy form is the plan-audit hook (caller owns cleanup).
+    if (!materialize) out
+    else graft.Caching.withCleanup(q) { out.localCheckpoint(true) }
   }
 
   /** IVFADC index PERSISTENCE — the [[Similarity.writeIvfIndex]] layout
@@ -745,7 +751,11 @@ object ProductQuant {
     val cbs = trainCodebooks(spark, emb)
     val queries = emb.filter(col("vec_id") < Similarity.NumQueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    pqSearch(emb, queries, cbs, k, shortlist)
+    // ≤ k rows per query — materialize and release the normalized-corpus
+    // cache inside the call (r22 cache-contract enforcement)
+    graft.Caching.withCleanup(emb) {
+      pqSearch(emb, queries, cbs, k, shortlist).localCheckpoint(true)
+    }
   }
 
   /** Declared key (`pq_topk`): per-query recall of the PQ shortlist +

@@ -430,7 +430,11 @@ object Takedown {
         parity(f) && (f != "bm25_doclen" || statsOk)))
       .toDF("family", "removed", "survivors", "parity_ok")
       .orderBy("family")
+    // the parity aggregates are already collected — both kernel caches
+    // release here (r22 cache-contract enforcement; CacheHygieneSpec
+    // pins the takedown key)
     docsL.unpersist(blocking = false)
+    prepRem.unpersist(blocking = false)
     out
   }
 
@@ -598,6 +602,11 @@ object Takedown {
       agged.get((f, "idx")) == agged.get((f, "ref"))
     def survivors(f: String): Long =
       agged.get((f, "idx")).map(_._1).getOrElse(0L)
+    // the parity aggregates are already collected — both embedding
+    // caches release here (r22 cache-contract enforcement;
+    // CacheHygieneSpec pins the takedown_vectors key)
+    txtEmbRem.unpersist(blocking = false)
+    embRem.unpersist(blocking = false)
     pairs.map(_._1)
       .map(f => (f, removed(f), survivors(f), parity(f)))
       .toDF("family", "removed", "survivors", "parity_ok")

@@ -179,7 +179,8 @@ object TextEmbed {
   /** Near-dup verdicts over a text embedding frame: L-table banded
     * signatures → exact-cosine verify at `threshold` → keep-first-by-id
     * (one row per input id, the dedup family's verdict shape). */
-  def textNearDup(emb: DataFrame, threshold: Double = CosThreshold): DataFrame = {
+  def textNearDup(emb: DataFrame, threshold: Double = CosThreshold,
+      materialize: Boolean = true): DataFrame = {
     // `emb` (the n-gram embed kernel output) is referenced five times
     // below (banded self-join sides, both verify joins, keep join) --
     // persist so the kernel runs once.
@@ -214,8 +215,15 @@ object TextEmbed {
       .filter(Similarity.cosineFor(e, col("v_lo"), col("v_hi")) >= threshold)
     val dupOf = verified.groupBy(col("hi").as("doc_id"))
       .agg(min("lo").as("dup_of"))
-    e.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+    val out = e.select("doc_id").join(dupOf, Seq("doc_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
+    // the verdict frame is one narrow row per input id — materialize it
+    // and release the embedding cache inside the call (r22: the library
+    // cache contract enforced in-function instead of leaning on the
+    // harness's per-key clearCache; CacheHygieneSpec pins this key).
+    // The lazy form is the plan-audit hook (caller owns cleanup).
+    if (!materialize) out
+    else graft.Caching.withCleanup(e) { out.localCheckpoint(true) }
   }
 
   // ------------------------------------ arrival mode (the E14 discipline)

@@ -118,7 +118,7 @@ object VideoPhash {
     * array never rides the Slots×Bands=32-way explode, the self-join, or
     * the pair aggregate; the arrays re-join by id AFTER the key-count
     * cut, once per surviving candidate pair instead of 32× per video. */
-  def videoPhashDedup(hashes: DataFrame): DataFrame = {
+  def videoPhashDedup(hashes: DataFrame, materialize: Boolean = true): DataFrame = {
     // Referenced four times below (self-join sides, both verify joins,
     // keep join) — persist so the container-walk + frame-decode kernel
     // behind `hashes` runs once. Narrow (media_id, phashes) rows.
@@ -147,8 +147,14 @@ object VideoPhash {
       .filter(slotsWithin(col("ph_lo"), col("ph_hi")) >= lit(SlotsMin))
     val dupOf = pairs.groupBy(col("hi").as("media_id"))
       .agg(min("lo").as("dup_of"))
-    h.select("media_id").join(dupOf, Seq("media_id"), "left")
+    val out = h.select("media_id").join(dupOf, Seq("media_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
+    // one narrow verdict row per input id — materialize and release the
+    // container-walk + decode cache inside the call (r22 cache-contract
+    // enforcement; CacheHygieneSpec pins the video_phash key). The lazy
+    // form is the plan-audit hook (caller owns cleanup).
+    if (!materialize) out
+    else graft.Caching.withCleanup(h) { out.localCheckpoint(true) }
   }
 
   // ------------------------------------------------------------ generator

@@ -28,7 +28,19 @@ class CacheHygieneSpec extends SparkSpec {
     "curation_incremental_full",
     // persists the index embedding + the batch embedding, both released
     // inside the call (withCleanup + materialize=true)
-    "text_embed_incremental")
+    "text_embed_incremental",
+    // r22: the decode/embed/shingle/query caches these operators persist
+    // internally now release inside the call (withCleanup around a
+    // materialized verdict frame, or explicit unpersist after the parity
+    // collect) instead of leaning on the harness's per-key clearCache —
+    // one entry per operator family member so the contract is enforced,
+    // not assumed (r21 verdict #6)
+    "media_phash", "media_phash_jpeg", "audio_phash", "video_phash",
+    "media_embed", "audio_embed", "video_embed", "text_embed",
+    "media_ann", "audio_ann", "video_ann", "text_ann",
+    "pq_topk", "ivfpq_topk", "ivfpq_append",
+    "dsir_select", "dedup_minhash", "dedup_clusters",
+    "takedown", "takedown_vectors")
 
   test("declared keys that persist internally release every cache") {
     spark.sharedState.cacheManager.clearCache()

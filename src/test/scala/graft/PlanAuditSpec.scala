@@ -145,7 +145,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("media_phash reads only (media_id, payload) — planted ground truth cannot leak") {
-    val p = plan("media_phash")
+    // the declared key materializes (localCheckpoint) so its own plan is
+    // a LogicalRDD scan — audit the operator's lazy form instead (the
+    // materialize=false plan-audit hook), same fixture, same composition
+    graft.operators.ImagePhash.ensurePhashFixture(spark)
+    val p = graft.operators.ImagePhash.phashDedup(
+      graft.operators.ImagePhash.phashFrame(
+        spark.read.parquet(graft.operators.ImagePhash.fixturePath)
+          .select("media_id", "payload")),
+      materialize = false).queryExecution.executedPlan.toString
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(read.contains("payload") && !read.contains("twin_of") && !read.contains("kind"),
       s"perceptual dedup must answer from bytes, never the planted twin columns: $read")
@@ -246,7 +254,8 @@ class PlanAuditSpec extends SparkSpec {
     val hashes = (0L until 40L)
       .map(i => (i, Array.fill(graft.operators.VideoPhash.Slots)(i * 7919L)))
       .toDF("media_id", "phashes")
-    val gens = nodeBlocks(graft.operators.VideoPhash.videoPhashDedup(hashes))
+    val gens = nodeBlocks(graft.operators.VideoPhash.videoPhashDedup(hashes,
+        materialize = false))
       .filter(b => b.contains(") Generate") && b.contains("explode"))
     assert(gens.nonEmpty, "(slot, band) explode present")
     gens.foreach { b =>
@@ -711,7 +720,10 @@ class PlanAuditSpec extends SparkSpec {
     // is the scoring pass alone: scan → kernel projection → output sort.
     // Any Join or hashpartitioning here means scoring regressed to a
     // shuffle (e.g. a model re-join), which breaks the scan-bound contract.
-    val p = plan("dsir_select")
+    // The declared key materializes (localCheckpoint), so audit the lazy
+    // form (the materialize=false plan-audit hook).
+    val p = graft.operators.Dsir.dsirSelectWith(spark, sf, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), "scoring must not join — the model is a literal")
     assert(!p.contains("Exchange hashpartitioning"),
       "scoring must be shuffle-free up to the output sort")
